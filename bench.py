@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline query suite at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect overhead). First run of the session pays JVM/codegen
+warmup; a throwaway warmup query absorbs it so per-query numbers reflect
+steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline suite: one representative per tier (aggregation, fact-fact
+#: join, star join, window, sessionization, JSON, fuzzy dedup ×2,
+#: similarity, text scoring).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "window_running_customer_spend",
+    "events_sessionize",
+    "events_json_extract",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_bruteforce_cosine",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("spark-graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num: float | str = float(sf)
+    except ValueError:
+        sf_num = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

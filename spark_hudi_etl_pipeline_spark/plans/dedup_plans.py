@@ -1,0 +1,184 @@
+"""Dedup queries over the ``documents`` fixture (north-star extension).
+
+The fixture contains no natural duplicates (verified: 500 distinct
+normalized texts), so each query deterministically constructs its own
+duplicates inside the plan (same construction in the DuckDB oracle):
+exact copies for exact dedup, appended-tail near-copies for fuzzy dedup.
+This makes the correctness gate exercise real dedup behavior instead of
+vacuously matching empty outputs.
+
+Where the algorithm is SQL-expressible (fingerprint, exact n-gram
+Jaccard) the oracle is exact; approximation-bearing operators
+(MinHash-LSH, SimHash) register rows-only and get recall/property tests
+in tests/test_dedup.py instead — an LSH miss is legal behavior and must
+not be judged against an exact-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..sources import load_table
+from .registry import query
+
+#: Shared normalized-text SQL fragment — must mirror functions.text.normalize
+#: (lower → strip punct → collapse whitespace → trim) exactly.
+NORM_SQL = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+#: DuckDB word-5-shingle construction mirroring functions.text.shingles.
+SHINGLES_SQL = f"""
+  CASE WHEN len(string_split({NORM_SQL}, ' ')) <= 5
+       THEN [array_to_string(string_split({NORM_SQL}, ' '), ' ')]
+       ELSE list_transform(
+              generate_series(0, len(string_split({NORM_SQL}, ' ')) - 5),
+              i -> array_to_string(string_split({NORM_SQL}, ' ')[i+1:i+5], ' '))
+  END
+"""
+
+
+def _with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ verbatim copies of doc_id<5 re-keyed to 10000+id."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+def _with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies (three extra words appended) of doc_id<5."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended tail words")).alias("text"),
+    )
+    return d.unionByName(dups)
+
+
+_EXACT_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 5
+)
+"""
+
+_NEAR_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || ' appended tail words' AS text
+  FROM documents WHERE doc_id < 5
+)
+"""
+
+
+@query(
+    "dedup_exact_fingerprint",
+    oracle="WITH "
+    + _EXACT_CORPUS_SQL
+    + f""",
+fp AS (SELECT doc_id, md5({NORM_SQL}) AS fp FROM corpus)
+SELECT min(doc_id) AS doc_id, fp
+FROM fp GROUP BY fp
+ORDER BY doc_id
+""",
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: the 5 injected copies
+    collapse onto their originals; keeper = smallest doc_id."""
+    from ..functions import text
+
+    corpus = _with_exact_dups(spark, sf_dir)
+    return (
+        corpus.select("doc_id", text.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="WITH "
+    + _NEAR_CORPUS_SQL
+    + f""",
+sh AS (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM corpus),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.3
+ORDER BY id_a, id_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs (inverted-index join, no
+    O(n²)): finds the 5 injected (original, near-copy) pairs."""
+    corpus = _with_near_dups(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.3, k=5
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic by design
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs, exact
+    shingle-Jaccard verified ≥ 0.3. Recall vs the exact operator is
+    asserted in tests/test_dedup.py."""
+    corpus = _with_near_dups(spark, sf_dir)
+    return dedup.minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.3, num_hashes=32, bands=8, k=5
+    )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 of 64) over the near-dup
+    corpus; banded chunk join, no O(n²)."""
+    corpus = _with_near_dups(spark, sf_dir)
+    return dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_exact_rows",
+    oracle="""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+ORDER BY doc_id
+""",
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact row dedup on business columns (dropDuplicates semantics,
+    made deterministic by keeping min doc_id per (lang, source) group —
+    plain dropDuplicates keeps an arbitrary row, which can't be
+    oracle-checked)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id")
+    )

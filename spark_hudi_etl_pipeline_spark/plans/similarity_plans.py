@@ -1,0 +1,96 @@
+"""Similarity-search queries over the ``embeddings`` fixture.
+
+Brute-force cosine top-k carries a DuckDB oracle (both engines compute
+the same double-precision dot products; the similarity column is rounded
+to 4 decimals, and rank ties break on vec_id — fully deterministic).
+The LSH/ANN variant registers rows-only: approximation is legal behavior;
+its recall against brute force is asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..sources import load_table
+from .registry import query
+
+#: Manual double-precision cosine in DuckDB, mirroring
+#: functions.vectors.cosine's left-to-right accumulation exactly.
+_COS_SQL = """
+round(
+  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+4)
+"""
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+SELECT qid, cid, cosine, rank FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         {_COS_SQL} AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10
+) WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id<10 against
+    the whole corpus (self-matches included — cosine 1.0 at rank 1 is a
+    built-in sanity signal). Queries broadcast; corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.topk_cosine(
+        emb, queries, corpus_id="vec_id", query_id="vec_id", vec_col="embedding", k=5
+    )
+
+
+@query("knn_lsh_ann")  # rows-only: ANN recall is probabilistic by design
+def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via 8-bit random-hyperplane LSH with hamming-1
+    multi-probe; recall vs brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.rp_lsh_ann(
+        emb,
+        queries,
+        corpus_id="vec_id",
+        query_id="vec_id",
+        vec_col="embedding",
+        dim=64,
+        n_bits=8,
+        k=5,
+    )
+
+
+@query(
+    "embedding_neardup_blocked",
+    oracle=f"""
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+WHERE cosine >= 0.2
+ORDER BY id_a, id_b
+""",
+)
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by ``label`` (the
+    cluster-id/LSH-bucket stand-in): comparisons happen only within a
+    block, which is what bounds pair count at scale."""
+    from ..operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.2, block_col="label"
+    )

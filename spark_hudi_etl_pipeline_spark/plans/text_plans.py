@@ -1,0 +1,127 @@
+"""Text-analysis queries over the ``documents`` fixture (north-star
+extension): token stats, quality scoring, language ID, BPE-ish token
+counts. All map-only codegen'd expressions (functions/text.py) — the
+oracles replicate the same arithmetic in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..sources import load_table
+from .registry import query
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_LOWER_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+def _stop_list_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return f"[{words}]"
+
+
+_STOP_HITS = {
+    lang: f"len(list_filter({_LOWER_TOKS}, t -> list_contains({_stop_list_sql(lang)}, t)))"
+    for lang in sorted(text.STOPWORDS)
+}
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_TOKS}) AS n_tokens,
+       round(list_sum(list_transform({_TOKS}, t -> length(t)))
+             / greatest(len({_TOKS}), 1), 4) AS mean_token_len,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: char count, whitespace-token count,
+    mean token length, BPE-ish regex token count."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.char_count("text").alias("n_chars"),
+        text.token_count("text").alias("n_tokens"),
+        F.round(text.mean_token_length("text"), 4).alias("mean_token_len"),
+        F.size(text.bpe_tokens("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+           / greatest(length(text), 1) AS punct_ratio,
+         {_STOP_HITS['en']} / greatest(len({_LOWER_TOKS}), 1) AS stop_ratio,
+         list_sum(list_transform({_TOKS}, t -> length(t)))
+           / greatest(len({_TOKS}), 1) AS mtl
+  FROM documents
+)
+SELECT doc_id,
+       round(
+         (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0
+               WHEN n < 50 THEN n / 50.0 ELSE 20000.0 / n END) * 0.3
+       + (1.0 - least(punct_ratio * 4, 1.0)) * 0.2
+       + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE stop_ratio / 0.05 END) * 0.3
+       + (CASE WHEN mtl BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+       , 6) AS quality
+FROM m
+ORDER BY doc_id
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score per document (length sweet-spot,
+    punctuation, stopword ratio, mean token length)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.quality_score("text").alias("quality")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_STOP_HITS['de']} AS h_de,
+         {_STOP_HITS['en']} AS h_en,
+         {_STOP_HITS['es']} AS h_es,
+         {_STOP_HITS['fr']} AS h_fr
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM h
+)
+SELECT lang_pred, count(*) AS n_docs
+FROM pred
+GROUP BY lang_pred
+ORDER BY lang_pred
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-scoring language ID (argmax over per-language hit counts,
+    ties → lexicographically first, no hits → 'und'), aggregated to
+    per-predicted-language document counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(text.language_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )

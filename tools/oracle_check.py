@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness gate: run every registered
+query on Spark and its oracle on DuckDB at a given sf, compare row count,
+column names, and order-insensitive values. Usage:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize_rows(cols, rows):
+    """Order-insensitive canonical form: sort columns by name, stringify
+    values (floats via repr of round(…, 9) to absorb fp formatting)."""
+    import datetime
+    import math
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def canon(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.9g}"
+        if isinstance(v, datetime.datetime):
+            return v.isoformat(sep=" ", timespec="microseconds")
+        return str(v)
+
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as e
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark_session("oracle-check")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            continue
+        try:
+            drel = con.sql(oracles[name])
+            dcols = [c for c in drel.columns]
+            drows = drel.fetchall()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        sn = normalize_rows(scols, [tuple(r) for r in srows])
+        dn = normalize_rows(dcols, drows)
+        ok_vals = sn == dn
+        status = "ok  " if (ok_cols and ok_count and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status}  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)"
+            f" cols={ok_cols} count={ok_count} vals={ok_vals}"
+        )
+        if not ok_cols:
+            print(f"      spark cols: {sorted(scols)}\n      duck  cols: {sorted(dcols)}")
+        if ok_cols and ok_count and not ok_vals:
+            diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+            for a, b in diff:
+                print(f"      spark: {a}\n      duck : {b}")
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
