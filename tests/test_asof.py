@@ -1,0 +1,54 @@
+"""Latest-per-key and as-of join semantics."""
+
+from __future__ import annotations
+
+from spark_hudi_etl_pipeline_spark.operators.latest import asof_join, latest_per_key
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 3, "y"), ("a", 2, "z"), ("b", 1, "w")],
+        "k string, ts long, v string",
+    )
+    out = latest_per_key(df, ["k"], "ts")
+    assert {tuple(r) for r in out.collect()} == {("a", 3, "y"), ("b", 1, "w")}
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20)], "k string, ts long, seq int"
+    )
+    out = latest_per_key(df, ["k"], "ts", tiebreak=["seq"])
+    assert [tuple(r) for r in out.collect()] == [("a", 1, 20)]
+
+
+def test_asof_join_basic(spark):
+    """Each left row gets the newest right value at-or-before its ts."""
+    trades = spark.createDataFrame(
+        [("A", 3), ("A", 7), ("A", 12), ("B", 5)],
+        "sym string, t long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 2, 100.0), ("A", 7, 101.0), ("A", 10, 102.0), ("B", 9, 50.0)],
+        "sym string, qt long, px double",
+    )
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="qt", right_values=["px"]
+    )
+    got = {(r["sym"], r["t"]): r["px"] for r in out.collect()}
+    assert got == {
+        ("A", 3): 100.0,
+        ("A", 7): 101.0,   # boundary: right row at exactly left_ts is visible
+        ("A", 12): 102.0,
+        ("B", 5): None,    # no quote at-or-before t=5
+    }
+
+
+def test_asof_join_preserves_left_rowcount(spark):
+    trades = spark.createDataFrame([("A", i) for i in range(100)], "sym string, t long")
+    quotes = spark.createDataFrame([("A", 50, 1.0)], "sym string, qt long, px double")
+    out = asof_join(trades, quotes, on=["sym"], left_ts="t", right_ts="qt", right_values=["px"])
+    rows = out.collect()
+    assert len(rows) == 100
+    matched = [r for r in rows if r["px"] is not None]
+    assert len(matched) == 50  # t in [50, 99]

@@ -1,0 +1,123 @@
+"""Dedup operator family: exact, fingerprint, MinHash-LSH recall,
+SimHash hamming properties, n-gram Jaccard, embedding near-dup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_hudi_etl_pipeline_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tomorrow maybe"),  # near dup of 1
+    (4, "completely different content about database systems and query optimization plans"),
+    (5, "Sphinx of black quartz judge my vow while zephyrs blow from vexing quick daft jugs"),
+    (6, "THE QUICK BROWN FOX jumps over the lazy dog near the river bank today!!!"),  # case/punct dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    out = dedup.exact_dedup(docs_df.select("text"))
+    assert out.count() == 5  # rows 1,2 identical
+
+
+def test_fingerprint_dedup_normalization(spark, docs_df):
+    """Case/punctuation variants collapse onto one fingerprint."""
+    kept = dedup.fingerprint_dedup(docs_df, "doc_id", "text")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 not in ids and 6 not in ids  # 2 & 6 fold into 1
+    assert {3, 4, 5} <= ids
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs_df):
+    pairs = dedup.ngram_jaccard_pairs(docs_df, "doc_id", "text", threshold=0.3, k=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got and (1, 6) in got
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs_df):
+    """LSH candidates must cover every truly-similar pair on this corpus
+    (high-similarity pairs; 32 perms / 8 bands ⇒ ~99% catch at j≥0.7)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", threshold=0.5, k=3
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            docs_df, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8, k=3
+        ).collect()
+    }
+    assert exact, "test corpus must contain high-similarity pairs"
+    assert exact <= lsh | exact  # LSH ⊆ verified-exact by construction
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.99, f"LSH recall {recall} too low: {exact - lsh}"
+
+
+def test_minhash_jaccard_values_match_exact(spark, docs_df):
+    """Verified pair similarity comes from the exact shingle sets, so
+    values must equal the exact operator's for shared pairs."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, "doc_id", "text", threshold=0.3, k=3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_pairs(docs_df, "doc_id", "text", threshold=0.3, k=3).collect()
+    }
+    for pair, j in lsh.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-9
+
+
+def test_simhash_hamming_property(spark, docs_df):
+    """Near-identical docs have close simhashes; unrelated docs do not.
+    (Measured on this corpus: near-dup pairs at hamming 0-8, unrelated
+    pairs at 28-40 — short docs swing more bits per changed word.)"""
+    pairs = dedup.simhash_pairs(docs_df, "doc_id", "text", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0  # identical text → identical simhash
+    assert got.get((1, 6)) == 0  # normalization folds case/punct
+    assert got.get((1, 3)) == 8  # near-dup: small, nonzero distance
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_simhash_deterministic(spark, docs_df):
+    a = dedup.simhash(docs_df, "doc_id", "text").collect()
+    b = dedup.simhash(docs_df, "doc_id", "text").collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_embedding_neardup(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0], "x"),
+        (2, [0.999, 0.04, 0.0, 0.0], "x"),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0], "x"),     # orthogonal
+        (4, [1.0, 0.0, 0.0, 0.0], "y"),     # near-dup of 1 but other block
+    ]
+    df = spark.createDataFrame(vecs, "vid int, v array<float>, blk string")
+    pairs = dedup.embedding_neardup_pairs(df, "vid", "v", threshold=0.95, block_col="blk")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}  # blocking excludes (1,4); orthogonal excluded
+    # Unblocked finds the cross-block pair too.
+    pairs_all = dedup.embedding_neardup_pairs(df, "vid", "v", threshold=0.95)
+    got_all = {(r["id_a"], r["id_b"]) for r in pairs_all.collect()}
+    assert got_all == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_lsh_bucket_cap_guards_skew(spark):
+    """Degenerate corpus (all-identical docs) with a tiny bucket cap must
+    not emit quadratic pairs — the cap drops the hot bucket."""
+    rows = [(i, "same words everywhere always") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = dedup.lsh_candidate_pairs(df, "doc_id", "text", max_bucket=10)
+    assert pairs.count() == 0

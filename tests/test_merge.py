@@ -1,0 +1,93 @@
+"""Upsert/precombine merge semantics (SURVEY.md §1.4) — the reference's
+core non-built-in behavior: insert-if-absent, overwrite-if-present,
+larger-precombine-wins, convergence on rerun."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_hudi_etl_pipeline_spark.operators.merge import (
+    merge_upsert,
+    precombine_batch,
+    upsert_parquet,
+)
+
+
+def rows_of(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def schema():
+    return "k string, v string, prec long"
+
+
+def test_precombine_collapses_batch_to_latest(spark, schema):
+    batch = spark.createDataFrame(
+        [("a", "old", 1), ("a", "new", 2), ("b", "only", 5)], schema
+    )
+    out = precombine_batch(batch, ["k"], "prec")
+    assert rows_of(out) == {("a", "new", 2), ("b", "only", 5)}
+
+
+def test_merge_insert_and_overwrite(spark, schema):
+    existing = spark.createDataFrame([("a", "v1", 1), ("b", "v1", 1)], schema)
+    batch = spark.createDataFrame([("b", "v2", 2), ("c", "v1", 1)], schema)
+    out = merge_upsert(existing, batch, ["k"], "prec")
+    assert rows_of(out) == {("a", "v1", 1), ("b", "v2", 2), ("c", "v1", 1)}
+
+
+def test_merge_stale_batch_row_loses(spark, schema):
+    existing = spark.createDataFrame([("a", "newer", 10)], schema)
+    batch = spark.createDataFrame([("a", "stale", 5)], schema)
+    out = merge_upsert(existing, batch, ["k"], "prec")
+    assert rows_of(out) == {("a", "newer", 10)}
+
+
+def test_merge_equal_precombine_batch_wins(spark, schema):
+    # Hudi upsert overwrites on equal precombine — batch beats table.
+    existing = spark.createDataFrame([("a", "table", 5)], schema)
+    batch = spark.createDataFrame([("a", "batch", 5)], schema)
+    out = merge_upsert(existing, batch, ["k"], "prec")
+    assert rows_of(out) == {("a", "batch", 5)}
+
+
+def test_merge_composite_key(spark):
+    schema = "k1 string, k2 int, v string, prec long"
+    existing = spark.createDataFrame([("p", 1, "v1", 1), ("p", 2, "v1", 1)], schema)
+    batch = spark.createDataFrame([("p", 2, "v2", 2), ("q", 1, "v1", 1)], schema)
+    out = merge_upsert(existing, batch, ["k1", "k2"], "prec")
+    assert rows_of(out) == {
+        ("p", 1, "v1", 1),
+        ("p", 2, "v2", 2),
+        ("q", 1, "v1", 1),
+    }
+
+
+def test_upsert_parquet_converges_on_rerun(spark, tmp_table, schema):
+    """Idempotence-by-construction (README.md:80-84): re-writing the same
+    batch leaves the table unchanged."""
+    batch = spark.createDataFrame([("a", "v1", 1), ("b", "v1", 1)], schema)
+    n1 = upsert_parquet(spark, batch, tmp_table, keys=["k"], precombine="prec")
+    n2 = upsert_parquet(spark, batch, tmp_table, keys=["k"], precombine="prec")
+    assert n1 == n2 == 2
+    assert rows_of(spark.read.parquet(tmp_table)) == {("a", "v1", 1), ("b", "v1", 1)}
+
+
+def test_upsert_parquet_incremental_update(spark, tmp_table, schema):
+    b1 = spark.createDataFrame([("a", "v1", 1), ("b", "v1", 1)], schema)
+    b2 = spark.createDataFrame([("b", "v2", 2), ("c", "v1", 1)], schema)
+    upsert_parquet(spark, b1, tmp_table, keys=["k"], precombine="prec")
+    upsert_parquet(spark, b2, tmp_table, keys=["k"], precombine="prec")
+    assert rows_of(spark.read.parquet(tmp_table)) == {
+        ("a", "v1", 1),
+        ("b", "v2", 2),
+        ("c", "v1", 1),
+    }
+
+
+def test_merge_first_write(spark, schema):
+    batch = spark.createDataFrame([("a", "v", 2), ("a", "v0", 1)], schema)
+    out = merge_upsert(None, batch, ["k"], "prec")
+    assert rows_of(out) == {("a", "v", 2)}

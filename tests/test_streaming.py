@@ -1,0 +1,115 @@
+"""Structured Streaming tier: windowed aggs, within-watermark dedup,
+foreachBatch upsert sink — each stream result cross-checked against the
+equivalent batch computation."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_hudi_etl_pipeline_spark.sources import load_table
+from spark_hudi_etl_pipeline_spark.streaming import (
+    events_file_stream,
+    foreach_batch_upsert,
+    session_window_stats,
+    stream_dedup,
+    tumbling_window_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events fixture re-written as a plain-timestamp parquet dir the
+    file-stream source can consume (original is TIMESTAMP(NANOS))."""
+    d = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, SF_SMALL, "events").write.mode("overwrite").parquet(str(d / "in"))
+    return str(d / "in")
+
+
+def run_stream_to_memory(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_window_matches_batch(spark, events_dir):
+    stream = events_file_stream(spark, events_dir)
+    out = run_stream_to_memory(
+        spark, tumbling_window_counts(stream, window="1 day"), "t_tumbling"
+    )
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    want = {
+        (str(r["win"]["start"]), r["event_type"]): (r["n"], r["s"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_session_window_stream_runs(spark, events_dir):
+    stream = events_file_stream(spark, events_dir)
+    out = run_stream_to_memory(
+        spark, session_window_stats(stream, gap="30 minutes"), "t_session"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # Session totals must account for every event exactly once.
+    assert sum(r["n_events"] for r in rows) == 1000
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    src = str(tmp_path / "dup_in")
+    rows = [(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+            (1, "2024-01-01 00:00:01", 1, "click", 1.0, "{}"),  # dup event_id
+            (2, "2024-01-01 00:05:00", 1, "view", 2.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(src)
+    stream = events_file_stream(spark, src)
+    q = (
+        stream_dedup(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("t_dedup").count() == 2
+
+
+def test_foreach_batch_upsert_sink(spark, events_dir, tmp_path):
+    """Streaming upsert: run the same stream twice into one target —
+    keyed merge keeps the table converged (no duplicates)."""
+    target = str(tmp_path / "target")
+    for chk in ("c1", "c2"):
+        stream = events_file_stream(spark, events_dir)
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_upsert(target, keys=["event_id"], precombine="ts")
+            )
+            .option("checkpointLocation", str(tmp_path / chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    out = spark.read.parquet(target)
+    assert out.count() == 1000
+    assert out.select("event_id").distinct().count() == 1000
