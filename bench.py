@@ -21,8 +21,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: Headline suite: one representative per tier (aggregation, fact-fact
-#: join, star join, window, sessionization, JSON, fuzzy dedup ×2,
-#: similarity, text scoring).
+#: join, star join, window, sessionization, JSON, keyed upsert, as-of
+#: join, event-time window, fuzzy dedup ×2, similarity, text scoring).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -30,6 +30,9 @@ HEADLINE = [
     "window_running_customer_spend",
     "events_sessionize",
     "events_json_extract",
+    "upsert_precombine",
+    "asof_purchase_prior_click",
+    "window_tumbling_event_stats",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_bruteforce_cosine",

@@ -4,7 +4,9 @@ query/oracle registry consumed by ``__spark_entry__.py``."""
 from .registry import ORACLES, QUERIES, query
 
 from . import analytics  # noqa: E402,F401  (registration side effects)
+from . import analytics_ext  # noqa: E402,F401
 from . import extract  # noqa: E402,F401
+from . import pipeline_plans  # noqa: E402,F401
 from . import dedup_plans  # noqa: E402,F401
 from . import similarity_plans  # noqa: E402,F401
 from . import text_plans  # noqa: E402,F401

@@ -1,0 +1,541 @@
+"""Extended analytics tier: the TPC-H-shaped query family beyond the
+flagship three (SURVEY.md §2.3/§2.4 "joins … enter our engine through
+the flagship analytics queries"; README.md:16-21 "Analytics" target).
+
+Each query exercises a distinct planner capability on the star schema —
+EXISTS/semi with a non-equi residual, scalar and correlated subqueries,
+disjunctive multi-table predicates, HAVING, range/theta joins, windowed
+top-1-per-group — all Catalyst built-ins, all DuckDB-oracle-checked.
+
+Scale notes (100 TB):
+- every dim side is explicitly ``F.broadcast`` (part/supplier/nation/
+  region/customer stay << fact tables at TPC-H ratios);
+- fact-fact joins shuffle once on the natural key with AQE skew split;
+- the correlated-subquery shapes are expressed as window functions over
+  a single shuffle instead of a per-row subquery re-scan;
+- the range join broadcasts the bands dim (constant size) so the fact
+  side is never shuffled at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Q6-shaped revenue forecast: conjunctive range predicates, no join —
+# the canonical full-pushdown scan (PushedFilters should carry all four).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6_revenue_forecast",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.08
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4-shaped late-shipment priority check: EXISTS with a non-equi residual
+# (semi join keyed on orderkey, filtered l_shipdate > o_orderdate + 90d).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4_late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7-shaped cross-nation volume: double nation dimension (aliased twice),
+# disjunctive nation-pair predicate, year() extraction.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+SELECT cust_nation, supp_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM customer, orders, lineitem, supplier, nation n1, nation n2
+  WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+    AND l_suppkey = s_suppkey
+    AND c_nationkey = n1.n_nationkey AND s_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+GROUP BY cust_nation, supp_nation, l_year
+ORDER BY cust_nation, supp_nation, l_year
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"),
+                             F.col("n_name").alias("cust_nation"))),
+        on="c_nationkey",
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                             F.col("n_name").alias("supp_nation"))),
+        on="s_nationkey",
+    )
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .select(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("cust_nation", "supp_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10-shaped returned-item revenue: 4-way join + top-20 by aggregate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q10_returned_item_revenue",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12-shaped priority split: conditional aggregation (CASE inside agg)
+# over a fact-fact join. (Fixture lineitem has no shipmode column; the
+# priority-class pivot preserves the query's shape.)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q12_priority_class_by_status",
+    oracle="""
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def q12_priority_class_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14-shaped promo revenue share: conditional agg ratio over a broadcast
+# part join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q14_promo_revenue_pct",
+    oracle="""
+SELECT round(
+  100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17-shaped small-quantity revenue: correlated scalar subquery (per-part
+# average) re-expressed as a window aggregate — one shuffle instead of a
+# per-row re-scan, the 100 TB-safe form.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18-shaped large-volume orders: HAVING over a fact aggregate, joined
+# back to its dimensions, top-k.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS total_price,
+       round(sum_qty, 2) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200) big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_sum_qty"))
+        .filter(F.col("raw_sum_qty") > 200)
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("raw_sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19-shaped disjunctive predicates: OR-of-ANDs across both join sides —
+# the planner must keep the join equi-key and evaluate the disjunction as
+# a post-join residual.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 5 AND 25
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22-shaped idle high-balance customers: uncorrelated scalar subquery
+# (global average → literal broadcast) + anti join on a filtered fact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q22_idle_high_balance",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    # Uncorrelated scalar subquery: a one-row aggregate the driver fetches
+    # once and folds in as a literal — same plan shape Catalyst produces
+    # for a scalar subquery (single tiny job, not a per-row evaluation).
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    return (
+        c.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2-shaped top supplier per nation: windowed top-1-per-group over a
+# broadcast dim chain (the reference's ORDER BY … DESC LIMIT 1 pattern,
+# pipeline_architecture.py:136-137, generalized across groups).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2_top_supplier_per_nation",
+    oracle="""
+SELECT n_name, s_name, round(s_acctbal, 2) AS acctbal
+FROM (
+  SELECT n_name, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY n_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE') t
+WHERE rn = 1
+ORDER BY n_name
+""",
+)
+def q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Range (theta) join: facts against a broadcast interval dimension —
+# SURVEY.md §2.3 "theta / range / interval" surface. The bands dim is
+# constant-size → BroadcastNestedLoopJoin, fact side never shuffles.
+# --------------------------------------------------------------------------
+
+PRICE_BANDS = [("low", 0.0, 150_000.0), ("mid", 150_000.0, 300_000.0),
+               ("high", 300_000.0, 1e12)]
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN (VALUES ('low', 0.0, 150000.0), ('mid', 150000.0, 300000.0),
+             ('high', 300000.0, 1e12)) bands(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+""",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (HyperLogLog++): the sketch-aggregate surface for
+# 100 TB cardinality estimation. rows-only — approximation has no exact
+# SQL twin; tests/test_plans.py bounds its error against the exact count.
+# --------------------------------------------------------------------------
+
+
+@query("approx_distinct_customers")  # rows-only: HLL estimate is approximate
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

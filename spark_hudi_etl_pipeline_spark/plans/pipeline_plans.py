@@ -1,0 +1,292 @@
+"""Pipeline-semantics, temporal, streaming-parity, and multimodal plans.
+
+Covers the operators that make the reference what it is — keyed upsert
+with precombine (SURVEY.md §1.4, the one non-built-in semantic) — plus
+the temporal tier (as-of join, tumbling/sliding event-time windows), a
+real Structured Streaming run checked against the same SQL oracle as its
+batch twin, and the multimodal-column plumbing (north-star extension).
+
+Scale notes (100 TB):
+- the upsert merge broadcasts batch-side keys so the table side is never
+  shuffled (operators/merge.py docstring for the bucketed-layout story);
+- the as-of join is the union-window form — one shuffle on the join key,
+  no range cross-product (operators/latest.py);
+- event-time windows are partial-aggregated map-side before the single
+  keyed shuffle; streaming state is bounded by the watermark horizon;
+- multimodal payloads never reach the driver: metadata predicates prune
+  on the typed struct column via parquet statistics without reading
+  payload bytes, and feature extraction is Arrow-batched mapInPandas.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.latest import asof_join
+from ..operators.merge import merge_upsert
+from ..operators.multimodal import attach_metadata, decode_features
+from ..sources import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Keyed upsert with precombine (reference :179-194, :241-256, DDL :92-96).
+# Two overlapping batches land on the orders table: precombine must pick
+# the later o_orderdate within the batch (batch2 beats batch1 on keys
+# divisible by 6) AND against the table (every batch row beats its
+# original). Oracle is the canonical window-dedup formulation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "upsert_precombine",
+    oracle="""
+WITH batch AS (
+  -- ×2 / ×4 are exact in binary floating point, so round(…, 2) cannot
+  -- land on a tie where Spark (HALF_UP) and DuckDB disagree.
+  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 1 AS is_batch
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 4.0,
+         o_orderdate + INTERVAL 60 DAY, 1
+  FROM orders WHERE o_orderkey % 6 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 0 AS is_batch
+  FROM orders
+  UNION ALL
+  SELECT * FROM batch
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price, o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def upsert_precombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    existing = load_table(spark, sf_dir, "orders").select(*cols)
+    b1 = (
+        existing.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    b2 = (
+        existing.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 4.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    merged = merge_upsert(
+        existing, b1.unionByName(b2), keys=["o_orderkey"], precombine="o_orderdate"
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderdate",
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# As-of join (SURVEY.md §2.3): each purchase event picks up the value of
+# that user's latest click at-or-before it. DuckDB's native ASOF JOIN is
+# the oracle. Right side pre-aggregated to one row per (user_id, ts) so
+# the at-tie pick is deterministic in both engines; both sides cast to
+# microsecond timestamps so the <= comparison agrees (the events parquet
+# is nanosecond-precision, Spark truncates to µs on load).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "asof_purchase_prior_click",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, round(max(value), 3) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT p.event_id, p.user_id, p.ts, c.click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id
+""",
+)
+def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 3).alias("click_value"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["click_value"],
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Event-time windows (streaming tier semantics on the batch path; the
+# reference's README promises "Event Streams", README.md:19).
+# --------------------------------------------------------------------------
+
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY w_start
+ORDER BY w_start
+"""
+
+
+@query("window_tumbling_event_stats", oracle=TUMBLING_ORACLE)
+def window_tumbling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value")
+        .orderBy("w_start")
+    )
+
+
+@query(
+    "window_sliding_event_counts",
+    oracle="""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+         value
+  FROM events
+)
+SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM expanded
+GROUP BY w_start
+ORDER BY w_start
+""",
+)
+def window_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour window sliding by 1 hour: every event lands in exactly two
+    windows (starts at floor_1h(ts) and floor_1h(ts) − 1h) — the oracle
+    materializes that expansion explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value")
+        .orderBy("w_start")
+    )
+
+
+@query("streaming_tumbling_counts", oracle=TUMBLING_ORACLE)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run checked against the same SQL oracle
+    as the batch twin above: events staged to a file-source directory,
+    read as a stream with a 1-hour watermark, windowed-aggregated, and
+    drained with an availableNow trigger into a memory sink. Batch and
+    stream must agree exactly — the engine's batch/streaming-parity
+    contract (streaming/windows.py holds the operator library)."""
+    ev = load_table(spark, sf_dir, "events")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_events_{tag}"
+    ev.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    qname = f"stream_tumbling_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value")
+        .orderBy("w_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns (north-star extension; operators/multimodal.py).
+# Payload = the document text bytes (the container has no media libs —
+# TESTDATA gives no binary fixture — so documents stand in; the plumbing
+# is payload-agnostic).
+# --------------------------------------------------------------------------
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return attach_metadata(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        ),
+        media_type="image",
+    )
+
+
+@query(
+    "multimodal_metadata_prune",
+    oracle="""
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+FROM documents
+WHERE octet_length(encode(text)) > 200
+ORDER BY media_id
+""",
+)
+def multimodal_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter on the typed metadata struct WITHOUT touching payload bytes
+    — at scale this prunes via parquet column statistics, which is the
+    whole point of carrying metadata beside an opaque payload."""
+    m = _media_table(spark, sf_dir)
+    return (
+        m.filter(F.col("meta.n_bytes") > 200)
+        .select("media_id", F.col("meta.n_bytes").alias("n_bytes"))
+        .orderBy("media_id")
+    )
+
+
+@query("multimodal_decode_features")  # rows-only: checksum has no SQL twin
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over every payload
+    (deterministic fake decoder — the real decoder registers via
+    operators.multimodal.register_decoder with the same signature)."""
+    m = _media_table(spark, sf_dir)
+    return decode_features(m).orderBy("media_id")

@@ -80,3 +80,56 @@ def test_oracle_alias_contract(spark):
         sql = ORACLES[name].lower()
         for c in cols:
             assert c.lower() in sql, f"{name}: column {c} not named in oracle SQL"
+
+
+def test_q6_pushes_all_predicates(spark):
+    """The pure-scan query must push every conjunct into the parquet
+    reader (full pushdown is the point of q6's shape)."""
+    plan = plan_of(spark, "q6_revenue_forecast")
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in plan, f"missing pushed filter {frag}"
+
+
+def test_q19_broadcasts_part(spark):
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_semi_join(spark):
+    plan = plan_of(spark, "q4_late_shipment_priority")
+    assert "LeftSemi" in plan
+
+
+def test_range_join_broadcasts_bands(spark):
+    """Constant-size bands dim must broadcast: the fact side is never
+    shuffled for the join (only for the final tiny groupBy)."""
+    plan = plan_of(spark, "range_join_price_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ estimate within the configured 2% rsd (generous 10% gate)."""
+    row = QUERIES["approx_distinct_customers"](spark, SF_SMALL).first()
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    exact = (
+        load_table(spark, SF_SMALL, "orders").select("o_custkey").distinct().count()
+    )
+    assert abs(row["approx_customers"] - exact) <= max(2, 0.1 * exact)
+
+
+def test_streaming_matches_batch_tumbling(spark):
+    """Batch/streaming parity: identical windowed aggregates."""
+    batch = sorted(
+        map(tuple, QUERIES["window_tumbling_event_stats"](spark, SF_SMALL).collect())
+    )
+    stream = sorted(
+        map(tuple, QUERIES["streaming_tumbling_counts"](spark, SF_SMALL).collect())
+    )
+    assert batch == stream
