@@ -208,6 +208,13 @@ def lsh_candidate_pairs(
     banded = sig.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    # banded is consumed three times (bucket counts + both self-join
+    # sides); materialize it once so the signature scan runs once, not
+    # 3×. It is tiny relative to the corpus — (id, band, bucket) ≈ 24
+    # bytes × bands per doc — the standard persist point in LSH; at
+    # cluster scale this is persist(MEMORY_AND_DISK), here localCheckpoint
+    # also truncates the lineage Spark would otherwise re-plan per branch.
+    banded = banded.localCheckpoint(eager=True)
     counts = banded.groupBy("band", "bucket").count()
     small = banded.join(
         F.broadcast(counts.filter(F.col("count") <= max_bucket).select("band", "bucket")),
@@ -396,6 +403,10 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.cidx", "cc.chunk")
+    # chunks feeds both self-join sides; one materialization keeps the
+    # interpreted tokenize+vote expression to a single pass (same
+    # rationale as the banded checkpoint in lsh_candidate_pairs).
+    chunks = chunks.localCheckpoint(eager=True)
     a = chunks.select(
         "cidx", "chunk", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")
     )
