@@ -130,3 +130,100 @@ def rp_lsh_ann(
         .filter(F.col("rank") <= k)
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    out_vec: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine.
+
+    Map-side: the centroid table (n_centroids rows) broadcasts, so
+    assignment is a projection over the corpus — no shuffle of the data
+    side. Output: (id, vec, centroid_id, probe_rank).
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col("centroid_id"), F.col("centroid_vec")
+        )
+    )
+    scored = df.select(
+        F.col(id_col), F.col(vec_col).alias(out_vec)
+    ).crossJoin(c).select(
+        id_col,
+        out_vec,
+        "centroid_id",
+        vectors.cosine(out_vec, "centroid_vec").alias("__csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .drop("__csim")
+    )
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into
+    ``n_centroids`` inverted lists (nearest-centroid assignment), probe
+    each query's ``nprobe`` nearest lists, exact cosine re-rank inside.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors —
+    deterministic and seed-free; a production index would k-means refine
+    them, which changes recall, not this plan shape. At 100 TB the corpus
+    is written partitioned by ``centroid_id``, so a probe is partition
+    pruning: it reads nprobe/n_centroids of the data (the same IVF story
+    as FAISS, expressed as a layout + bucket join).
+    """
+    # TakeOrderedAndProject (orderBy+limit) picks the seed vectors without
+    # a global sort; the single-partition row_number then runs over just
+    # n_centroids rows, never the corpus.
+    seeds = corpus.select(F.col(corpus_id), F.col(vec_col)).orderBy(
+        F.asc(corpus_id)
+    ).limit(n_centroids)
+    centroids = F.broadcast(
+        seeds.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(F.asc(corpus_id)))
+        ).select(
+            (F.col("__rn") - 1).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    c_lists = ivf_assign(
+        corpus, centroids, id_col=corpus_id, vec_col=vec_col, out_vec="cv", nprobe=1
+    ).select(F.col(corpus_id).alias("cid"), "cv", "centroid_id")
+    q_probes = F.broadcast(
+        ivf_assign(
+            queries, centroids, id_col=query_id, vec_col=vec_col, out_vec="qv",
+            nprobe=nprobe,
+        ).select(F.col(query_id).alias("qid"), "qv", "centroid_id")
+    )
+    scored = c_lists.join(q_probes, on="centroid_id").select(
+        "qid", "cid", F.round(vectors.cosine("cv", "qv"), 4).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )

@@ -539,3 +539,42 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Salted aggregation (operators/skew.py): hot-key-safe two-phase groupBy.
+# The oracle is the PLAIN aggregation — salting must be correctness-
+# invariant, which is exactly what this checks. o_orderpriority has only
+# 5 values: the worst-case hot-key shape for a flat groupBy at scale.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "salted_agg_order_priority",
+    oracle="""
+SELECT o_orderpriority, round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def salted_agg_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_sum_count
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        salted_sum_count(
+            o,
+            keys=["o_orderpriority"],
+            sums={"o_totalprice": "raw_total"},
+            count_alias="n_orders",
+            n_salts=16,
+        )
+        .select(
+            "o_orderpriority",
+            F.round("raw_total", 2).alias("total_price"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )

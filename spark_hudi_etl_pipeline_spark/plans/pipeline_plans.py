@@ -290,3 +290,57 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.multimodal.register_decoder with the same signature)."""
     m = _media_table(spark, sf_dir)
     return decode_features(m).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Session windows (F.session_window — the built-in the batch sessionize
+# query re-derives by hand with lag+cumsum; both run on the batch path,
+# and the operator is streaming-ready via streaming/windows.py).
+# Window end = last event + gap, which the oracle reproduces explicitly.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "session_window_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, user_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, user_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -94,3 +94,24 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.2, block_col="label"
     )
+
+
+@query("knn_ivf_ann")  # rows-only: IVF recall depends on centroid layout
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-5: corpus partitioned into 16 inverted
+    lists by nearest centroid, queries probe their 2 nearest lists, exact
+    cosine re-rank inside. Recall vs brute force asserted in
+    tests/test_similarity.py; at scale the lists become partition-pruned
+    parquet layout (operators/similarity.py docstring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_ann(
+        emb,
+        queries,
+        corpus_id="vec_id",
+        query_id="vec_id",
+        vec_col="embedding",
+        n_centroids=16,
+        nprobe=2,
+        k=5,
+    )

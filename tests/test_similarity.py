@@ -93,3 +93,40 @@ def test_ann_is_subset_quality(spark, emb):
     for r in ann:
         assert r["cid"] in exact
         assert abs(exact[r["cid"]] - r["cosine"]) < 1e-6
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    """IVF with nprobe=2/16 lists must recover a practical fraction of
+    true top-5 neighbors; self-match always survives (a vector's own
+    list is its nearest centroid, which is always probed at nprobe>=1)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.topk_cosine(
+        emb, queries, corpus_id="vec_id", query_id="vec_id", k=5
+    )
+    ivf = similarity.ivf_ann(
+        emb, queries, corpus_id="vec_id", query_id="vec_id",
+        n_centroids=16, nprobe=2, k=5,
+    )
+    exact_set = {(r["qid"], r["cid"]) for r in exact.collect()}
+    ivf_set = {(r["qid"], r["cid"]) for r in ivf.collect()}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall {recall} below floor"
+    for qid in range(20):
+        assert (qid, qid) in ivf_set
+
+
+def test_ivf_probe_bounds(spark, emb):
+    """IVF candidate set is bounded: every returned neighbor lives in one
+    of the query's nprobe probed lists (subset property, not all-pairs)."""
+    from spark_hudi_etl_pipeline_spark.operators.similarity import ivf_ann
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_ann(
+        emb, queries, corpus_id="vec_id", query_id="vec_id",
+        n_centroids=8, nprobe=1, k=1000,
+    )
+    # nprobe=1 of 8 lists: candidates must be well under the full corpus.
+    per_q = out.groupBy("qid").count().collect()
+    total = emb.count()
+    for r in per_q:
+        assert r["count"] < total
