@@ -136,3 +136,38 @@ def test_rerun_convergence_upsert(spark, tmp_path):
     target = spark.read.parquet(cfg.target_path)
     ids = [r["record_id"] for r in target.collect()]
     assert sorted(ids) == sorted(set(ids)), "upsert must not duplicate keys"
+
+
+def test_bootstrap_idempotent(spark):
+    """R2: CREATE DATABASE/TABLE IF NOT EXISTS — re-running is a no-op;
+    the upsert contract lands in table properties."""
+    from spark_hudi_etl_pipeline_spark.pipeline import bootstrap
+
+    try:
+        bootstrap.create_pipeline_log_table(spark, "pipeline_layer.pipeline_log")
+        bootstrap.create_pipeline_log_table(spark, "pipeline_layer.pipeline_log")
+        cols = [f.name for f in spark.table("pipeline_layer.pipeline_log").schema.fields]
+        assert cols == [
+            "pipeline_name", "last_run_timestamp", "current_run_timestamp",
+            "status", "records_processed", "processing_time_seconds",
+            "error_message", "created_at",
+        ]
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(
+                "SHOW TBLPROPERTIES pipeline_layer.pipeline_log"
+            ).collect()
+        }
+        assert props.get("primaryKey") == "pipeline_name,created_at"
+        assert props.get("preCombineField") == "created_at"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pipeline_layer.pipeline_log")
+        spark.sql("DROP DATABASE IF EXISTS pipeline_layer")
+
+
+def test_bootstrap_rejects_bad_identifier(spark):
+    from spark_hudi_etl_pipeline_spark.pipeline import bootstrap
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bootstrap.quoted("x`; DROP TABLE y")

@@ -1,0 +1,64 @@
+"""Layout writers: bucketed joins must drop the shuffle; partitioned
+scans must prune directories at plan time."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from spark_hudi_etl_pipeline_spark.sources import load_table
+from spark_hudi_etl_pipeline_spark.sources.writers import (
+    read_partitioned,
+    write_bucketed,
+    write_partitioned,
+)
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    o = load_table(spark, SF_SMALL, "orders")
+    l = load_table(spark, SF_SMALL, "lineitem")
+    write_bucketed(o, "t_orders_b", bucket_cols=["o_orderkey"], n_buckets=8,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(l, "t_lineitem_b", bucket_cols=["l_orderkey"], n_buckets=8,
+                   sort_cols=["l_orderkey"])
+    try:
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        with_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_thresh)
+        assert "SortMergeJoin" in plan
+        # Bucket spec satisfies the join's required distribution on both
+        # sides: no exchange anywhere in the plan.
+        assert "Exchange" not in plan, plan
+        # and the join result is correct
+        assert joined.count() == l.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partitioned_scan_prunes(spark, tmp_path):
+    e = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(e, path, partition_cols=["event_type"])
+    scan = read_partitioned(spark, path).filter(F.col("event_type") == "click")
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    expected = e.filter(F.col("event_type") == "click").count()
+    assert scan.count() == expected
