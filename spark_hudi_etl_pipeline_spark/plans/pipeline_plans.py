@@ -344,3 +344,45 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming within-watermark dedup (streaming/windows.py::stream_dedup):
+# duplicated events staged to a stream, dropDuplicatesWithinWatermark on
+# the full row key drains to exactly one copy per event — oracle is
+# SELECT DISTINCT. The streaming form of the precombine dedup: state for
+# a key is evicted once the watermark passes it, so state is bounded by
+# horizon × arrival rate, not corpus size.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+FROM events
+ORDER BY event_id
+""",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    doubled = ev.unionByName(ev)  # every event arrives twice
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_dedup_{tag}"
+    doubled.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(doubled.schema).parquet(stage)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    qname = f"stream_dedup_{tag}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("event_id")

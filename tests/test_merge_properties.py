@@ -1,0 +1,117 @@
+"""Property-based tests (Hypothesis) for the upsert/precombine merge —
+the reference's one non-built-in semantic (SURVEY.md §1.4). Random
+batches must always satisfy the Hudi-contract invariants the example
+tests in test_merge.py check pointwise.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_hudi_etl_pipeline_spark.operators.merge import merge_upsert, precombine_batch
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=9),      # key (few values → collisions)
+    st.integers(min_value=0, max_value=99),     # precombine version
+    st.integers(min_value=0, max_value=10**6),  # payload
+)
+
+BATCH = st.lists(ROW, min_size=0, max_size=25)
+
+_SETTINGS = settings(
+    max_examples=12,  # each example runs Spark jobs — keep the budget sane
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v int, payload int")
+
+
+def _expected_merge(existing, batch):
+    """Driver-side model: per key, max-precombine row wins; batch beats
+    existing at equal precombine. Payload ambiguity at equal (k, v)
+    within one side is resolved to the max payload for comparability."""
+    best: dict[int, tuple[int, int, int]] = {}  # k -> (v, side, payload)
+    for k, v, p in existing:
+        cur = best.get(k)
+        cand = (v, 0, p)
+        if cur is None or (cand[0], cand[1], cand[2]) > (cur[0], cur[1], cur[2]):
+            best[k] = cand
+    for k, v, p in batch:
+        cur = best.get(k)
+        cand = (v, 1, p)
+        if cur is None or (cand[0], cand[1], cand[2]) > (cur[0], cur[1], cur[2]):
+            best[k] = cand
+    return best
+
+
+def _unique_per_key(rows):
+    """Enforce the upsert-table invariant (one row per key — what this
+    engine's own writes always produce): keep the max-(v, payload) row."""
+    best: dict[int, tuple[int, int, int]] = {}
+    for k, v, p in rows:
+        if k not in best or (v, p) > (best[k][1], best[k][2]):
+            best[k] = (k, v, p)
+    return list(best.values())
+
+
+@given(existing=BATCH, batch=BATCH)
+@_SETTINGS
+def test_merge_invariants(spark, existing, batch):
+    # existing must satisfy the documented precondition (unique per key);
+    # batch rows only need unique (k, v) so the win is deterministic
+    # (Hudi tie behavior at equal precombine within a batch is
+    # unspecified).
+    existing = _unique_per_key(existing)
+    batch = list({(k, v): (k, v, p) for k, v, p in batch}.values())
+
+    e_df = _df(spark, existing) if existing else None
+    b_df = _df(spark, batch)
+    out = merge_upsert(e_df, b_df, keys=["k"], precombine="v").collect()
+
+    # 1. One row per key.
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys))
+
+    # 2. Exactly the union of input keys survives.
+    expected = _expected_merge(existing, batch)
+    assert set(keys) == set(expected)
+
+    # 3. Per key: the winning precombine value; ties favor the batch.
+    for r in out:
+        exp_v, exp_side, exp_p = expected[r["k"]]
+        assert r["v"] == exp_v, (r, expected[r["k"]])
+        assert r["payload"] == exp_p
+
+
+@given(batch=BATCH)
+@_SETTINGS
+def test_precombine_idempotent(spark, batch):
+    """precombine(precombine(b)) == precombine(b); output unique per key."""
+    batch = list({(k, v): (k, v, p) for k, v, p in batch}.values())
+    if not batch:
+        return
+    b_df = _df(spark, batch)
+    once = precombine_batch(b_df, ["k"], "v")
+    twice = precombine_batch(once, ["k"], "v")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    assert len({t[0] for t in a}) == len(a)
+
+
+@given(existing=BATCH, batch=BATCH)
+@_SETTINGS
+def test_merge_idempotent_rerun(spark, existing, batch):
+    """Re-applying the same batch converges (the reference's rerun
+    idempotence contract, README.md:80-84)."""
+    existing = _unique_per_key(existing)
+    batch = list({(k, v): (k, v, p) for k, v, p in batch}.values())
+    e_df = _df(spark, existing) if existing else None
+    b_df = _df(spark, batch)
+    once = merge_upsert(e_df, b_df, keys=["k"], precombine="v")
+    again = merge_upsert(once, b_df, keys=["k"], precombine="v")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, again.collect()))
