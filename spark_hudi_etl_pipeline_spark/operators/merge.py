@@ -73,6 +73,11 @@ def merge_upsert(
     if existing is None:
         return deduped
     deduped = deduped.select(*existing.columns)  # align column order
+    # deduped feeds four consumers (b_prec, existing_keep's broadcast,
+    # beaten_keys, batch_keep) — lazily that replays the window-dedup
+    # subtree per consumer (observed: 18 Window nodes in the plan).
+    # The batch is the small side by contract, so materialize it once.
+    deduped = deduped.localCheckpoint(eager=True)
     # Both sides are unique per key here (batch via precombine_batch,
     # table by upsert invariant), so one left join per side annotates each
     # row with the other side's precombine value. The batch side is the
