@@ -467,3 +467,68 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup resolution: pair graph → canonical representative
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label every node with the minimum id reachable through the
+    (undirected) edge set — the canonical-representative step that turns
+    near-dup PAIRS into a keep/drop decision per document.
+
+    ``edges`` must have columns (id_a, id_b). Iterative min-label
+    propagation: each round every node adopts min(own label, neighbors'
+    labels); converges in O(graph diameter) rounds. Near-dup graphs are
+    overwhelmingly tiny cliques (diameter ≤ 2-3), so the loop exits
+    almost immediately on the driver-side convergence check. At larger
+    diameters the alternating large-star/small-star formulation
+    (Kiveris et al.) halves rounds; same join shape, so this function is
+    the drop-in site. State per round is one (node, label) table —
+    shuffle on node id, AQE-coalesced; the checkpoint truncates lineage
+    so round N's plan doesn't replay rounds 1..N-1.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))

@@ -182,3 +182,56 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_resolve_canonical",
+    oracle="WITH RECURSIVE "
+    + _NEAR_CORPUS_SQL.strip().rstrip()
+    + f""",
+sh AS (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM corpus),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.3
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT s.src, r.label FROM sym s JOIN reach r ON s.dst = r.node
+)
+SELECT node AS doc_id, min(label) AS canonical_id,
+       (node = min(label)) AS keep
+FROM reach GROUP BY node ORDER BY doc_id
+""",
+)
+def dedup_resolve_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RESOLUTION: near-dup pairs (exact 5-gram Jaccard ≥ 0.3) →
+    connected components → per-document canonical representative and
+    keep/drop flag — the step that turns pair output into an actually
+    deduplicated corpus. Oracle computes the same transitive closure with
+    a recursive CTE."""
+    corpus = _with_near_dups(spark, sf_dir)
+    edges = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.3, k=5)
+    comp = dedup.connected_components(
+        corpus.select("doc_id"), edges.select("id_a", "id_b"), id_col="doc_id"
+    )
+    return comp.select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+    ).orderBy("doc_id")

@@ -121,3 +121,18 @@ def test_lsh_bucket_cap_guards_skew(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     pairs = dedup.lsh_candidate_pairs(df, "doc_id", "text", max_bucket=10)
     assert pairs.count() == 0
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain 1-2-3, clique 10-11, singleton 20: labels = component min."""
+    from spark_hudi_etl_pipeline_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], "id int")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    out = {
+        r["id"]: r["canonical_id"]
+        for r in connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
