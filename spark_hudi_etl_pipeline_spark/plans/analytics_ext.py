@@ -578,3 +578,132 @@ def salted_agg_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot (groupBy().pivot() — conditional-agg expansion under the hood).
+# Explicit value list keeps the plan single-pass (no distinct-values job).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_by_segment",
+    oracle="""
+SELECT c_mktsegment,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pivoted = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .sum("o_totalprice")
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        *[F.round(F.coalesce(F.col(s), F.lit(0.0)), 2).alias(s) for s in ("F", "O", "P")],
+    ).orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles / median (SQL percentile_cont semantics; Spark's
+# exact percentile agg matches DuckDB's quantile_cont interpolation).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "percentiles_order_price",
+    oracle="""
+SELECT o_orderpriority,
+       round(median(o_totalprice), 2)                  AS median_price,
+       round(quantile_cont(o_totalprice, 0.95), 2)     AS p95_price,
+       round(min(o_totalprice), 2)                     AS min_price,
+       round(max(o_totalprice), 2)                     AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.median("o_totalprice"), 2).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates (sample stddev/variance, Pearson correlation).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_lineitem_moments",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+       round(var_samp(l_discount), 6)                    AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+       round(avg(l_extendedprice), 4)                    AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def stats_lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# String-function surface (concat/substring/upper/like/split) — the C8
+# "whole pyspark.sql.functions namespace" claim made concrete.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "string_functions_surface",
+    oracle="""
+SELECT c_custkey,
+       upper(c_mktsegment) AS seg_upper,
+       substring(c_name, 1, 8) AS name_prefix,
+       c_name || '/' || c_mktsegment AS name_seg,
+       len(string_split(c_name, '#')) AS name_parts,
+       (c_mktsegment LIKE 'BUILD%') AS is_building
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def string_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.size(F.split("c_name", "#")).alias("name_parts"),
+        F.col("c_mktsegment").like("BUILD%").alias("is_building"),
+    ).orderBy("c_custkey")
