@@ -48,8 +48,17 @@ def main() -> None:
     spark = get_spark_session("spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: JVM + codegen + parquet footer caches.
+    # Warmup: JVM + codegen + parquet footer caches, plus the Python/Arrow
+    # worker pool (pandas-UDF queries would otherwise pay worker spinup
+    # in their first measured run).
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+
+    spark.range(0, 1024, 1, 32).select(_warm("id")).write.mode("overwrite").format(
         "noop"
     ).save()
 
