@@ -707,3 +707,119 @@ def string_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("c_name", "#")).alias("name_parts"),
         F.col("c_mktsegment").like("BUILD%").alias("is_building"),
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (wide → long): the inverse of pivot, constant-folded
+# into a generate — no shuffle until the consumer aggregates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_orderkey < 100
+""",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL — §2.7
+# completed beyond the distinct-set forms).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bag_set_ops_custkeys",
+    oracle="""
+SELECT 'except' AS op, o_custkey FROM (
+  SELECT o_custkey FROM orders
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'intersect', o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""",
+)
+def bag_set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    all_keys = o.select("o_custkey")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    big_keys = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        all_keys.exceptAll(f_keys).withColumn("op", F.lit("except"))
+        .unionByName(
+            big_keys.intersectAll(open_keys).withColumn("op", F.lit("intersect"))
+        )
+        .select("op", "o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# posexplode / lateral flatten with ordinality.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "posexplode_doc_tokens",
+    oracle="""
+SELECT doc_id, u.i - 1 AS pos, u.t AS token
+FROM (SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (t, i) -> {'t': t, 'i': i})) AS u
+      FROM documents WHERE doc_id < 20)
+ORDER BY doc_id, pos
+""",
+)
+def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ", -1)).alias("pos", "token"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# Map-typed JSON access (from_json → MapType; §1.2's MapType surface).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_props_map",
+    oracle="""
+SELECT event_id,
+       list_sort(json_keys(props)) AS prop_keys,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+FROM events
+ORDER BY event_id
+""",
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        m.getItem("k").cast("int").alias("k_val"),
+    ).orderBy("event_id")
