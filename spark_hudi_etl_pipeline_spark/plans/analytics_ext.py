@@ -823,3 +823,42 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.map_keys(m)).alias("prop_keys"),
         m.getItem("k").cast("int").alias("k_val"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Date/time-function surface (C2-C7 family beyond the pipeline's own
+# stamps: trunc, add, diff, extract, epoch round-trip).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "datetime_functions_surface",
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start,
+       year(o_orderdate) AS o_year,
+       quarter(o_orderdate) AS o_quarter,
+       -- Spark dayofweek is 1-based (Sunday=1); DuckDB's is 0-based.
+       dayofweek(o_orderdate) + 1 AS o_dow,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+WHERE o_orderkey < 200
+ORDER BY o_orderkey
+""",
+)
+def datetime_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).cast("long").alias("days_since_epoch_start"),
+        F.year("o_orderdate").alias("o_year"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.dayofweek("o_orderdate").alias("o_dow"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    ).orderBy("o_orderkey")
