@@ -862,3 +862,33 @@ def datetime_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("o_orderdate").alias("o_dow"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Collection aggregates (collect_set → sorted array for determinism).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "collect_statuses_by_segment",
+    oracle="""
+SELECT c_mktsegment,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       count(DISTINCT o_orderstatus) AS n_statuses
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def collect_statuses_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("c_mktsegment")
+    )

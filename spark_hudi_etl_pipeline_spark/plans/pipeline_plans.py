@@ -386,3 +386,45 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     )
     q.awaitTermination()
     return spark.table(qname).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Custom stateful streaming (applyInPandasWithState): per-user running
+# totals held in the state store. Staged as ONE file so availableNow
+# drains in a single micro-batch and each user emits exactly one final
+# row — which makes the run oracle-checkable against a plain GROUP BY.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_stateful_user_stats",
+    oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import user_running_stats
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_state_{tag}"
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    qname = f"stream_state_{tag}"
+    q = (
+        user_running_stats(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+        .orderBy("user_id")
+    )
