@@ -152,3 +152,65 @@ def repartition_for_payloads(
     scale. Caller supplies (estimated) total payload bytes."""
     n = max(1, total_bytes // target_partition_bytes)
     return df.repartition(n)
+
+
+#: Frame row produced by sample_frames: one row PER SAMPLED FRAME (1→N
+#: expansion inside mapInPandas — the shape video decode needs).
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), False),
+    ]
+)
+
+
+def fake_frame_sampler(payload: bytes, n_frames: int) -> list[bytes]:
+    """STUB frame sampler: deterministic byte slices stand in for decoded
+    frames (a real implementation calls ffmpeg with the same signature:
+    payload in, list of frame buffers out)."""
+    if not payload:
+        return []
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step : i * step + step] for i in range(min(n_frames, len(payload)))]
+
+
+def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
+    """Sample ``n_frames`` frames per media row via mapInPandas — the
+    1→N row expansion decode shape (each input row yields multiple
+    output rows, streamed batch-by-batch so a long video never
+    materializes whole in memory)."""
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict[str, Any]] = []
+            for _, row in pdf.iterrows():
+                for i, frame in enumerate(
+                    fake_frame_sampler(bytes(row["payload"]), n_frames)
+                ):
+                    out.append(
+                        {"media_id": row["media_id"], "frame_idx": i,
+                         "frame_payload": frame}
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(expand, schema=FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Resize every image payload (STUB: deterministic truncate/pad to
+    width*height bytes — a real decoder registers PIL resize with the
+    identical signature; schema/partitioning/batching are what this
+    operator actually owns)."""
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                (bytes(p)[:target]).ljust(target, b"\0") for p in pdf["payload"]
+            ]
+            out = pdf.copy()
+            out["payload"] = resized
+            yield out
+
+    return media.mapInPandas(resize, schema=media.schema)

@@ -58,3 +58,42 @@ def test_unsupported_decoder_raises(spark, media_df):
 def test_repartition_for_payloads(spark, media_df):
     out = mm.repartition_for_payloads(media_df, total_bytes=10 << 30, target_partition_bytes=1 << 30)
     assert out.rdd.getNumPartitions() == 10
+
+
+def test_sample_frames_one_to_n(spark):
+    """Frame sampling is a 1→N mapInPandas expansion with deterministic
+    stub frames."""
+    from spark_hudi_etl_pipeline_spark.operators.multimodal import (
+        attach_metadata,
+        sample_frames,
+    )
+
+    rows = [(1, b"0123456789abcdef"), (2, b"xy")]
+    media = attach_metadata(
+        spark.createDataFrame(rows, "media_id long, payload binary"),
+        media_type="video",
+    )
+    out = sample_frames(media, n_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 4
+    assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    assert bytes(sorted(by_id[1], key=lambda r: r["frame_idx"])[0]["frame_payload"]) == b"0123"
+    assert len(by_id[2]) == 2  # shorter payload → fewer frames
+
+
+def test_resize_images_schema_stable(spark):
+    from spark_hudi_etl_pipeline_spark.operators.multimodal import (
+        attach_metadata,
+        resize_images,
+    )
+
+    media = attach_metadata(
+        spark.createDataFrame([(1, b"abcdefgh")], "media_id long, payload binary"),
+        media_type="image",
+    )
+    out = resize_images(media, width=2, height=3)
+    assert out.schema == media.schema
+    row = out.collect()[0]
+    assert len(bytes(row["payload"])) == 6
