@@ -171,3 +171,41 @@ def test_bootstrap_rejects_bad_identifier(spark):
 
     with _pytest.raises(ValueError):
         bootstrap.quoted("x`; DROP TABLE y")
+
+
+def test_reference_api_surface(spark, tmp_path):
+    """The reference's seven entry points exist with compatible shapes
+    and drive a full run end-to-end (api.py — the drop-in surface)."""
+    from spark_hudi_etl_pipeline_spark import api
+
+    # R11 sample fixture: schema verbatim from the reference.
+    sample = api.create_sample_data_for_testing(spark)
+    assert [f.name for f in sample.schema.fields] == [
+        "record_id", "entity_id", "event_timestamp", "event_type",
+        "data_field_1", "data_field_2", "numeric_field_1", "numeric_field_2",
+    ]
+    assert sample.count() == 3
+
+    log_path = str(tmp_path / "log")
+    target = str(tmp_path / "target")
+    cfg = api.PipelineConfig(
+        name="api_smoke",
+        source=lambda s: api.create_sample_data_for_testing(s),
+        watermark_col="event_timestamp",
+        target_path=target,
+        log_path=log_path,
+        record_keys=["record_id"],
+        precombine_field="load_timestamp",
+        not_null_col="event_timestamp",
+    )
+    # R8 with caller-owned session; R10 wrapper returns bool.
+    result = api.run_pipeline(cfg, spark)
+    assert result.status == "SUCCESS" and result.records_processed == 3
+    assert api.daily_pipeline_run(cfg, spark) is True
+
+    # R3 watermark now exists; R9 status report shows both runs.
+    assert api.get_last_run_timestamp(spark, log_path, "api_smoke") is not None
+    report = api.get_pipeline_status(spark, log_path, pipeline_name="api_smoke",
+                                     show=False)
+    assert report.count() >= 2
+    assert spark.read.parquet(target).count() == 3  # upsert converged
