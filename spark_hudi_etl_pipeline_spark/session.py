@@ -118,6 +118,15 @@ def get_spark_session(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # In local mode the driver JVM IS the executor; Spark's 1g default
+        # heap on a large box starves shuffles/broadcasts long before the
+        # machine does. Only effective when this builder launches the JVM
+        # (getOrCreate on an existing session ignores it, as Spark always
+        # does for JVM-level settings). On a cluster, spark-submit owns it.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
 
     for key, value in {**BASE_CONFIGS, **ENV_CONFIGS[env]}.items():
         builder = builder.config(key, value)
