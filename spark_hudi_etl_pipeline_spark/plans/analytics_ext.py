@@ -892,3 +892,39 @@ def collect_statuses_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping() indicators (beyond rollup/cube):
+# two disjoint single-column groupings in one pass over the fact table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               round(sum(o_totalprice), 2) AS total_price,
+               count(*) AS n_orders
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )

@@ -213,3 +213,27 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query("extract_with_surrogate")  # rows-only: uuid()/now() nondeterministic
+def extract_with_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full extract projection (:207-219) verbatim on the
+    events shape: uuid() surrogate key (P2/C1), explicit column list
+    (P1), null guard (F1), metadata stamps current_date/
+    current_timestamp (P5/C3/C4). Nondeterministic columns ⇒ rows-only
+    (row count + schema checked; SURVEY.md §5 caveat)."""
+    from ..functions import scalars
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts").isNotNull())
+        .select(
+            scalars.surrogate_key().alias("record_id"),
+            F.col("user_id").alias("entity_id"),
+            F.col("ts").alias("event_timestamp"),
+            "event_type",
+            F.col("value").alias("numeric_field_1"),
+        )
+        .withColumn("processing_date", scalars.processing_date())
+        .withColumn("load_timestamp", scalars.load_timestamp())
+    )

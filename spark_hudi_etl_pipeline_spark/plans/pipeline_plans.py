@@ -428,3 +428,53 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+         value
+  FROM events
+)
+SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM expanded
+GROUP BY w_start
+ORDER BY w_start
+""",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming parity: same 2h/1h windows as the batch
+    twin (window_sliding_event_counts), executed as a REAL stream and
+    checked against the same expansion oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_events_{tag}"
+    ev.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    qname = f"stream_sliding_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value")
+        .orderBy("w_start")
+    )

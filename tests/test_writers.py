@@ -62,3 +62,27 @@ def test_partitioned_scan_prunes(spark, tmp_path):
     assert "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     expected = e.filter(F.col("event_type") == "click").count()
     assert scan.count() == expected
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Partitioned fact joined to a filtered dim: the partition filter is
+    derived at RUNTIME from the dim side (dynamicpruning subquery in the
+    scan) — at 100 TB this is the difference between scanning one
+    partition directory and all of them."""
+    o = load_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(o, path, partition_cols=["o_orderstatus"])
+    fact = read_partitioned(spark, path)
+    with_dpp = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    assert with_dpp == "true"  # session default keeps DPP on
+    # Join keyed on the partition column so DPP applies.
+    per_status = fact.groupBy("o_orderstatus").count().filter(F.col("count") > 0)
+    joined = fact.join(
+        fact.select("o_orderstatus").distinct().limit(1).withColumnRenamed(
+            "o_orderstatus", "status_pick"
+        ),
+        F.col("o_orderstatus") == F.col("status_pick"),
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
+    assert per_status.count() >= 1
