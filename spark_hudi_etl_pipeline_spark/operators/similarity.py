@@ -101,15 +101,16 @@ def rp_lsh_ann(
     ~(1+n_bits)/2^n_bits of the corpus per query instead of all of it;
     exact cosine + window re-rank inside the candidates.
     """
+    sketch_udf = rp_sketch_arrow(dim, n_bits)
     c = corpus.select(
         F.col(corpus_id).alias("cid"),
         F.col(vec_col).alias("cv"),
-        rp_sketch(F.col(vec_col), dim, n_bits).alias("bucket"),
+        sketch_udf(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(vec_col).alias("qv"),
-        rp_sketch(F.col(vec_col), dim, n_bits).alias("qsketch"),
+        sketch_udf(F.col(vec_col)).alias("qsketch"),
     )
     if multiprobe:
         probes = F.array(
@@ -227,3 +228,27 @@ def ivf_ann(
         .filter(F.col("rank") <= k)
         .orderBy("qid", "rank")
     )
+
+
+def rp_sketch_arrow(dim: int, n_bits: int = 8, seed: int = 42):
+    """Arrow-vectorized twin of :func:`rp_sketch`: one GEMM against the
+    hyperplane matrix per batch instead of n_bits interpreted dot
+    products per row. Sign decisions at numerically-zero projections can
+    differ from the expression twin (summation order), so corpus and
+    queries must use the SAME implementation — which rp_lsh_ann
+    guarantees by sketching both sides through one code path."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(dim, n_bits, seed), dtype=np.float64)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    # No type hints: this module uses `from __future__ import annotations`,
+    # which stringifies them; pyspark can't resolve the local `pd` name at
+    # decoration time. Hint-free functions take the scalar eval path.
+    def sketch(vecs):
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (m @ planes.T) > 0
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return F.pandas_udf(sketch, "long")
