@@ -167,6 +167,16 @@ def minhash_signature_arrow(num_hashes: int = 32, k: int = 5):
     return signature
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a CPU-bound stage to default parallelism when the
+    upstream scan planned fewer partitions than cores (local small-file
+    scans); no-op on a cluster where scans already have enough splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        df = df.repartition(target)
+    return df
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -190,13 +200,9 @@ def lsh_candidate_pairs(
         sig_expr = minhash_signature_arrow(num_hashes, k)(F.col(text_col))
     else:
         sig_expr = minhash_signature(text_col, num_hashes, k)
-    # The signature stage is CPU-bound Python; a small-file scan can plan
-    # fewer partitions than cores and serialize it. Fan out only when the
-    # scan is under-parallel (no-op on a real cluster where the scan
-    # already has thousands of splits). Measured locally: 2.2s → 0.9s.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 4):
-        df = df.repartition(target)
+    # The signature stage is CPU-bound; fan out under-parallel scans
+    # (measured locally: 2.2s → 0.9s).
+    df = _fan_out(df)
     # barrier_col: banding references the signature attribute through a
     # Generate boundary, so the shingle→minhash pipeline runs exactly
     # once per row (CollapseProject would otherwise inline it per band).
@@ -303,7 +309,7 @@ def ngram_jaccard_pairs(
     # One shingling pass (Generate barrier), set size carried through the
     # explode so no second pass / size join is needed.
     sh = barrier_col(
-        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        _fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))),
         "sh",
         F.array_distinct(text.shingles(text_col, k)),
     )
@@ -391,7 +397,9 @@ def simhash_pairs(
     # reference the simhash attribute instead of CollapseProject inlining
     # (and re-running) tokenize+vote 5× per row.
     sh = barrier_col(
-        df.select(F.col(id_col), F.col(text_col)), "simhash", simhash_expr(text_col)
+        _fan_out(df.select(F.col(id_col), F.col(text_col))),
+        "simhash",
+        simhash_expr(text_col),
     ).drop(text_col)
     chunks = sh.select(
         F.col(id_col).alias("id"),
