@@ -545,11 +545,15 @@ def connected_components(
     labels); converges in O(graph diameter) rounds. Near-dup graphs are
     overwhelmingly tiny cliques (diameter ≤ 2-3), so the loop exits
     almost immediately on the driver-side convergence check. At larger
-    diameters the alternating large-star/small-star formulation
-    (Kiveris et al.) halves rounds; same join shape, so this function is
-    the drop-in site. State per round is one (node, label) table —
-    shuffle on node id, AQE-coalesced; the checkpoint truncates lineage
-    so round N's plan doesn't replay rounds 1..N-1.
+    diameters a pointer-jumping step (label := label of label) after
+    each neighbor round makes convergence logarithmic in the diameter.
+    State per round is one (node, label) table — shuffle on node id,
+    AQE-coalesced; the checkpoint truncates lineage so round N's plan
+    doesn't replay rounds 1..N-1.
+
+    Raises ``RuntimeError`` if the label fixpoint is not reached within
+    ``max_iterations`` — a silently-unconverged labeling would hand back
+    WRONG canonical ids, which is worse than failing.
     """
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -560,6 +564,7 @@ def connected_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -574,6 +579,24 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            # checkpoint BEFORE the self-join below, or the neighbor
+            # aggregation would execute twice per round (once per side).
+            .localCheckpoint(eager=True)
+        )
+        # Pointer jumping: adopt the label OF my current label — each
+        # round the pointer chain halves, so a path graph converges in
+        # O(log diameter) rounds instead of O(diameter).
+        as_parent = updated.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        updated = (
+            updated.join(as_parent, updated.label == as_parent.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -585,5 +608,11 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (labels would be wrong)"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))

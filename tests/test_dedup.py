@@ -136,3 +136,16 @@ def test_connected_components_hand_graph(spark):
         for r in connected_components(nodes, edges, id_col="id").collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_path(spark):
+    """A 40-node path graph (diameter 39) must converge — pointer
+    jumping makes rounds logarithmic — and label everything with node 0."""
+    from spark_hudi_etl_pipeline_spark.operators.dedup import connected_components
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id int")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a int, id_b int")
+    out = connected_components(nodes, edges, id_col="id", max_iterations=12).collect()
+    assert all(r["canonical_id"] == 0 for r in out)
+    assert len(out) == n
