@@ -928,3 +928,125 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q8-shaped market share: ratio of conditional aggregates per year over a
+# two-nation-role star join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM customer, orders, lineitem, supplier, nation n1, nation n2, region
+  WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+    AND l_suppkey = s_suppkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_side = F.broadcast(
+        c.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey")).join(
+            F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+        ).select("c_custkey")
+    )
+    supp_side = F.broadcast(
+        s.join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey")).select(
+            "s_suppkey", "supp_nation"
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_side, F.col("c_custkey") == F.col("o_custkey"))
+        .join(supp_side, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                    .otherwise(0.0)
+                )
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15-shaped top-revenue supplier: aggregate → scalar-max subquery
+# (expressed as a global window over the tiny aggregate output).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    # Global max over the per-supplier aggregate (|suppliers| rows — the
+    # single-partition window runs over a tiny frame, never the fact).
+    top = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(W.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    return (
+        s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
