@@ -1050,3 +1050,74 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q21-shaped waiting-supplier analysis: EXISTS + NOT EXISTS, both
+# correlated self-references on the fact table — the hardest classic
+# decorrelation shape (two semi/anti joins against different aliases of
+# lineitem with a non-equi residual carried from the outer orders row).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+SELECT s_name, n_name, count(*) AS numwait
+FROM supplier, nation, orders, lineitem l1
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND s_nationkey = n_nationkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    multi_supp = l1.join(
+        l2,
+        (F.col("l2_orderkey") == F.col("l_orderkey"))
+        & (F.col("l2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi_supp.join(
+        l3,
+        (F.col("l3_orderkey") == F.col("l_orderkey"))
+        & (F.col("l3_suppkey") != F.col("l_suppkey"))
+        & (F.col("l3_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
