@@ -5,6 +5,7 @@ from .registry import ORACLES, QUERIES, query
 
 from . import analytics  # noqa: E402,F401  (registration side effects)
 from . import analytics_ext  # noqa: E402,F401
+from . import analytics_tpch_gaps  # noqa: E402,F401
 from . import extract  # noqa: E402,F401
 from . import pipeline_plans  # noqa: E402,F401
 from . import dedup_plans  # noqa: E402,F401
