@@ -27,6 +27,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q9_profit_by_nation_year",
     "window_running_customer_spend",
     "events_sessionize",
     "events_json_extract",
