@@ -478,3 +478,85 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("w_start"), "n_events", "sum_value")
         .orderBy("w_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (streaming/windows.py::interval_join): click
+# and purchase streams joined on user within a 1-hour event-time bound —
+# the watermarked two-stream shape the batch-incremental reference loop
+# cannot express. Staged as ONE file so availableNow drains in a single
+# micro-batch (no cross-batch watermark races); the oracle is the plain
+# batch self-join, which must agree exactly (inner interval joins emit
+# matches independent of state eviction timing).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       round(p.value, 2) AS purchase_value
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+ORDER BY click_id, purchase_id
+""",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_ssj_{tag}"
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    schema = ev.schema
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        F.col("user_id") == F.col("p_user_id"),
+        left_time="click_ts",
+        right_time="purchase_ts",
+        upper="1 HOUR",
+    )
+    qname = f"stream_ssj_{tag}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.round("p_value", 2).alias("purchase_value"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

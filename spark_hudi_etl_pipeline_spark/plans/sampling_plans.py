@@ -1,0 +1,92 @@
+"""Deterministic split/sample plans (operators/sampling.py) — the
+train/valid/test plumbing of a training-data pipeline, made a pure
+function of each row so the same corpus splits identically on any
+cluster, any partitioning, any engine (the DuckDB oracles recompute the
+very same md5 buckets — full value-hash parity, not rows-only).
+
+Scale notes (100 TB): both ops are narrow, codegen'd filter/project
+expressions over the hash of an existing column — no shuffle, no state,
+no sampling coordination; they compose under any scan and preserve
+pushdown of other predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_split, hash_stratified_sample
+from ..sources import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# 80/20 train/test split of the documents corpus by md5(doc_id) bucket.
+# 0.8 * 16^4 = 52428 = 0xcccc — the oracle states the threshold inline.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "train_test_split_hash",
+    oracle="""
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents)
+GROUP BY split
+ORDER BY split
+""",
+)
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    split = hash_split(d, "doc_id", {"train": 0.8, "test": 0.2})
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sample of events: 50% of clicks, 100% of
+# purchases, 10% of views, 0% of everything else — the reproducible form
+# of sampleBy. Verified per-stratum: count and a value checksum.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stratified_sample_events",
+    oracle="""
+SELECT event_type, count(*) AS n_sampled, round(sum(value), 2) AS sum_value
+FROM events
+WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 4) <
+      CASE event_type
+        WHEN 'click' THEN '8000'
+        WHEN 'purchase' THEN 'zzzz'
+        WHEN 'view' THEN '1999'
+        ELSE '0000' END
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sampled = hash_stratified_sample(
+        e,
+        "event_id",
+        "event_type",
+        {"click": 0.5, "purchase": 1.0, "view": 0.1},
+    )
+    return (
+        sampled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -3,6 +3,7 @@
 from .windows import (
     events_file_stream,
     foreach_batch_upsert,
+    interval_join,
     session_window_stats,
     sliding_window_counts,
     stream_dedup,
@@ -12,6 +13,7 @@ from .windows import (
 __all__ = [
     "events_file_stream",
     "foreach_batch_upsert",
+    "interval_join",
     "session_window_stats",
     "sliding_window_counts",
     "stream_dedup",

@@ -140,6 +140,38 @@ def stream_dedup(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    *,
+    left_time: str,
+    right_time: str,
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    upper: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound:
+    ``on`` (equality) AND ``left_time <= right_time <= left_time + upper``.
+
+    Both sides carry watermarks, and the time-range conjunct is what lets
+    the state store evict: a buffered left row can only ever match right
+    rows within ``upper`` of it, so once the right watermark passes
+    ``left_time + upper`` the row is dropped. Without the bound a
+    stream-stream join buffers both sides forever — at 100 TB/day that is
+    the difference between O(horizon × rate) and unbounded state.
+
+    Works identically on batch DataFrames (watermarks are no-ops there),
+    which is how the DuckDB oracle checks it.
+    """
+    l = left.withWatermark(left_time, left_watermark)
+    r = right.withWatermark(right_time, right_watermark)
+    bound = (F.col(right_time) >= F.col(left_time)) & (
+        F.col(right_time) <= F.col(left_time) + F.expr(f"INTERVAL {upper}")
+    )
+    return l.join(r, on & bound, "inner")
+
+
 def foreach_batch_upsert(
     target_path: str, keys: list[str], precombine: str
 ):

@@ -113,3 +113,63 @@ def test_foreach_batch_upsert_sink(spark, events_dir, tmp_path):
     out = spark.read.parquet(target)
     assert out.count() == 1000
     assert out.select("event_id").distinct().count() == 1000
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: real two-stream drain must equal the
+    batch interval join of the same rows (inner-join parity contract)."""
+    from spark_hudi_etl_pipeline_spark.streaming import interval_join
+
+    src = str(tmp_path / "ssj_in")
+    rows = [
+        # user 1: click at 00:00 -> purchases at 00:30 (match) and 02:00 (out of bound)
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0, "{}"),
+        (2, "2024-01-01 00:30:00", 1, "purchase", 9.5, "{}"),
+        (3, "2024-01-01 02:00:00", 1, "purchase", 1.0, "{}"),
+        # user 2: purchase before the click — no match
+        (4, "2024-01-01 00:10:00", 2, "purchase", 3.0, "{}"),
+        (5, "2024-01-01 00:20:00", 2, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def sides(frame):
+        clicks = frame.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+        purchases = frame.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+        )
+        return clicks, purchases
+
+    on = F.col("user_id") == F.col("p_user_id")
+    kwargs = dict(left_time="click_ts", right_time="purchase_ts", upper="1 HOUR")
+
+    bc, bp = sides(spark.read.parquet(src))
+    batch = {
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join(bc, bp, on, **kwargs).collect()
+    }
+    assert batch == {(1, 2)}
+
+    sc, sp = sides(events_file_stream(spark, src))
+    q = (
+        interval_join(sc, sp, on, **kwargs)
+        .writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["click_id"], r["purchase_id"]) for r in spark.table("t_ssj").collect()
+    }
+    assert streamed == batch
