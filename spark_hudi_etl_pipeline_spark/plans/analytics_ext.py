@@ -1121,3 +1121,122 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Value-based window frame (RANGE BETWEEN interval): trailing-30-day spend
+# per customer — the time-decayed running metric README.md:148-150's
+# "processing time trends" implies, with a value frame instead of a row
+# frame. Spark's rangeBetween needs a numeric ordering key, so the
+# timestamp is projected to epoch seconds; the oracle orders by the
+# timestamp directly with an INTERVAL frame — same peers, same frame.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_range_frame_spend",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+         AS trailing_30d_spend
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# ntile quartiles: equal-frequency bucketing of customers by balance
+# (unique tiebreak on custkey so bucket edges are deterministic in both
+# engines), verified as per-(segment, quartile) counts and balance spans.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ntile_balance_quartiles",
+    oracle="""
+SELECT c_mktsegment, quartile, count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer)
+GROUP BY c_mktsegment, quartile
+ORDER BY c_mktsegment, quartile
+""",
+)
+def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+# --------------------------------------------------------------------------
+# first_value / nth_value / last_value over a full-partition frame: the
+# richest / second-richest / poorest customer per segment (unique
+# tiebreak ⇒ deterministic), collapsed to one row per segment.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+SELECT DISTINCT c_mktsegment,
+       first_value(c_name) OVER w AS richest,
+       nth_value(c_name, 2) OVER w AS second_richest,
+       last_value(c_name) OVER w AS poorest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY c_mktsegment
+""",
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            F.first("c_name").over(w).alias("richest"),
+            F.nth_value("c_name", 2).over(w).alias("second_richest"),
+            F.last("c_name").over(w).alias("poorest"),
+        )
+        .distinct()
+        .orderBy("c_mktsegment")
+    )
