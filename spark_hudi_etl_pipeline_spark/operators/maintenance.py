@@ -1,0 +1,159 @@
+"""Lake-table maintenance operators: incremental aggregate refresh,
+snapshot change-data diff, and small-file compaction.
+
+These compose the engine's incremental primitives (watermark extract +
+keyed merge, reference R3/R5/R7) into the table-maintenance surface a
+lake engine needs at 100 TB:
+
+- **Incremental aggregate refresh** — maintain a materialized per-key
+  summary by merging *partial aggregate state* (count/sum are mergeable)
+  from each new batch instead of recomputing from all history. Cost per
+  run is O(batch) + O(|touched keys|), not O(table) — at 100 TB the full
+  recompute is the thing you can never afford.
+- **Snapshot diff (CDC)** — classify key-level inserts/updates/deletes
+  between two table snapshots with one full-outer join on the key;
+  update detection is a null-safe struct comparison of the non-key
+  columns, codegen'd, no row hashing round-trips.
+- **Compaction** — rewrite a directory of many small files into
+  size-targeted files (the pure-parquet stand-in for Hudi's clustering
+  service; reference disables Hudi's own cleaner on the log table,
+  :192, so file-count hygiene falls to maintenance jobs like this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def aggregate_state(
+    batch: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    *,
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Collapse a batch to mergeable per-key state: one count plus one
+    sum per measure. avg/rate are derived at read time (sum/count), so
+    the state stays closed under addition."""
+    aggs = [F.count(F.lit(1)).alias(count_alias)] + [
+        F.sum(src).alias(dst) for src, dst in sums.items()
+    ]
+    return batch.groupBy(*keys).agg(*aggs)
+
+
+def merge_aggregate_state(
+    existing: DataFrame | None,
+    batch_state: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Merge new partial state into existing state by summing every
+    non-key column (all state columns are additive by construction).
+    Union + re-aggregate: the batch side is tiny relative to the table,
+    and the final groupBy shuffles only |existing keys ∪ batch keys| —
+    at scale, with the state table bucketed by key, AQE keeps this a
+    single co-located pass."""
+    if existing is None:
+        return batch_state
+    measure_cols = [c for c in batch_state.columns if c not in keys]
+    merged = existing.select(batch_state.columns).unionByName(batch_state)
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in measure_cols]
+    )
+
+
+def refresh_aggregate_parquet(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    sums: dict[str, str],
+    *,
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Materializing incremental refresh: fold ``batch``'s partial state
+    into the summary table at ``path`` (read-modify-write like
+    operators/merge.upsert_parquet; a Hudi/Delta connector would make
+    the commit transactional). Returns the post-refresh state."""
+    state = aggregate_state(batch, keys, sums, count_alias=count_alias)
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first refresh: no state yet
+        existing = None
+    merged = merge_aggregate_state(existing, state, keys).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(path)
+    return merged
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    *,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Key-level CDC between two snapshots: one row per changed key with
+    ``change_type`` ∈ {'insert', 'update', 'delete'}. Unchanged keys are
+    dropped. Assumes key-unique snapshots (the upsert invariant).
+
+    Single full-outer join on the key — both sides shuffle once; with
+    both snapshots bucketed by key (sources/writers.write_bucketed) the
+    exchange disappears entirely. The update test compares all non-key
+    columns as one null-safe struct equality, evaluated inside codegen.
+    """
+    non_keys = [c for c in old.columns if c not in keys]
+    if [c for c in new.columns if c not in keys] != non_keys:
+        raise ValueError("snapshots must share one schema")
+    o = old.select(
+        *keys, F.struct(*non_keys).alias("__old"), F.lit(True).alias("__in_old")
+    )
+    n = new.select(
+        *keys, F.struct(*non_keys).alias("__new"), F.lit(True).alias("__in_new")
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+    return (
+        joined.withColumn(
+            change_col,
+            F.when(F.col("__in_old").isNull(), "insert")
+            .when(F.col("__in_new").isNull(), "delete")
+            .when(~F.col("__old").eqNullSafe(F.col("__new")), "update"),
+        )
+        .filter(F.col(change_col).isNotNull())
+        .select(*keys, change_col)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Rewrite the parquet directory at ``path`` into files sized toward
+    ``target_bytes_per_file`` (estimated from current on-disk bytes, so
+    compression ratio carries over). Returns (files_before, files_after).
+
+    At scale this is the periodic clustering job: streaming/incremental
+    upserts produce per-commit small files; scans then pay per-file open
+    + footer costs and lose row-group locality. Data is byte-identical
+    after the rewrite (asserted in tests) — only layout changes."""
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    files = [
+        f
+        for f in fs.listStatus(jpath)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    n_before = len(files)
+    total_bytes = sum(f.getLen() for f in files)
+    n_after = max(1, round(total_bytes / target_bytes_per_file))
+    df = spark.read.parquet(path).coalesce(n_after).localCheckpoint(eager=True)
+    df.write.mode("overwrite").parquet(path)
+    files_after = [
+        f
+        for f in fs.listStatus(jpath)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    return n_before, len(files_after)

@@ -9,6 +9,7 @@ from . import analytics_tpch_gaps  # noqa: E402,F401
 from . import extract  # noqa: E402,F401
 from . import pipeline_plans  # noqa: E402,F401
 from . import dedup_plans  # noqa: E402,F401
+from . import maintenance_plans  # noqa: E402,F401
 from . import sampling_plans  # noqa: E402,F401
 from . import similarity_plans  # noqa: E402,F401
 from . import text_plans  # noqa: E402,F401

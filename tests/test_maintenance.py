@@ -1,0 +1,97 @@
+"""Maintenance operators: incremental refresh convergence, CDC diff
+classification (incl. null transitions), compaction byte-identity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_hudi_etl_pipeline_spark.operators.maintenance import (
+    compact_parquet,
+    merge_aggregate_state,
+    aggregate_state,
+    refresh_aggregate_parquet,
+    snapshot_diff,
+)
+from spark_hudi_etl_pipeline_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_incremental_refresh_equals_full_recompute(spark, tmp_path):
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    path = str(tmp_path / "state")
+    # Three uneven batches (including an empty one) folded incrementally.
+    batches = [
+        ev.filter(F.col("user_id") % 3 == 0),
+        ev.filter(F.col("user_id") % 3 != 0),
+        ev.filter(F.lit(False)),
+    ]
+    for b in batches:
+        state = refresh_aggregate_parquet(
+            spark, b, path, keys=["user_id"], sums={"value": "sum_value"},
+            count_alias="n",
+        )
+    got = {
+        r["user_id"]: (r["n"], round(r["sum_value"], 6))
+        for r in state.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["sum_value"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_merge_aggregate_state_none_existing(spark):
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    s = aggregate_state(ev, ["user_id"], {"value": "sv"})
+    assert merge_aggregate_state(None, s, ["user_id"]) is s
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 1.0),      # unchanged -> dropped
+            (2, "b", 2.0),      # null -> value: update (eqNullSafe)
+            (3, "c", None),     # value -> null: update
+            (5, "e", 5.0),      # insert
+        ],                       # k=4 absent: delete
+        "k int, s string, v double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_schema_mismatch_raises(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1, "x")], "k int, s string")
+    b = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    with pytest.raises(ValueError):
+        snapshot_diff(a, b, ["k"])
+
+
+def test_compact_parquet_reduces_files_keeps_data(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    before_sum = spark.read.parquet(path).agg(
+        F.sum("event_id"), F.count(F.lit(1))
+    ).collect()[0]
+    n_before, n_after = compact_parquet(
+        spark, path, target_bytes_per_file=10 * 1024 * 1024
+    )
+    assert n_before >= 64
+    assert n_after < n_before
+    after_sum = spark.read.parquet(path).agg(
+        F.sum("event_id"), F.count(F.lit(1))
+    ).collect()[0]
+    assert tuple(after_sum) == tuple(before_sum)
