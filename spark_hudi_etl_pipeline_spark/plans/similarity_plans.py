@@ -115,3 +115,38 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         k=5,
     )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+SELECT label, i - 1 AS dim_idx,
+       CAST(floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000) AS BIGINT)
+         AS centroid_q
+FROM embeddings, generate_series(1, 64) AS s(i)
+GROUP BY label, i
+ORDER BY label, dim_idx
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label dim-wise mean vector (the k-means update step / class
+    prototype): posexplode to (label, dim, value), one partial-aggregated
+    shuffle on (label, dim). At 100 TB the explode is a narrow 64×
+    row expansion of a 2-column projection, never the full row — and the
+    aggregate state is |labels| × dim, independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim_idx", "v")
+    )
+    # Fixed-point quantization via floor, not round: centroids of
+    # centered random vectors sit near rounding-boundary short decimals
+    # (x.xxx5), where Spark's HALF_UP and C-library rounding disagree;
+    # floor over bit-identical doubles is engine-invariant.
+    return (
+        emb.groupBy("label", "dim_idx")
+        .agg(
+            F.floor(F.avg(F.col("v").cast("double")) * 10000)
+            .cast("bigint")
+            .alias("centroid_q")
+        )
+        .orderBy("label", "dim_idx")
+    )
