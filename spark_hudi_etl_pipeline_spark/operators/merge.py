@@ -62,17 +62,33 @@ def merge_upsert(
     batch: DataFrame,
     keys: list[str],
     precombine: str,
+    *,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Pure-DataFrame upsert: returns the post-merge table contents.
 
     ``existing=None`` models first write. Batch rows always beat existing
     rows with equal precombine values (Hudi upsert overwrite semantics —
     an update with the same precombine still wins).
+
+    ``delete_col`` names a boolean batch column with Hudi's
+    ``_hoodie_is_deleted`` semantics: a batch row whose flag is true is a
+    *delete record* — it competes by precombine like any other row, and if
+    it wins the key is removed from the table (a stale delete loses to a
+    newer existing row and is ignored). The flag column never lands in
+    the output.
     """
+    if delete_col is not None and delete_col in (existing.columns if existing is not None else []):
+        raise ValueError(f"delete flag {delete_col!r} must not exist in the table")
     deduped = precombine_batch(batch, keys, precombine)
     if existing is None:
+        if delete_col is not None:
+            deduped = deduped.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
         return deduped
-    deduped = deduped.select(*existing.columns)  # align column order
+    batch_cols = existing.columns + ([delete_col] if delete_col is not None else [])
+    deduped = deduped.select(*batch_cols)  # align column order
     # deduped feeds four consumers (b_prec, existing_keep's broadcast,
     # beaten_keys, batch_keep) — lazily that replays the window-dedup
     # subtree per consumer (observed: 18 Window nodes in the plan).
@@ -98,6 +114,13 @@ def merge_upsert(
         .select(*keys)
     )
     batch_keep = deduped.join(F.broadcast(beaten_keys), on=keys, how="left_anti")
+    if delete_col is not None:
+        # Winning delete records remove their key: the existing row is
+        # already excluded above (batch won), and the delete record itself
+        # must not land in the table.
+        batch_keep = batch_keep.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
     return existing_keep.unionByName(batch_keep)
 
 
@@ -107,6 +130,8 @@ def upsert_parquet(
     path: str,
     keys: list[str],
     precombine: str,
+    *,
+    delete_col: str | None = None,
 ) -> int:
     """Materializing upsert sink (reference R7 write_hudi_table,
     :238-260, re-expressed): merge ``batch`` into the parquet table at
@@ -117,12 +142,14 @@ def upsert_parquet(
     """
     try:
         existing = spark.read.parquet(path)
-        # Materialize the merge before overwriting the files we read.
-        merged = merge_upsert(existing, batch, keys, precombine).localCheckpoint(
-            eager=True
-        )
     except Exception:  # first write: path absent
-        merged = precombine_batch(batch, keys, precombine)
+        existing = None
+    merged = merge_upsert(
+        existing, batch, keys, precombine, delete_col=delete_col
+    )
+    if existing is not None:
+        # Materialize the merge before overwriting the files we read.
+        merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(path)
     return merged.count()
 

@@ -560,3 +560,84 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Upsert with delete records (Hudi `_hoodie_is_deleted` semantics): a
+# batch row flagged deleted competes by precombine like any update — a
+# winning delete removes the key, a stale delete (older than the table
+# row) is ignored. Keys %5 update (+30d), %7 delete (+60d, wins), %11
+# stale-delete (−30d, loses); composite keys exercise in-batch
+# delete-vs-update precedence (e.g. %35: the +60d delete beats the +30d
+# update, so the key disappears).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "upsert_precombine_delete",
+    oracle="""
+WITH batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate,
+         FALSE AS deleted, 1 AS is_batch
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         o_orderdate + INTERVAL 60 DAY, TRUE, 1
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         o_orderdate - INTERVAL 30 DAY, TRUE, 1
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+         FALSE AS deleted, 0 AS is_batch
+  FROM orders
+  UNION ALL
+  SELECT * FROM batch
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price, o_orderdate
+FROM ranked WHERE rn = 1 AND NOT deleted
+ORDER BY o_orderkey
+""",
+)
+def upsert_precombine_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    existing = load_table(spark, sf_dir, "orders").select(*cols)
+    updates = (
+        existing.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .withColumn("deleted", F.lit(False))
+    )
+    deletes = (
+        existing.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .withColumn("deleted", F.lit(True))
+    )
+    stale_deletes = (
+        existing.filter(F.col("o_orderkey") % 11 == 0)
+        .withColumn("o_orderdate", F.col("o_orderdate") - F.expr("INTERVAL 30 DAYS"))
+        .withColumn("deleted", F.lit(True))
+    )
+    batch = updates.unionByName(deletes).unionByName(stale_deletes)
+    merged = merge_upsert(
+        existing,
+        batch,
+        keys=["o_orderkey"],
+        precombine="o_orderdate",
+        delete_col="deleted",
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderdate",
+    ).orderBy("o_orderkey")

@@ -91,3 +91,60 @@ def test_merge_first_write(spark, schema):
     batch = spark.createDataFrame([("a", "v", 2), ("a", "v0", 1)], schema)
     out = merge_upsert(None, batch, ["k"], "prec")
     assert rows_of(out) == {("a", "v", 2)}
+
+
+def test_merge_delete_records(spark):
+    """Hudi _hoodie_is_deleted semantics: a winning delete removes the
+    key, a stale delete is ignored, the flag never lands in the table."""
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k int, v string, pc int"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "x", 20, False),  # normal update
+            (2, "-", 20, True),   # newer delete: key 2 removed
+            (3, "-", 5, True),    # stale delete: ignored, key 3 survives
+            (4, "d", 20, True),   # delete for absent key: no-op insert-less
+            (5, "e", 20, False),  # plain insert
+        ],
+        "k int, v string, pc int, deleted boolean",
+    )
+    out = merge_upsert(existing, batch, ["k"], "pc", delete_col="deleted")
+    assert "deleted" not in out.columns
+    got = {r["k"]: (r["v"], r["pc"]) for r in out.collect()}
+    assert got == {1: ("x", 20), 3: ("c", 10), 5: ("e", 20)}
+
+
+def test_merge_delete_in_batch_precedence(spark):
+    """Within one batch, delete-vs-update resolves by precombine before
+    the table merge: newest wins whether or not it is a delete."""
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_upsert
+
+    existing = spark.createDataFrame([(1, "a", 10), (2, "b", 10)], "k int, v string, pc int")
+    batch = spark.createDataFrame(
+        [
+            (1, "new", 30, False), (1, "-", 20, True),   # update newer than delete: kept
+            (2, "-", 30, True), (2, "upd", 20, False),   # delete newer than update: gone
+        ],
+        "k int, v string, pc int, deleted boolean",
+    )
+    out = merge_upsert(existing, batch, ["k"], "pc", delete_col="deleted")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "new"}
+
+
+def test_upsert_parquet_delete_col(spark, tmp_path):
+    from spark_hudi_etl_pipeline_spark.operators.merge import upsert_parquet
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10, False), (2, "b", 10, True)], "k int, v string, pc int, del boolean"
+    )
+    # First write: delete records never materialize.
+    n = upsert_parquet(spark, b1, path, ["k"], "pc", delete_col="del")
+    assert n == 1
+    b2 = spark.createDataFrame([(1, "-", 20, True)], "k int, v string, pc int, del boolean")
+    n = upsert_parquet(spark, b2, path, ["k"], "pc", delete_col="del")
+    assert n == 0
