@@ -52,6 +52,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from spark_hudi_etl_pipeline_spark.operators import dedup, similarity
+    from spark_hudi_etl_pipeline_spark.operators.maintenance import snapshot_diff
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_upsert
     from spark_hudi_etl_pipeline_spark.session import get_spark_session
 
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -66,7 +68,8 @@ def main() -> None:
     ).save()
 
     results: dict[str, dict[int, float]] = {"agg_lineitem": {}, "minhash_pairs": {},
-                                            "knn_topk": {}}
+                                            "knn_topk": {}, "cdc_diff": {},
+                                            "upsert_merge": {}}
     rows: dict[str, dict[int, int]] = {k: {} for k in results}
 
     for factor in REPLICAS:
@@ -99,6 +102,40 @@ def main() -> None:
         ).write.mode("overwrite").format("noop").save()
         results["knn_topk"][factor] = time.perf_counter() - t0
         rows["knn_topk"][factor] = e.count()
+
+        ords = replicate(spark, base, "orders", factor, ["o_orderkey"])
+        o = spark.read.parquet(ords)
+        # CDC diff: old vs a derived snapshot (deletes %97, price bumps
+        # %13, inserts %211) — one full-outer join at table scale.
+        new_snap = (
+            o.filter(F.col("o_orderkey") % 97 != 0)
+            .withColumn(
+                "o_totalprice",
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % 13 == 0, 100).otherwise(0),
+            )
+            .unionByName(
+                o.filter(F.col("o_orderkey") % 211 == 0).withColumn(
+                    "o_orderkey", F.col("o_orderkey") + 10_000_000_000
+                )
+            )
+        )
+        t0 = time.perf_counter()
+        n_changes = snapshot_diff(o, new_snap, ["o_orderkey"]).count()
+        results["cdc_diff"][factor] = time.perf_counter() - t0
+        rows["cdc_diff"][factor] = n_changes
+
+        # Keyed upsert: a 2%-of-table batch merged in (the incremental
+        # write path at table scale — batch side stays small/broadcast).
+        batch = o.filter(F.col("o_orderkey") % 50 == 0).withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        t0 = time.perf_counter()
+        merge_upsert(o, batch, ["o_orderkey"], "o_orderdate").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        results["upsert_merge"][factor] = time.perf_counter() - t0
+        rows["upsert_merge"][factor] = o.count()
 
     lines = [
         "# SCALE — measured operator scaling (replicated sf0.1 fixtures)",
