@@ -154,6 +154,102 @@ def upsert_parquet(
     return merged.count()
 
 
+def upsert_parquet_partitioned(
+    spark,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    precombine: str,
+    partition_col: str,
+    *,
+    delete_col: str | None = None,
+) -> int:
+    """Partition-pruned upsert sink: merge ``batch`` into a hive-layout
+    parquet table partitioned by ``partition_col``, touching ONLY the
+    partitions the batch lands in. This is the scale path the reference
+    delegates to Hudi's partitioned COW writer + index
+    (pipeline_architecture.py:183-192 — ``hoodie.datasource.write``
+    upsert on a keyed table): a 100 TB table with a 1 GB incremental
+    batch reads and rewrites O(batch partitions), never O(table).
+
+    Semantics follow Hudi's default **non-global** index
+    (``hoodie.index.type=SIMPLE/BLOOM``): record keys are unique *within*
+    a partition, so the merge key is ``keys + [partition_col]`` and a
+    batch row whose key exists in a different partition inserts rather
+    than moves (a global-index variant would first resolve key →
+    partition with one extra join against the key index).
+
+    Execution shape, in order:
+
+    1. *Index lookup*: the batch's distinct partition values — a
+       driver-side list bounded by the number of touched partitions
+       (what Hudi reads from its index), not by batch rows.
+    2. *Pruned read*: the existing table filtered with
+       ``partition_col IN (touched)`` — Catalyst turns this into
+       ``PartitionFilters``, so untouched partitions are never scanned.
+    3. :func:`merge_upsert` of the pruned slice against the batch.
+    4. *Pruned commit*: ``partitionOverwriteMode=dynamic`` overwrite —
+       only partitions present in the merge output are replaced; a
+       touched partition emptied by delete records is dropped explicitly
+       (dynamic overwrite leaves absent partitions alone — that is the
+       point — so the empty case is the one manual commit step).
+
+    Returns rows written into the touched partitions.
+    """
+    first_write = False
+    try:
+        spark.read.parquet(path)
+    except Exception:  # first write: path absent
+        first_write = True
+    if first_write:
+        merged = merge_upsert(
+            None, batch, keys + [partition_col], precombine, delete_col=delete_col
+        )
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return merged.count()
+
+    touched = [
+        r[0] for r in batch.select(partition_col).distinct().collect()
+    ]
+    if any(v is None for v in touched):
+        raise ValueError(
+            f"null partition value in batch column {partition_col!r} — "
+            "Hudi-style partition paths require a non-null partition key"
+        )
+    existing_sub = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = merge_upsert(
+        existing_sub,
+        batch,
+        keys + [partition_col],
+        precombine,
+        delete_col=delete_col,
+    )
+    # We overwrite the very files the merge reads — materialize first.
+    merged = merged.localCheckpoint(eager=True)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    if delete_col is not None:
+        # A partition whose every row was deleted produces no output rows,
+        # so dynamic overwrite never visits it — drop its directory as the
+        # commit step (Hudi records this tombstone in the timeline).
+        import shutil
+
+        remaining = {
+            r[0] for r in merged.select(partition_col).distinct().collect()
+        }
+        for value in set(touched) - remaining:
+            shutil.rmtree(f"{path}/{partition_col}={value}", ignore_errors=True)
+    return merged.count()
+
+
 def hudi_writer_options(
     table_name: str,
     keys: list[str],

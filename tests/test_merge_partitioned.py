@@ -1,0 +1,149 @@
+"""Partition-pruned upsert (operators/merge.py::upsert_parquet_partitioned)
+— the Hudi partitioned-COW write path (reference pipeline_architecture.py
+:183-192) re-expressed: only partitions the batch lands in are scanned and
+rewritten; everything else is untouched on disk.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_hudi_etl_pipeline_spark.operators.merge import (
+    merge_upsert,
+    upsert_parquet_partitioned,
+)
+
+
+def rows_of(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def part_files(path: str, value: str) -> dict[str, float]:
+    """file → mtime map for one hive partition directory."""
+    d = f"{path}/p={value}"
+    return {
+        f: os.path.getmtime(os.path.join(d, f))
+        for f in sorted(os.listdir(d))
+        if not f.startswith(("_", "."))
+    }
+
+
+SCHEMA = "k long, p string, v string, prec long"
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    rows = [
+        (1, "a", "a1", 1),
+        (2, "a", "a2", 1),
+        (3, "b", "b1", 1),
+        (4, "b", "b2", 1),
+        (5, "c", "c1", 1),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    upsert_parquet_partitioned(spark, df, path, ["k"], "prec", "p")
+    return path
+
+
+def test_untouched_partitions_not_rewritten(spark, table):
+    before = {v: part_files(table, v) for v in "abc"}
+    batch = spark.createDataFrame(
+        [(1, "a", "a1-new", 2), (6, "a", "a6", 2)], SCHEMA
+    )
+    n = upsert_parquet_partitioned(spark, batch, table, ["k"], "prec", "p")
+    after = {v: part_files(table, v) for v in "abc"}
+    # b and c: identical file sets and mtimes — never read, never written.
+    assert after["b"] == before["b"]
+    assert after["c"] == before["c"]
+    # a: rewritten (fresh files).
+    assert set(after["a"]) != set(before["a"]) or after["a"] != before["a"]
+    assert n == 3  # rows now in partition a
+    out = spark.read.parquet(table).select("k", "p", "v", "prec")
+    assert rows_of(out) == {
+        (1, "a", "a1-new", 2),
+        (2, "a", "a2", 1),
+        (6, "a", "a6", 2),
+        (3, "b", "b1", 1),
+        (4, "b", "b2", 1),
+        (5, "c", "c1", 1),
+    }
+
+
+def test_matches_unpartitioned_merge(spark, table):
+    batch = spark.createDataFrame(
+        [(3, "b", "b3-new", 9), (7, "c", "c7", 9), (5, "c", "stale", 0)],
+        SCHEMA,
+    )
+    full_before = spark.read.parquet(table).select("k", "p", "v", "prec")
+    expected = rows_of(
+        merge_upsert(full_before, batch, ["k", "p"], "prec")
+    )
+    upsert_parquet_partitioned(spark, batch, table, ["k"], "prec", "p")
+    assert rows_of(
+        spark.read.parquet(table).select("k", "p", "v", "prec")
+    ) == expected
+
+
+def test_pruned_scan_has_partition_filter(spark, table):
+    # The existing-side read must prune at the partition level: the
+    # isin(touched) predicate lands in PartitionFilters, not a post-scan
+    # Filter over all partitions.
+    df = spark.read.parquet(table).filter(F.col("p").isin(["a"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "p#" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert df.count() == 2
+
+
+def test_delete_empties_partition_drops_directory(spark, table):
+    batch = spark.createDataFrame(
+        [(5, "c", None, 9, True)],
+        "k long, p string, v string, prec long, deleted boolean",
+    )
+    upsert_parquet_partitioned(
+        spark, batch, table, ["k"], "prec", "p", delete_col="deleted"
+    )
+    assert not os.path.exists(f"{table}/p=c")
+    out = spark.read.parquet(table)
+    assert rows_of(out.select("k", "p", "v", "prec")) == {
+        (1, "a", "a1", 1),
+        (2, "a", "a2", 1),
+        (3, "b", "b1", 1),
+        (4, "b", "b2", 1),
+    }
+
+
+def test_nonglobal_index_key_inserts_in_new_partition(spark, table):
+    # Hudi non-global index semantics: key 1 already lives in partition a;
+    # a batch row (1, b) INSERTS into b rather than moving the record.
+    batch = spark.createDataFrame([(1, "b", "moved?", 9)], SCHEMA)
+    upsert_parquet_partitioned(spark, batch, table, ["k"], "prec", "p")
+    out = spark.read.parquet(table).filter(F.col("k") == 1)
+    assert rows_of(out.select("k", "p", "v", "prec")) == {
+        (1, "a", "a1", 1),
+        (1, "b", "moved?", 9),
+    }
+
+
+def test_null_partition_value_rejected(spark, table):
+    batch = spark.createDataFrame([(9, None, "x", 1)], SCHEMA)
+    with pytest.raises(ValueError, match="null partition value"):
+        upsert_parquet_partitioned(spark, batch, table, ["k"], "prec", "p")
+
+
+def test_first_write_creates_partitioned_layout(spark, tmp_path, table):
+    assert sorted(
+        d for d in os.listdir(table) if d.startswith("p=")
+    ) == ["p=a", "p=b", "p=c"]
+
+
+def test_rerun_idempotent(spark, table):
+    batch = spark.createDataFrame([(2, "a", "a2-new", 5)], SCHEMA)
+    upsert_parquet_partitioned(spark, batch, table, ["k"], "prec", "p")
+    first = rows_of(spark.read.parquet(table))
+    upsert_parquet_partitioned(spark, batch, table, ["k"], "prec", "p")
+    assert rows_of(spark.read.parquet(table)) == first  # same col order both reads
