@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.latest import asof_join
-from ..operators.merge import merge_upsert
+from ..operators.merge import merge_upsert, upsert_parquet_partitioned
 from ..operators.multimodal import attach_metadata, decode_features
 from ..sources import load_table
 from .registry import query
@@ -641,3 +641,89 @@ def upsert_precombine_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("total_price"),
         "o_orderdate",
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Partition-pruned upsert (the Hudi partitioned-COW write path,
+# reference :183-192): the orders table lives hive-partitioned by
+# o_orderstatus; the batch updates only status-'O' rows (keys %4, price
+# ×2, +30d) and inserts cloned keys into status 'P' — so the 'F'
+# partition is never scanned or rewritten (asserted file-level in
+# tests/test_merge_partitioned.py). Merge key is (key, partition) —
+# Hudi's non-global index. The oracle is the window-dedup formulation of
+# the same merge over the whole table; equality proves pruning loses
+# nothing.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "upsert_partition_pruned",
+    oracle="""
+WITH batch AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 1 AS is_batch
+  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'P', o_totalprice, o_orderdate, 1
+  FROM orders WHERE o_orderkey % 500 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, 0 AS is_batch
+  FROM orders
+  UNION ALL
+  SELECT * FROM batch
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey, o_orderstatus
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey, o_orderstatus
+""",
+)
+def upsert_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/part_upsert_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # fresh table per run
+    upsert_parquet_partitioned(
+        spark, orders, path, ["o_orderkey"], "o_orderdate", "o_orderstatus"
+    )
+    updates = (
+        orders.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 4 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.lit("P").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    upsert_parquet_partitioned(
+        spark,
+        updates.unionByName(inserts),
+        path,
+        ["o_orderkey"],
+        "o_orderdate",
+        "o_orderstatus",
+    )
+    return (
+        spark.read.parquet(path)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey", "o_orderstatus")
+    )
