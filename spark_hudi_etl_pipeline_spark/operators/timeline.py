@@ -1,0 +1,213 @@
+"""Commit timeline: append-only upsert log + point-in-time (time-travel)
+reads + compaction — Hudi's timeline/MOR architecture re-expressed on
+plain parquet with Spark-native pruning.
+
+The reference delegates table history to Hudi's ``.hoodie`` timeline
+(pipeline_architecture.py:183-192 — COW upsert commits; README.md's Hudi
+sections describe incremental/point-in-time queries as the reason to use
+Hudi at all). This module provides the same capabilities engine-side:
+
+- **Write path (MOR-flavored)**: each upsert batch is an immutable commit
+  appended as its own hive partition ``commit_ts=N/`` — an O(batch)
+  append that never touches earlier commits (no read-modify-write, no
+  table rewrite; contrast ``merge.upsert_parquet`` which is the COW
+  path).
+- **Read path (merge-on-read)**: table state *as of* commit T is
+  reconstructed by folding all commits ≤ T. The fold is ONE window over
+  the pruned union — the ``commit_ts <= T`` predicate is a partition
+  filter, so time-travel never scans commits after T.
+- **Compaction**: commits ≤ T collapse into a single base commit,
+  bounding read amplification — Hudi's compactor, one job.
+
+Fold semantics and their precondition
+-------------------------------------
+Sequential upsert semantics (:func:`replay_commits`, a fold of
+``merge_upsert``) are the ground truth: larger precombine wins, the newer
+commit wins ties, a winning delete removes the key. The single-window
+fold (:func:`fold_commits`) computes per key the row with max
+``(precombine, commit_ts)``:
+
+- With no delete records the two are ALWAYS equal (latest-wins is
+  associative).
+- With delete records they are equal when each key's precombine values
+  are non-decreasing in commit order — the normal case, where precombine
+  is an event/update timestamp. (The divergence case: a delete wins at
+  commit k, and a LATER commit re-inserts the key with an OLDER
+  precombine. Sequential semantics insert it — the key was gone; the
+  window still sees the delete as the max. That ordering means your
+  precombine column is not a time; use :func:`replay_commits`.)
+
+Both are exposed; equivalence on the monotone domain is property-tested
+in ``tests/test_timeline.py``.
+
+Scale (100 TB): commits shuffle nothing on write. The fold is one hash
+shuffle on the record key over only the pruned commits; with frequent
+compaction the read cost is base + a short tail of deltas, exactly
+Hudi's MOR read-optimized/realtime trade.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .merge import merge_upsert
+
+COMMIT_COL = "commit_ts"
+_FOLD_RN = "__fold_rn"
+
+
+def commit_append(
+    spark, batch: DataFrame, path: str, commit_ts: int
+) -> None:
+    """Append ``batch`` as the immutable commit ``commit_ts=N`` partition.
+
+    O(batch): a pure append of new files under a new partition directory;
+    earlier commits are never read or written. ``commit_ts`` must be a
+    fresh, monotonically assigned commit instant (the caller's timeline
+    authority — Hudi's ``.hoodie`` instant allocation).
+    """
+    if COMMIT_COL in batch.columns:
+        raise ValueError(f"batch must not already carry {COMMIT_COL!r}")
+    existing = commit_instants(spark, path)
+    if existing and commit_ts <= max(existing):
+        raise ValueError(
+            f"commit_ts={commit_ts} is not after the latest commit "
+            f"{max(existing)} — timeline instants must be monotone"
+        )
+    (
+        batch.withColumn(COMMIT_COL, F.lit(commit_ts).cast("long"))
+        .write.mode("append")
+        .partitionBy(COMMIT_COL)
+        .parquet(path)
+    )
+
+
+def commit_instants(spark, path: str) -> list[int]:
+    """The timeline: sorted commit instants present at ``path`` (from the
+    partition directory names — no data files are read)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith(f"{COMMIT_COL}="):
+            out.append(int(d.split("=", 1)[1]))
+    return sorted(out)
+
+
+def fold_commits(
+    log: DataFrame,
+    keys: list[str],
+    precombine: str,
+    *,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Collapse a commit log (rows carrying ``commit_ts``) to current
+    table state with ONE window: per key, the row with the largest
+    ``(precombine, commit_ts)`` wins; a winning delete record removes the
+    key. See the module docstring for the delete+non-monotone-precombine
+    precondition; :func:`replay_commits` is the unconditional form.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(precombine), F.desc(COMMIT_COL)
+    )
+    folded = (
+        log.withColumn(_FOLD_RN, F.row_number().over(w))
+        .filter(F.col(_FOLD_RN) == 1)
+        .drop(_FOLD_RN, COMMIT_COL)
+    )
+    if delete_col is not None:
+        folded = folded.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    return folded
+
+
+def replay_commits(
+    commits: list[DataFrame],
+    keys: list[str],
+    precombine: str,
+    *,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Ground-truth sequential fold: ``merge_upsert`` applied commit by
+    commit, in order. Exact for every input (including deletes that
+    precede older-precombine re-inserts), at the cost of one join per
+    commit — the compactor's path for short timelines, and the oracle the
+    window fold is tested against."""
+    return functools.reduce(
+        lambda state, batch: merge_upsert(
+            state, batch, keys, precombine, delete_col=delete_col
+        ),
+        commits,
+        None,
+    )
+
+
+def read_as_of(
+    spark,
+    path: str,
+    keys: list[str],
+    precombine: str,
+    as_of: int,
+    *,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Time-travel read: table state as of commit instant ``as_of``
+    (inclusive). The instant predicate is a PARTITION filter — commits
+    after ``as_of`` are never scanned (asserted in
+    ``tests/test_timeline.py``)."""
+    log = spark.read.parquet(path).filter(F.col(COMMIT_COL) <= as_of)
+    return fold_commits(log, keys, precombine, delete_col=delete_col)
+
+
+def read_incremental(
+    spark, path: str, since: int, as_of: int | None = None
+) -> DataFrame:
+    """Hudi-style incremental query: the raw change records committed in
+    ``(since, as_of]`` — the CDC feed a downstream incremental consumer
+    reads instead of diffing snapshots. Partition-pruned on both bounds."""
+    log = spark.read.parquet(path).filter(F.col(COMMIT_COL) > since)
+    if as_of is not None:
+        log = log.filter(F.col(COMMIT_COL) <= as_of)
+    return log
+
+
+def compact_timeline(
+    spark,
+    path: str,
+    keys: list[str],
+    precombine: str,
+    up_to: int,
+    *,
+    delete_col: str | None = None,
+) -> int:
+    """Collapse commits ≤ ``up_to`` into a single base commit at instant
+    ``up_to``, then drop the replaced commit partitions. Reads after
+    compaction (as-of ≥ ``up_to``) see identical state with a shorter
+    merge tail. Returns rows in the compacted base."""
+    instants = [t for t in commit_instants(spark, path) if t <= up_to]
+    if not instants:
+        return 0
+    base = read_as_of(
+        spark, path, keys, precombine, up_to, delete_col=delete_col
+    )
+    if delete_col is not None:
+        # The folded state has no delete flag; recreate it so the
+        # compacted base schema matches later delta commits.
+        base = base.withColumn(delete_col, F.lit(False))
+    # The base replaces the partitions it was read from — materialize.
+    base = base.localCheckpoint(eager=True)
+    for t in instants:
+        shutil.rmtree(f"{path}/{COMMIT_COL}={t}", ignore_errors=True)
+    (
+        base.withColumn(COMMIT_COL, F.lit(up_to).cast("long"))
+        .write.mode("append")
+        .partitionBy(COMMIT_COL)
+        .parquet(path)
+    )
+    return base.count()

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.maintenance import refresh_aggregate_parquet, snapshot_diff
+from ..operators.timeline import commit_append, read_as_of
 from ..sources import load_table
 from .registry import query
 
@@ -118,3 +119,73 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+def _timeline_commits(orders: DataFrame):
+    """Three deterministic commits over orders: base, then price ×2 /
+    +30d on keys %5, then price ×4 / +60d on keys %10. ×2/×4 are exact
+    in binary so round(…, 2) cannot tie-break differently across
+    engines; precombine (o_orderdate) is commit-monotone per key, the
+    window fold's exactness domain."""
+    c2 = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    c3 = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 4.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    return [(1, orders), (2, c2), (3, c3)]
+
+
+# --------------------------------------------------------------------------
+# Time-travel read over a commit timeline (operators/timeline.py — the
+# Hudi timeline/MOR architecture the reference gets from
+# format("hudi")): three commits land as append-only partitions; the
+# query reads state AS OF commit 2, so commit 3's ×4 rows must be
+# invisible AND never scanned (partition-pruned — asserted in
+# tests/test_timeline.py). Oracle folds the same two commits with the
+# canonical window formulation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "timeline_as_of",
+    oracle="""
+WITH log AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 1 AS commit_ts
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 2.0,
+         o_orderdate + INTERVAL 30 DAY, 2
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, commit_ts DESC) AS rn
+  FROM log
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def timeline_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/timeline_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # fresh timeline per run
+    for ts, batch in _timeline_commits(orders):
+        commit_append(spark, batch, path, ts)
+    state = read_as_of(spark, path, ["o_orderkey"], "o_orderdate", as_of=2)
+    return state.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderdate",
+    ).orderBy("o_orderkey")
