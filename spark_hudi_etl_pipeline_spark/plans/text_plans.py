@@ -125,3 +125,85 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang_pred")
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document — the keyword-extraction primitive of a
+# training-data pipeline (doc fingerprinting / topic tagging at corpus
+# scale). Three shuffles total, each on a natural key: (doc, term) for
+# tf, term for df + the tf⋈df join, doc for the top-k window. The score
+# is floor-quantized to 1e-4 (engine-invariant fixed point — ln() can
+# differ in the last ulp between JVM and C libm) and the top-3 selection
+# orders by the quantized integer with a term tie-break, so both engines
+# pick identical rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 10000)
+              AS BIGINT) AS score_q
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_q DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_q, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. idf = ln(N/df) over the corpus;
+    the document-frequency side is an aggregate of the tf relation, so
+    the corpus is tokenized exactly once."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * 10000
+            )
+            .cast("long")
+            .alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_q", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
