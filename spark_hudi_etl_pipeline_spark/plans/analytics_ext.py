@@ -1240,3 +1240,31 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentiles (Greenwald-Khanna sketch, accuracy 1/10000) —
+# the sketch variant of percentiles_order_price for tables where an
+# exact per-group sort-agg is too expensive. Registered rows-only:
+# approximation is legal behavior and the sketch is not portable across
+# engines; the error bound against the exact aggregate is asserted in
+# tests/test_analytics_sketches.py.
+# --------------------------------------------------------------------------
+
+
+@query("approx_percentiles_price")
+def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)), 10000
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(pct[0], 2).alias("p25_approx"),
+            F.round(pct[1], 2).alias("p50_approx"),
+            F.round(pct[2], 2).alias("p75_approx"),
+            F.round(pct[3], 2).alias("p95_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )

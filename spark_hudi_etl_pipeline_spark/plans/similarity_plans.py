@@ -150,3 +150,55 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization (symmetric max-abs scaling) — the storage/
+# bandwidth step before shipping vectors to an ANN index or training
+# shard: 4 bytes/dim float32 → 1 byte/dim int8 + one scale per vector.
+# Map-only (no shuffle); every element is checked exactly — both engines
+# run the identical correctly-rounded double ops (abs, max, *, /) and
+# floor, so the quantized codes are bit-identical and the whole vector
+# is compared via its CSV rendering. floor (not round-half-up) keeps the
+# codes engine-invariant; codes lie in [-127, 127].
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS absmax
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(floor(absmax * 1000000) AS BIGINT) AS scale_q,
+       array_to_string(list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / absmax) AS INT)), ',')
+         AS q_csv
+FROM base
+ORDER BY vec_id
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    absmax = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(127.0) / absmax)
+        .cast("int")
+        .cast("string"),
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.floor(absmax * 1000000).cast("long").alias("scale_q"),
+            F.array_join(q, ",").alias("q_csv"),
+        )
+        .orderBy("vec_id")
+    )

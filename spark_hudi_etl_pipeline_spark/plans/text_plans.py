@@ -207,3 +207,46 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "score_q", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary top-k: the highest-document-frequency terms with
+# their corpus-wide term counts — the vocabulary-construction step of a
+# tokenizer/training pipeline. Same single tokenize pass as TF-IDF; the
+# final top-k is a TakeOrderedAndProject (no global sort) with a term
+# tie-break so selection is deterministic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+)
+SELECT term, count(*) AS df, sum(tf) AS total_tf
+FROM tf
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 100
+""",
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )

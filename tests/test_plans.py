@@ -124,6 +124,44 @@ def test_approx_distinct_error_bound(spark):
     assert abs(row["approx_customers"] - exact) <= max(2, 0.1 * exact)
 
 
+def test_approx_percentiles_error_bound(spark):
+    """GK-sketch percentiles at accuracy 10000: rank error <= 1/10000 of
+    rows, so on this data the estimate must sit inside the neighboring
+    exact-percentile band (generous +/-2% quantile gate)."""
+    approx = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["approx_percentiles_price"](spark, SF_SMALL).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    exact = {
+        r["o_orderpriority"]: r
+        for r in (
+            load_table(spark, SF_SMALL, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                *[
+                    F.percentile("o_totalprice", F.lit(q - 0.02)).alias(f"lo{i}")
+                    for i, q in enumerate([0.25, 0.5, 0.75, 0.95])
+                ],
+                *[
+                    F.percentile("o_totalprice", F.lit(q + 0.02)).alias(f"hi{i}")
+                    for i, q in enumerate([0.25, 0.5, 0.75, 0.95])
+                ],
+            )
+            .collect()
+        )
+    }
+    for prio, row in approx.items():
+        for i, col in enumerate(["p25_approx", "p50_approx", "p75_approx", "p95_approx"]):
+            assert exact[prio][f"lo{i}"] <= row[col] <= exact[prio][f"hi{i}"], (
+                prio,
+                col,
+            )
+
+
 def test_streaming_matches_batch_tumbling(spark):
     """Batch/streaming parity: identical windowed aggregates."""
     batch = sorted(
