@@ -1,0 +1,142 @@
+"""Clustering table service: rewrite a table so file-level min/max
+statistics become an index — Hudi's *clustering* (``hoodie.clustering``,
+linear-sort and z-order modes), re-expressed as Spark layout jobs.
+
+Why this matters at 100 TB: parquet readers skip row groups whose
+column statistics exclude the predicate. Unclustered data has every
+file spanning the whole value domain, so nothing skips; after
+clustering, a selective predicate touches O(matching files) instead of
+O(table). The reference leans on Hudi for this table service
+(pipeline_architecture.py:183-192 writes COW tables Hudi would
+cluster); here it is two explicit rewrite strategies:
+
+- **Linear (range) clustering** — ``repartitionByRange`` + sort within
+  partitions on the cluster key: per-file key ranges are disjoint, so a
+  point/range predicate on the key touches ~1 file. Best single-column
+  skipping; orthogonal columns keep full-domain spans.
+- **Z-order clustering** — files ordered by interleaving the bits of
+  two quantile-coded columns: each file covers a small *rectangle* of
+  the 2-D domain, so predicates on EITHER column skip most files (at
+  the cost of slightly worse single-column locality than linear sort).
+
+Everything stays distributed: quantile codes come from
+``QuantileDiscretizer`` (sketch-fit boundaries aggregated tree-wise, a
+JVM binary-search transform per row — no global window, no Python), the
+bit interleave is plain integer shift expressions (whole-stage codegen,
+ANSI-safe far below 2^63), and the rewrite itself is one range exchange
+plus a local sort — the cost of writing the data once. Quantile (not
+equal-width) coding keeps the boxes balanced under skew.
+
+``file_column_bounds`` reads the parquet footers (no data pages) and is
+the evidence the tests assert on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bits per dimension in the Morton code (256 quantile buckets/dim).
+_BITS = 8
+
+
+def quantile_codes(
+    df: DataFrame, cols: list[str], *, bits: int = _BITS
+) -> DataFrame:
+    """Add ``__code_<col>`` integer columns in [0, 2^bits) — each
+    column's sketch-based quantile bucket. Distribution-free: heavy skew
+    still yields balanced codes, which is what keeps z-boxes square."""
+    from pyspark.ml.feature import QuantileDiscretizer
+
+    n = 1 << bits
+    tmp = [f"__dbl_{c}" for c in cols]
+    out = [f"__code_{c}" for c in cols]
+    for c, t in zip(cols, tmp):
+        df = df.withColumn(t, F.col(c).cast("double"))
+    disc = QuantileDiscretizer(
+        numBucketsArray=[n] * len(cols),
+        inputCols=tmp,
+        outputCols=out,
+        relativeError=1.0 / (4 * n),
+        handleInvalid="keep",
+    )
+    coded = disc.fit(df).transform(df)
+    for t, o in zip(tmp, out):
+        coded = coded.drop(t).withColumn(
+            o, F.least(F.col(o).cast("long"), F.lit(n - 1))
+        )
+    return coded
+
+
+def zorder_value(xcode: Column, ycode: Column, *, bits: int = _BITS) -> Column:
+    """Interleave two ``bits``-bit codes into a Morton (z-order) value:
+    bit i of x lands at position 2i, bit i of y at 2i+1. Pure integer
+    shift/mod expressions — whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xcode, i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(ycode, i) % 2, 2 * i + 1)
+        )
+    return z
+
+
+def cluster_linear(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
+    """Linear clustering: range-partition into ``n_files`` output files
+    ordered by ``cols`` (boundaries from Spark's reservoir sampling);
+    per-file ranges on ``cols[0]`` are disjoint."""
+    return df.repartitionByRange(
+        n_files, *[F.col(c) for c in cols]
+    ).sortWithinPartitions(*cols)
+
+
+def cluster_zorder(
+    df: DataFrame, xcol: str, ycol: str, n_files: int
+) -> DataFrame:
+    """Z-order clustering on two columns: order by the Morton code of
+    their quantile codes, range-split into ``n_files`` files. The code
+    columns are dropped before write."""
+    coded = quantile_codes(df, [xcol, ycol])
+    xz, yz = f"__code_{xcol}", f"__code_{ycol}"
+    return (
+        coded.withColumn("__zval", zorder_value(F.col(xz), F.col(yz)))
+        .repartitionByRange(n_files, F.col("__zval"))
+        .sortWithinPartitions("__zval")
+        .drop("__zval", xz, yz)
+    )
+
+
+def write_clustered(df: DataFrame, path: str) -> None:
+    """Persist a clustered rewrite (the output of :func:`cluster_linear`
+    / :func:`cluster_zorder`), one file per range partition."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def file_column_bounds(path: str, cols: list[str]) -> list[dict]:
+    """Per-file (min, max) statistics for ``cols`` from the parquet
+    footers — the skipping index a reader consults. Footer-only reads;
+    no data pages are touched."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        bounds: dict = {"file": name, "rows": md.num_rows}
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = None, None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            bounds[c] = (lo, hi)
+        out.append(bounds)
+    return out

@@ -189,3 +189,53 @@ def timeline_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("total_price"),
         "o_orderdate",
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Clustering table service (operators/clustering.py — Hudi's
+# hoodie.clustering z-order mode): orders is rewritten z-ordered on
+# (price, custkey), then a selective 2-D band predicate scans the
+# clustered layout. The oracle runs the same predicate on the original
+# table — equality proves the rewrite is a pure layout change (file
+# skipping comes free via parquet min/max, asserted footer-level in
+# tests/test_clustering.py).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "clustered_scan_bands",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       sum(o_orderkey) AS sum_keys,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_totalprice BETWEEN 50000 AND 150000
+  AND o_custkey % 10 = 3
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def clustered_scan_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import cluster_zorder, write_clustered
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/zorder_{tag}"
+    write_clustered(
+        cluster_zorder(orders, "o_totalprice", "o_custkey", 16), path
+    )
+    clustered = spark.read.parquet(path)
+    return (
+        clustered.filter(
+            F.col("o_totalprice").between(50000, 150000)
+            & (F.col("o_custkey") % 10 == 3)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
