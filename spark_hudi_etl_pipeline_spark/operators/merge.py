@@ -250,6 +250,113 @@ def upsert_parquet_partitioned(
     return merged.count()
 
 
+def upsert_parquet_indexed(
+    spark,
+    batch: DataFrame,
+    path: str,
+    key: str,
+    precombine: str,
+    *,
+    delete_col: str | None = None,
+) -> int:
+    """File-level indexed upsert: merge ``batch`` into a flat (non-hive)
+    parquet directory rewriting ONLY the files whose footer key range
+    intersects a batch key — Hudi's indexed COW write
+    (``hoodie.index.type=SIMPLE``: key-range pruning from file
+    statistics; pipeline_architecture.py:183-192 relies on exactly this
+    to make upserts O(affected files) on a non-partitioned keyed table,
+    DDL :92-96).
+
+    The index IS the parquet footers (min/max of ``key`` per file,
+    footer-only reads); file affectedness is decided with a broadcast
+    range join of the file-bounds relation (tiny) against the batch's
+    distinct keys — the batch itself never reaches the driver. Files the
+    batch cannot touch keep their bytes and mtimes. Inserts whose keys
+    fall outside every file's range rewrite nothing — they land as one
+    new file.
+
+    Effectiveness tracks layout tightness: on a
+    :func:`~..operators.clustering.cluster_linear`-by-key layout
+    (disjoint ranges — how a keyed table should be clustered, and what
+    Hudi clustering maintains) the rewrite is O(batch key span); on an
+    unclustered layout every file may overlap and the write degrades to
+    the full rewrite of :func:`upsert_parquet`, correctly.
+
+    Commit protocol on plain parquet: new files are staged and moved in
+    under unique names, then replaced files are deleted — the
+    no-transaction-log equivalent of Hudi's timeline commit, with the
+    same caveat as :func:`upsert_parquet` (a real log would make this
+    atomic).
+
+    Single-column key (the range index is one-dimensional); returns rows
+    written.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from .clustering import file_column_bounds
+
+    if not os.path.isdir(path):
+        merged = merge_upsert(None, batch, [key], precombine, delete_col=delete_col)
+        merged.write.mode("overwrite").parquet(path)
+        return merged.count()
+
+    bounds = [
+        b for b in file_column_bounds(path, [key]) if b[key][0] is not None
+    ]
+    files_df = spark.createDataFrame(
+        [(b["file"], b[key][0], b[key][1]) for b in bounds],
+        f"file string, lo {batch.schema[key].dataType.simpleString()}, "
+        f"hi {batch.schema[key].dataType.simpleString()}",
+    )
+    affected = [
+        r["file"]
+        for r in (
+            batch.select(F.col(key).alias("__bk"))
+            .distinct()
+            .join(
+                F.broadcast(files_df),
+                (F.col("__bk") >= F.col("lo")) & (F.col("__bk") <= F.col("hi")),
+            )
+            .select("file")
+            .distinct()
+            .collect()
+        )
+    ]
+    if affected:
+        existing_sub = spark.read.parquet(
+            *[os.path.join(path, f) for f in affected]
+        )
+        merged = merge_upsert(
+            existing_sub, batch, [key], precombine, delete_col=delete_col
+        )
+    else:
+        merged = merge_upsert(
+            None, batch, [key], precombine, delete_col=delete_col
+        )
+    # Stage → move-in → delete-replaced: the merge reads the files it
+    # replaces, so materialize via the staging write itself.
+    staging = f"{path}/.staging-{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(staging)
+    n_written = 0
+    try:
+        moved = []
+        for i, f in enumerate(sorted(glob.glob(f"{staging}/*.parquet"))):
+            dest = os.path.join(
+                path, f"part-upsert-{uuid.uuid4().hex}-{i:05d}.parquet"
+            )
+            shutil.move(f, dest)
+            moved.append(dest)
+        for f in affected:
+            os.remove(os.path.join(path, f))
+        n_written = spark.read.parquet(*moved).count() if moved else 0
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return n_written
+
+
 def hudi_writer_options(
     table_name: str,
     keys: list[str],

@@ -727,3 +727,82 @@ def upsert_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# File-level indexed upsert (operators/merge.py::upsert_parquet_indexed
+# — Hudi SIMPLE-index COW write): orders is linear-clustered by key so
+# parquet footers give disjoint key ranges, then a batch of updates
+# (keys %9, ×2, +30d) and out-of-range inserts merges in, rewriting only
+# intersecting files (file-mtime evidence in
+# tests/test_merge_partitioned.py). Oracle = the canonical window-dedup
+# merge over the whole table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "upsert_file_indexed",
+    oracle="""
+WITH batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 1 AS is_batch
+  FROM orders WHERE o_orderkey % 9 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, o_orderdate, 1
+  FROM orders WHERE o_orderkey % 333 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 0 AS is_batch
+  FROM orders
+  UNION ALL
+  SELECT * FROM batch
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def upsert_file_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.clustering import cluster_linear, write_clustered
+    from ..operators.merge import upsert_parquet_indexed
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/idx_upsert_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # fresh table per run
+    write_clustered(cluster_linear(orders, ["o_orderkey"], 16), path)
+    updates = (
+        orders.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 333 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1000000000
+    )
+    upsert_parquet_indexed(
+        spark,
+        updates.unionByName(inserts),
+        path,
+        "o_orderkey",
+        "o_orderdate",
+    )
+    return (
+        spark.read.parquet(path)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )

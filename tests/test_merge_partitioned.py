@@ -147,3 +147,87 @@ def test_rerun_idempotent(spark, table):
     first = rows_of(spark.read.parquet(table))
     upsert_parquet_partitioned(spark, batch, table, ["k"], "prec", "p")
     assert rows_of(spark.read.parquet(table)) == first  # same col order both reads
+
+
+# ---------------------------------------------------------------------------
+# File-level indexed upsert (upsert_parquet_indexed): footer key ranges
+# as the write index on a linear-clustered layout.
+# ---------------------------------------------------------------------------
+
+
+from spark_hudi_etl_pipeline_spark.operators.clustering import (
+    cluster_linear,
+    write_clustered,
+)
+from spark_hudi_etl_pipeline_spark.operators.merge import upsert_parquet_indexed
+
+KSCHEMA = "k long, v string, prec long"
+
+
+def all_files(path):
+    return {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+
+
+@pytest.fixture()
+def keyed_table(spark, tmp_path):
+    path = str(tmp_path / "keyed")
+    rows = [(k, f"v{k}", 1) for k in range(100)]
+    df = spark.createDataFrame(rows, KSCHEMA)
+    write_clustered(cluster_linear(df, ["k"], 5), path)  # ~20 keys/file
+    return path
+
+
+def test_indexed_upsert_rewrites_only_intersecting_files(spark, keyed_table):
+    before = all_files(keyed_table)
+    batch = spark.createDataFrame([(3, "v3-new", 2), (7, "v7-new", 2)], KSCHEMA)
+    upsert_parquet_indexed(spark, batch, keyed_table, "k", "prec")
+    after = all_files(keyed_table)
+    survivors = set(before) & set(after)
+    # Exactly one file (the 0..19 range) replaced; the other four intact.
+    assert len(set(before) - survivors) == 1
+    assert all(after[f] == before[f] for f in survivors)
+    out = {(r["k"], r["v"]) for r in spark.read.parquet(keyed_table).collect()}
+    assert ("3", "v3-new") not in out  # sanity: tuple types
+    assert (3, "v3-new") in out and (7, "v7-new") in out and (8, "v8") in out
+    assert len(out) == 100
+
+
+def test_indexed_upsert_matches_full_merge(spark, keyed_table):
+    batch = spark.createDataFrame(
+        [(10, "u10", 9), (55, "u55", 9), (200, "ins", 9), (20, "stale", 0)],
+        KSCHEMA,
+    )
+    full = spark.read.parquet(keyed_table)
+    expected = {
+        tuple(r) for r in merge_upsert(full, batch, ["k"], "prec").collect()
+    }
+    upsert_parquet_indexed(spark, batch, keyed_table, "k", "prec")
+    assert {tuple(r) for r in spark.read.parquet(keyed_table).collect()} == expected
+
+
+def test_indexed_upsert_pure_insert_beyond_ranges(spark, keyed_table):
+    before = all_files(keyed_table)
+    batch = spark.createDataFrame([(1000, "new", 1), (1001, "new", 1)], KSCHEMA)
+    upsert_parquet_indexed(spark, batch, keyed_table, "k", "prec")
+    after = all_files(keyed_table)
+    # Nothing rewritten — all old files intact, one-plus new files added.
+    assert all(after[f] == before[f] for f in before)
+    assert len(after) > len(before)
+    assert spark.read.parquet(keyed_table).count() == 102
+
+
+def test_indexed_upsert_delete_records(spark, keyed_table):
+    batch = spark.createDataFrame(
+        [(3, None, 9, True), (42, None, 9, True)],
+        "k long, v string, prec long, deleted boolean",
+    )
+    upsert_parquet_indexed(
+        spark, batch, keyed_table, "k", "prec", delete_col="deleted"
+    )
+    out = spark.read.parquet(keyed_table)
+    assert out.count() == 98
+    assert out.filter(F.col("k").isin([3, 42])).count() == 0
