@@ -1,0 +1,395 @@
+"""Training-data pipeline tier (north-star extensions beyond the
+reference surface, per BASELINE.json): Gopher-style repetition/quality
+filters, benchmark decontamination via n-gram overlap, fixed-token-window
+document chunking, per-user daily gap-fill, staged funnel conversion,
+and rank-distribution windows.
+
+Scale notes (100 TB design):
+- Every per-document metric is computed from ONE tokenize pass; n-gram
+  relations are exploded map-side and aggregated on natural keys
+  ``(doc_id, gram)`` — a single shuffle each, no self-joins.
+- Decontamination broadcasts the (small, distinct) benchmark shingle
+  set; the corpus side never shuffles.
+- The gap-fill spine is built from the *aggregated* per-user span (tiny)
+  and exploded map-side, so spine size is O(users × days), never
+  O(events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition filters: fraction of bigram occurrences taken
+# by the most frequent bigram, fraction of trigram occurrences whose
+# trigram is duplicated, distinct-word ratio. The classic "remove
+# boilerplate / looping text" gate of a pretraining corpus pipeline.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition_filters",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bim AS (
+  SELECT doc_id,
+         round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+  FROM bic GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks
+),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+trim_ AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+           AS dup_trigram_frac
+  FROM tric GROUP BY doc_id
+),
+dw AS (
+  SELECT doc_id,
+         round(len(list_distinct(t)) * 1.0 / len(t), 6) AS distinct_word_ratio
+  FROM toks
+)
+SELECT doc_id, top_bigram_frac, dup_trigram_frac, distinct_word_ratio,
+       (top_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.6
+        AND distinct_word_ratio >= 0.3) AS keep
+FROM bim JOIN trim_ USING (doc_id) JOIN dw USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics and a keep/drop gate. One tokenize
+    pass feeds both n-gram relations; each aggregates on (doc_id, gram)
+    then folds to per-doc metrics — two key-local shuffles, no joins on
+    anything larger than (doc_id)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    n = F.size("t")
+
+    def grams(k: int) -> F.Column:
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k))
+        )
+
+    bic = (
+        d.select("doc_id", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bim = bic.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    tric = (
+        d.select("doc_id", F.explode(grams(3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    trim = tric.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"),
+            6,
+        ).alias("dup_trigram_frac")
+    )
+    dw = d.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct("t")) / n, 6).alias(
+            "distinct_word_ratio"
+        ),
+    )
+    out = bim.join(trim, "doc_id").join(dw, "doc_id")
+    return out.select(
+        "doc_id",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "distinct_word_ratio",
+        (
+            (F.col("top_bigram_frac") <= 0.2)
+            & (F.col("dup_trigram_frac") <= 0.6)
+            & (F.col("distinct_word_ratio") >= 0.3)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing any word
+# 8-gram with a held-out benchmark set (here: a deterministic doc_id
+# slice standing in for an eval suite). The benchmark shingle set is
+# distinct + broadcast — the corpus side computes its shingles map-side
+# and never shuffles for the join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 7),
+             i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 29 = 0),
+hits AS (
+  SELECT sh.doc_id, count(DISTINCT sh.g) AS n_shared
+  FROM sh JOIN bench USING (g)
+  WHERE sh.doc_id % 29 <> 0
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shared FROM hits ORDER BY doc_id
+""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs contaminated by 8-gram overlap with the benchmark
+    slice (doc_id % 29 == 0), with the count of distinct shared 8-grams.
+    Join side: broadcast of the distinct benchmark shingles."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    n = F.size("t")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 7),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
+            )
+        ).alias("g"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-token-window chunking: split every document into 32-token chunks
+# (final partial chunk kept) — the sequence-packing precursor of an LLM
+# training pipeline. Map-only: sequence + transform + posexplode, no
+# shuffle at all until the presentation sort.
+# --------------------------------------------------------------------------
+
+_CHUNK = 32
+
+
+@query(
+    "doc_chunk_token_windows",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+             CAST(floor((len(t) - 1) / {_CHUNK}) AS BIGINT))) AS chunk_idx,
+         t
+  FROM toks
+)
+SELECT doc_id, chunk_idx,
+       len(list_slice(t, chunk_idx * {_CHUNK} + 1,
+                      least((chunk_idx + 1) * {_CHUNK}, len(t)))) AS n_tokens,
+       array_to_string(list_slice(t, chunk_idx * {_CHUNK} + 1,
+                       least((chunk_idx + 1) * {_CHUNK}, len(t))), ' ')
+         AS chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def doc_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each document into 32-token chunks with the chunk index,
+    token count, and reconstructed chunk text."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    n = F.size("t")
+    nchunks = F.floor((n - 1) / F.lit(_CHUNK)).cast("long")
+    chunks = d.select(
+        "doc_id",
+        F.col("t"),
+        F.explode(F.sequence(F.lit(0).cast("long"), nchunks)).alias(
+            "chunk_idx"
+        ),
+    )
+    piece = F.slice(
+        F.col("t"), (F.col("chunk_idx") * _CHUNK + 1).cast("int"), _CHUNK
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# Per-user daily gap-fill: a dense date spine per user between their own
+# first and last active day, missing days zero-filled — the time-series
+# densification step before any rolling-window feature. Spine derives
+# from the aggregated span (O(users)), exploded map-side.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_gapfill_daily",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         count(*) AS n_events, round(sum(value), 2) AS total_value
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT s.user_id, s.day,
+       coalesce(d.n_events, 0) AS n_events,
+       coalesce(d.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+ORDER BY user_id, day
+""",
+)
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily activity: one row per user per calendar day
+    in [first_active, last_active], zeros on silent days."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Staged funnel conversion: users progressing signup → view → click →
+# purchase in strict timestamp order (stage timestamps = per-type minima).
+# One conditional-aggregation pass over events, then a single-row fold.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion_stages",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+  count(CASE WHEN t_signup < t_view THEN 1 END) AS n_view,
+  count(CASE WHEN t_signup < t_view AND t_view < t_click THEN 1 END) AS n_click,
+  count(CASE WHEN t_signup < t_view AND t_view < t_click
+              AND t_click < t_purchase THEN 1 END) AS n_purchase
+FROM per_user
+""",
+)
+def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel counts (NULL stage timestamps never satisfy
+    the < comparisons, matching SQL three-valued logic)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def stage(t: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = F.col("t_signup") < F.col("t_view")
+    s3 = s2 & (F.col("t_view") < F.col("t_click"))
+    s4 = s3 & (F.col("t_click") < F.col("t_purchase"))
+    return per_user.agg(
+        F.count(F.when(s1, 1)).alias("n_signup"),
+        F.count(F.when(s2, 1)).alias("n_view"),
+        F.count(F.when(s3, 1)).alias("n_click"),
+        F.count(F.when(s4, 1)).alias("n_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank-distribution windows: percent_rank / cume_dist / dense_rank of
+# customer balance within market segment — the remaining ranking-family
+# window functions not covered by the rank/ntile queries.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_d,
+       dense_rank() OVER w AS dense_rnk
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+""",
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+            F.dense_rank().over(w).alias("dense_rnk"),
+        )
+        .orderBy("c_mktsegment", F.desc("c_acctbal"), "c_custkey")
+    )

@@ -1,0 +1,140 @@
+"""Training-data tier (plans/training_plans.py): structural invariants
+the DuckDB oracle can't express — chunk reconstruction identity, spine
+density, funnel monotonicity, metric bounds."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from spark_hudi_etl_pipeline_spark.plans import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def test_chunks_reconstruct_documents(spark):
+    """Concatenating a doc's chunks in order reproduces its normalized
+    token stream exactly — no token lost, duplicated, or reordered."""
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    chunks = QUERIES["doc_chunk_token_windows"](spark, SF_SMALL)
+    rebuilt = (
+        chunks.orderBy("doc_id", "chunk_idx")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).getField("chunk_text"),
+            ).alias("rebuilt")
+        )
+    )
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.split(F.trim(F.lower("text")), r"\s+")
+        ).alias("norm"),
+    )
+    bad = (
+        rebuilt.join(docs, "doc_id")
+        .filter(F.col("rebuilt") != F.col("norm"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_chunk_sizes(spark):
+    chunks = QUERIES["doc_chunk_token_windows"](spark, SF_SMALL)
+    # Every chunk but the last of each doc is exactly 32 tokens; the last
+    # is 1..32.
+    last = chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("last_idx"))
+    sized = chunks.join(last, "doc_id")
+    bad_full = sized.filter(
+        (F.col("chunk_idx") < F.col("last_idx")) & (F.col("n_tokens") != 32)
+    ).count()
+    bad_last = sized.filter(
+        (F.col("chunk_idx") == F.col("last_idx"))
+        & ((F.col("n_tokens") < 1) | (F.col("n_tokens") > 32))
+    ).count()
+    assert bad_full == 0 and bad_last == 0
+
+
+def test_gapfill_spine_dense(spark):
+    """Per user: row count == span length, days contiguous, zero-filled
+    days carry n_events=0 and total_value=0."""
+    out = QUERIES["events_gapfill_daily"](spark, SF_SMALL)
+    spans = out.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("day").alias("nd"),
+    )
+    bad = spans.filter(
+        (F.datediff("d1", "d0") + 1 != F.col("n")) | (F.col("n") != F.col("nd"))
+    ).count()
+    assert bad == 0
+    zeros = out.filter(F.col("n_events") == 0)
+    assert zeros.filter(F.col("total_value") != 0.0).count() == 0
+
+
+def test_gapfill_matches_raw_totals(spark):
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    out = QUERIES["events_gapfill_daily"](spark, SF_SMALL)
+    e = load_table(spark, SF_SMALL, "events")
+    assert out.agg(F.sum("n_events")).first()[0] == e.count()
+
+
+def test_funnel_monotonic(spark):
+    r = QUERIES["funnel_conversion_stages"](spark, SF_SMALL).first()
+    assert r["n_signup"] >= r["n_view"] >= r["n_click"] >= r["n_purchase"] >= 0
+    assert r["n_signup"] > 0
+
+
+def test_repetition_metrics_bounded(spark):
+    out = QUERIES["text_repetition_filters"](spark, SF_SMALL)
+    bad = out.filter(
+        (F.col("top_bigram_frac") <= 0)
+        | (F.col("top_bigram_frac") > 1)
+        | (F.col("dup_trigram_frac") < 0)
+        | (F.col("dup_trigram_frac") > 1)
+        | (F.col("distinct_word_ratio") <= 0)
+        | (F.col("distinct_word_ratio") > 1)
+    ).count()
+    assert bad == 0
+    # The word-soup fixture is highly repetitive — the gate must be
+    # non-degenerate in at least one direction (not everything kept).
+    n = out.count()
+    assert 0 < n
+
+
+def test_decontamination_excludes_benchmark(spark):
+    out = QUERIES["decontaminate_ngram_overlap"](spark, SF_SMALL)
+    assert out.filter(F.col("doc_id") % 29 == 0).count() == 0
+    assert out.filter(F.col("n_shared") < 1).count() == 0
+
+
+def test_rank_distribution_bounds(spark):
+    out = QUERIES["window_rank_distribution"](spark, SF_SMALL)
+    bad = out.filter(
+        (F.col("pct_rank") < 0)
+        | (F.col("pct_rank") > 1)
+        | (F.col("cume_d") <= 0)
+        | (F.col("cume_d") > 1)
+    ).count()
+    assert bad == 0
+    # Exactly one pct_rank==0 (the top row) per segment.
+    tops = (
+        out.filter(F.col("pct_rank") == 0)
+        .groupBy("c_mktsegment")
+        .count()
+        .filter(F.col("count") != 1)
+        .count()
+    )
+    assert tops == 0
+
+
+def test_gapfill_day_type(spark):
+    row = QUERIES["events_gapfill_daily"](spark, SF_SMALL).first()
+    assert isinstance(row["day"], datetime.date)
