@@ -393,3 +393,202 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", F.desc("c_acctbal"), "c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-token-budget training
+# sequences by cutting a deterministic global concatenation order at
+# token boundaries. The global prefix sum is computed the scalable way:
+# per-bucket cumulative sums (parallel windows over doc_id % B buckets)
+# plus a broadcast of the tiny per-bucket offset table — never a
+# single-partition global window. The oracle IS the single global
+# window, proving the two-phase decomposition exact.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+_PACK_BUCKETS = 8
+
+
+@query(
+    "pack_sequences_token_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_PACK_BUCKETS} AS b,
+         len({_TOKS}) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+    ORDER BY b, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT CAST(floor((cum - n_tokens) * 1.0 / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+       count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM c GROUP BY seq_id ORDER BY seq_id
+""",
+)
+def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 512-token training sequences: a document
+    belongs to the sequence its global token offset starts in. Two-phase
+    prefix sum — O(rows/B) window state per bucket, O(B) driver-free
+    offset join."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("b"),
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("cum_local", F.sum("n_tokens").over(wb))
+    wo = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("b")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .select(
+            "b",
+            F.coalesce(F.sum("bucket_total").over(wo), F.lit(0)).alias("off"),
+        )
+    )
+    packed = local.join(F.broadcast(offsets), "b").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.col("off") + F.col("cum_local") - F.col("n_tokens"))
+            / F.lit(_PACK_BUDGET)
+        )
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-active day, distinct-user
+# counts at each day offset 0..7 — the classic activation/retention
+# triangle. Per-user-day dedup first (shrinks events to its distinct
+# grain before any join); the cohort relation joins back on user_id.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cohort_retention_daily",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+c AS (SELECT user_id, min(day) AS day0 FROM ud GROUP BY user_id)
+SELECT c.day0 AS cohort_day,
+       datediff('day', c.day0, ud.day) AS offset_days,
+       count(DISTINCT ud.user_id) AS n_users
+FROM ud JOIN c USING (user_id)
+WHERE datediff('day', c.day0, ud.day) <= 7
+GROUP BY cohort_day, offset_days
+ORDER BY cohort_day, offset_days
+""",
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    c = ud.groupBy("user_id").agg(F.min("day").alias("day0"))
+    j = ud.join(c, "user_id").withColumn(
+        "offset_days", F.datediff("day", "day0")
+    )
+    return (
+        j.filter(F.col("offset_days") <= 7)
+        .groupBy(F.col("day0").alias("cohort_day"), "offset_days")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window anomaly score: per-user daily event-count z-score
+# against the user's own preceding 7 days, computed on the gap-filled
+# dense series so the ROWS frame equals the calendar window. NULL where
+# the trailing window is empty or constant (std = 0). Composes the
+# gap-fill operator — window state is bounded (8 rows/key) at any scale.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+dense AS (
+  SELECT s.user_id, s.day, coalesce(d.n_events, 0) AS n_events
+  FROM spine s LEFT JOIN daily d USING (user_id, day)
+),
+scored AS (
+  SELECT user_id, day, n_events,
+         avg(n_events) OVER w AS mu,
+         stddev_samp(n_events) OVER w AS sd
+  FROM dense
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, day, n_events,
+       CASE WHEN sd > 0 THEN round((n_events - mu) / sd, 4) END AS z_q
+FROM scored
+ORDER BY user_id, day
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    dense = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = dense.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sd"),
+    )
+    return scored.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.when(
+            F.col("sd") > 0,
+            F.round((F.col("n_events") - F.col("mu")) / F.col("sd"), 4),
+        ).alias("z_q"),
+    ).orderBy("user_id", "day")

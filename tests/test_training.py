@@ -138,3 +138,43 @@ def test_rank_distribution_bounds(spark):
 def test_gapfill_day_type(spark):
     row = QUERIES["events_gapfill_daily"](spark, SF_SMALL).first()
     assert isinstance(row["day"], datetime.date)
+
+
+def test_pack_sequences_conservation(spark):
+    """Packing conserves tokens and docs; sequence ids are contiguous
+    from 0; every full sequence holds >= 1 doc."""
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    out = QUERIES["pack_sequences_token_budget"](spark, SF_SMALL)
+    rows = out.collect()
+    ids = [r["seq_id"] for r in rows]
+    assert ids == list(range(len(ids)))
+    docs = load_table(spark, SF_SMALL, "documents")
+    total_docs = docs.count()
+    total_toks = docs.select(
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert sum(r["n_docs"] for r in rows) == total_docs
+    assert sum(r["total_tokens"] for r in rows) == total_toks
+    assert min(r["n_docs"] for r in rows) >= 1
+
+
+def test_cohort_retention_offsets(spark):
+    out = QUERIES["cohort_retention_daily"](spark, SF_SMALL).collect()
+    assert all(0 <= r["offset_days"] <= 7 for r in out)
+    # Offset-0 count per cohort is the cohort size — it must dominate
+    # every later offset of the same cohort.
+    base = {r["cohort_day"]: r["n_users"] for r in out if r["offset_days"] == 0}
+    for r in out:
+        assert r["n_users"] <= base[r["cohort_day"]]
+
+
+def test_anomaly_zscore_null_rules(spark):
+    out = QUERIES["events_anomaly_zscore"](spark, SF_SMALL)
+    # First day of every user's series has an empty trailing window.
+    firsts = out.groupBy("user_id").agg(F.min("day").alias("day")).join(
+        out, ["user_id", "day"]
+    )
+    assert firsts.filter(F.col("z_q").isNotNull()).count() == 0
+    # Row grain matches the gap-filled series exactly.
+    assert out.count() == QUERIES["events_gapfill_daily"](spark, SF_SMALL).count()
