@@ -592,3 +592,144 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n_events") - F.col("mu")) / F.col("sd"), 4),
         ).alias("z_q"),
     ).orderBy("user_id", "day")
+
+
+# --------------------------------------------------------------------------
+# Balanced round-robin sharding: global row_number over a deterministic
+# order, mod n_shards — shard sizes exact to ±1 (hash-mod only gives
+# binomial balance). Same two-phase decomposition as sequence packing:
+# per-bucket row_number + broadcast bucket offsets; the oracle is the
+# single global window.
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@query(
+    "shard_round_robin",
+    oracle=f"""
+WITH t AS (SELECT doc_id, doc_id % {_PACK_BUCKETS} AS b FROM documents),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY b, doc_id) AS rn
+  FROM t
+)
+SELECT CAST((rn - 1) % {_N_SHARDS} AS BIGINT) AS shard_id,
+       count(*) AS n_docs
+FROM r GROUP BY shard_id ORDER BY shard_id
+""",
+)
+def shard_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-balance shard assignment without a global window: local
+    row_number per bucket + running count of earlier buckets."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % _PACK_BUCKETS).alias("b")
+    )
+    wb = Window.partitionBy("b").orderBy("doc_id")
+    local = d.withColumn("rn_local", F.row_number().over(wb))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select("b", F.coalesce(F.sum("bn").over(wo), F.lit(0)).alias("off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "b")
+        .select(
+            ((F.col("off") + F.col("rn_local") - 1) % _N_SHARDS)
+            .cast("long")
+            .alias("shard_id")
+        )
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("shard_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Equal-width histogram of document token counts: 10 bins over the
+# corpus [min, max], top edge folded into the last bin. Bin arithmetic
+# is pure integer math (engine-exact); min/max come from one tiny
+# broadcast aggregate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "hist_token_counts",
+    oracle=f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+mm AS (SELECT min(n) AS lo, max(n) AS hi FROM t)
+SELECT CAST(least((t.n - mm.lo) * 10 // (mm.hi - mm.lo), 9) AS BIGINT) AS bin,
+       count(*) AS n_docs, min(t.n) AS bin_min, max(t.n) AS bin_max
+FROM t, mm
+GROUP BY bin ORDER BY bin
+""",
+)
+def hist_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens()).alias("n")
+    )
+    mm = d.agg(F.min("n").alias("lo"), F.max("n").alias("hi"))
+    return (
+        d.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.expr("(n - lo) * 10 div (hi - lo)"), F.lit(9)
+            )
+            .cast("long")
+            .alias("bin"),
+            "n",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").alias("bin_min"),
+            F.max("n").alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct active users: sliding-window COUNT(DISTINCT)
+# cannot be a window function — the scalable idiom is contribution
+# explosion: each (user, active day) contributes to the 7 report days it
+# falls in (bounded 7× map-side fan-out of the user-day grain, which is
+# already tiny relative to raw events), then one exact distinct agg.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+mx AS (SELECT max(day) AS dmax FROM ud),
+contrib AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS rday
+  FROM ud
+)
+SELECT c.rday AS day, count(DISTINCT c.user_id) AS active_7d
+FROM contrib c, mx
+WHERE c.rday <= mx.dmax
+GROUP BY c.rday ORDER BY c.rday
+""",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    mx = ud.agg(F.max("day").alias("dmax"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("rday"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(mx))
+        .filter(F.col("rday") <= F.col("dmax"))
+        .groupBy(F.col("rday").alias("day"))
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .orderBy("day")
+    )

@@ -178,3 +178,42 @@ def test_anomaly_zscore_null_rules(spark):
     assert firsts.filter(F.col("z_q").isNotNull()).count() == 0
     # Row grain matches the gap-filled series exactly.
     assert out.count() == QUERIES["events_gapfill_daily"](spark, SF_SMALL).count()
+
+
+def test_shards_balanced(spark):
+    rows = QUERIES["shard_round_robin"](spark, SF_SMALL).collect()
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) > 0
+
+
+def test_histogram_covers_corpus(spark):
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    rows = QUERIES["hist_token_counts"](spark, SF_SMALL).collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["bin_min"] <= r["bin_max"]
+    # Bins ordered and value ranges non-overlapping.
+    for a, b in zip(rows, rows[1:]):
+        assert a["bin"] < b["bin"] and a["bin_max"] < b["bin_min"]
+
+
+def test_rolling_active_users_dominates_daily(spark):
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    out = {r["day"]: r["active_7d"]
+           for r in QUERIES["rolling_7d_active_users"](spark, SF_SMALL).collect()}
+    e = load_table(spark, SF_SMALL, "events")
+    daily = {
+        r["day"]: r["n"]
+        for r in e.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # The trailing-7d distinct count on a day is >= that day's own count.
+    for day, n in daily.items():
+        assert out[day] >= n
