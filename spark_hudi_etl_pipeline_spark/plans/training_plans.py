@@ -80,48 +80,55 @@ ORDER BY doc_id
 """,
 )
 def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document repetition metrics and a keep/drop gate. One tokenize
-    pass feeds both n-gram relations; each aggregates on (doc_id, gram)
-    then folds to per-doc metrics — two key-local shuffles, no joins on
-    anything larger than (doc_id)."""
+    """Per-document repetition metrics and a keep/drop gate.
+
+    ONE corpus scan: unigrams/bigrams/trigrams are emitted together as
+    (k, gram) structs from a single tokenize pass, aggregated on
+    (doc_id, k, gram), then folded per doc with conditional aggregates —
+    two key-local shuffles, zero joins (the naive form is 3 scans + 2
+    per-doc joins; the unchanged oracle proves the fusion exact)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", _tokens().alias("t")
     )
     n = F.size("t")
 
-    def grams(k: int) -> F.Column:
-        idx = F.sequence(F.lit(1), n - (k - 1))
+    def gram_structs(k: int) -> F.Column:
+        if k == 1:
+            src = F.col("t")
+        else:
+            src = F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
+            )
         return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k))
+            src, lambda g: F.struct(F.lit(k).alias("k"), g.alias("g"))
         )
 
-    bic = (
-        d.select("doc_id", F.explode(grams(2)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    bim = bic.groupBy("doc_id").agg(
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
-    )
-    tric = (
-        d.select("doc_id", F.explode(grams(3)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    trim = tric.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"),
-            6,
-        ).alias("dup_trigram_frac")
-    )
-    dw = d.select(
+    allg = d.select(
         "doc_id",
-        F.round(F.size(F.array_distinct("t")) / n, 6).alias(
-            "distinct_word_ratio"
+        F.explode(
+            F.concat(gram_structs(1), gram_structs(2), gram_structs(3))
+        ).alias("kg"),
+    ).select("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+    gc = allg.groupBy("doc_id", "k", "g").agg(F.count(F.lit(1)).alias("c"))
+
+    def only(k: int, col: F.Column) -> F.Column:
+        return F.when(F.col("k") == k, col)
+
+    per_doc = gc.groupBy("doc_id").agg(
+        F.round(F.max(only(2, F.col("c"))) / F.sum(only(2, F.col("c"))), 6).alias(
+            "top_bigram_frac"
         ),
+        F.round(
+            F.sum(only(3, F.when(F.col("c") > 1, F.col("c")).otherwise(0)))
+            / F.sum(only(3, F.col("c"))),
+            6,
+        ).alias("dup_trigram_frac"),
+        F.round(
+            F.count(only(1, F.lit(1))) / F.sum(only(1, F.col("c"))), 6
+        ).alias("distinct_word_ratio"),
     )
-    out = bim.join(trim, "doc_id").join(dw, "doc_id")
-    return out.select(
+    return per_doc.select(
         "doc_id",
         "top_bigram_frac",
         "dup_trigram_frac",
