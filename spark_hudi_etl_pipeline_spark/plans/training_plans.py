@@ -87,9 +87,13 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, k, gram), then folded per doc with conditional aggregates —
     two key-local shuffles, zero joins (the naive form is 3 scans + 2
     per-doc joins; the unchanged oracle proves the fusion exact)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens().alias("t")
-    )
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``text_repetition_filters`` (also driven
+    by ``tools/scale_probe.py`` on replicated corpora)."""
+    d = docs.select("doc_id", _tokens().alias("t"))
     n = F.size("t")
 
     def gram_structs(k: int) -> F.Column:
@@ -440,7 +444,13 @@ def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     belongs to the sequence its global token offset starts in. Two-phase
     prefix sum — O(rows/B) window state per bucket, O(B) driver-free
     offset join."""
-    d = load_table(spark, sf_dir, "documents").select(
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def pack_sequences(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``pack_sequences_token_budget`` (also
+    driven by ``tools/scale_probe.py`` on replicated corpora)."""
+    d = docs.select(
         "doc_id",
         (F.col("doc_id") % _PACK_BUCKETS).alias("b"),
         F.size(_tokens()).alias("n_tokens"),
@@ -739,4 +749,199 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("rday").alias("day"))
         .agg(F.count_distinct("user_id").alias("active_7d"))
         .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution: each purchase credited to the user's most
+# recent preceding click/view (IGNORE NULLS last_value over an unbounded
+# preceding frame — per-key sequential state, no self-join), then folded
+# to per-touch-channel revenue. The deterministic (ts, event_id) order
+# makes tie handling engine-exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type
+  FROM events
+)
+SELECT coalesce(touch_type, 'none') AS touch_type,
+       count(*) AS n_purchases,
+       round(sum(value), 2) AS total_value
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY coalesce(touch_type, 'none')
+ORDER BY touch_type
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = e.withColumn(
+        "touch_type",
+        F.last(
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("event_type")
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations: pointwise mutual information of adjacent token
+# pairs, ln(N_bi * c(ab) / (c(a) * c(b))) over corpus-wide counts.
+# Unigram and bigram counts come from the same single tokenize pass;
+# the unigram side is broadcast twice (left/right word). Fixed-point
+# floor quantization + term tie-break keeps top-k selection
+# engine-exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pmi_collocations_topk",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+uni AS (
+  SELECT g AS w, count(*) AS c
+  FROM (SELECT unnest(t) AS g FROM toks) GROUP BY g
+),
+bi AS (
+  SELECT g, count(*) AS c
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS g
+    FROM toks
+  ) GROUP BY g
+),
+nb AS (SELECT sum(c) AS n_bi FROM bi),
+scored AS (
+  SELECT bi.g AS pair, bi.c AS c_pair,
+         CAST(floor(ln(nb.n_bi * bi.c * 1.0 / (u1.c * u2.c)) * 10000)
+              AS BIGINT) AS pmi_q
+  FROM bi, nb
+  JOIN uni u1 ON u1.w = string_split(bi.g, ' ')[1]
+  JOIN uni u2 ON u2.w = string_split(bi.g, ' ')[2]
+  WHERE bi.c >= 5
+)
+SELECT pair, c_pair, pmi_q
+FROM scored
+ORDER BY pmi_q DESC, pair
+LIMIT 20
+""",
+)
+def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    n = F.size("t")
+    uni = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        d.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = bi.agg(F.sum("c").alias("n_bi"))
+    w1 = F.split(F.col("g"), " ").getItem(0)
+    w2 = F.split(F.col("g"), " ").getItem(1)
+    scored = (
+        bi.filter(F.col("c") >= 5)
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(F.broadcast(uni.withColumnRenamed("c", "c1")), F.col("w1") == uni["w"])
+        .drop("w")
+        .join(
+            F.broadcast(
+                uni.withColumnRenamed("c", "c2").withColumnRenamed("w", "w_r")
+            ),
+            F.col("w2") == F.col("w_r"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("g").alias("pair"),
+            F.col("c").alias("c_pair"),
+            F.floor(
+                F.log(
+                    F.col("n_bi") * F.col("c") / (F.col("c1") * F.col("c2"))
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("pmi_q"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_q"), "pair").limit(20)
+
+
+# --------------------------------------------------------------------------
+# Source mixture weights: per-source document/token counts and a
+# sampling weight proportional to sqrt(tokens) — the dataset-mixing
+# step of corpus assembly. sqrt is IEEE-correctly-rounded, so the
+# weights are bit-identical across engines before rounding.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_mixture_weights",
+    oracle=f"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs, sum(len({_TOKS})) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(sqrt(n_tokens)) AS z FROM s)
+SELECT s.source, s.n_docs, s.n_tokens,
+       round(sqrt(s.n_tokens) / tot.z, 6) AS weight
+FROM s, tot
+ORDER BY s.source
+""",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(_tokens()).alias("n")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens")
+    )
+    tot = s.agg(F.sum(F.sqrt("n_tokens")).alias("z"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.sqrt("n_tokens") / F.col("z"), 6).alias("weight"),
+        )
+        .orderBy("source")
     )

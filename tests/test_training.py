@@ -217,3 +217,27 @@ def test_rolling_active_users_dominates_daily(spark):
     # The trailing-7d distinct count on a day is >= that day's own count.
     for day, n in daily.items():
         assert out[day] >= n
+
+
+def test_attribution_partitions_purchases(spark):
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    rows = QUERIES["attribution_last_touch"](spark, SF_SMALL).collect()
+    e = load_table(spark, SF_SMALL, "events")
+    n_purch = e.filter(F.col("event_type") == "purchase").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    assert {r["touch_type"] for r in rows} <= {"click", "view", "none"}
+
+
+def test_pmi_topk_sorted_and_frequent(spark):
+    rows = QUERIES["pmi_collocations_topk"](spark, SF_SMALL).collect()
+    assert len(rows) <= 20
+    assert all(r["c_pair"] >= 5 for r in rows)
+    qs = [r["pmi_q"] for r in rows]
+    assert qs == sorted(qs, reverse=True)
+
+
+def test_mixture_weights_normalized(spark):
+    rows = QUERIES["source_mixture_weights"](spark, SF_SMALL).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    assert all(r["weight"] > 0 for r in rows)

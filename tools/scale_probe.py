@@ -69,7 +69,9 @@ def main() -> None:
 
     results: dict[str, dict[int, float]] = {"agg_lineitem": {}, "minhash_pairs": {},
                                             "knn_topk": {}, "cdc_diff": {},
-                                            "upsert_merge": {}}
+                                            "upsert_merge": {},
+                                            "repetition_filters": {},
+                                            "pack_sequences": {}}
     rows: dict[str, dict[int, int]] = {k: {} for k in results}
 
     for factor in REPLICAS:
@@ -102,6 +104,24 @@ def main() -> None:
         ).write.mode("overwrite").format("noop").save()
         results["knn_topk"][factor] = time.perf_counter() - t0
         rows["knn_topk"][factor] = e.count()
+
+        # Training-tier corpus operators on the same replicated docs:
+        # fused (k, gram) repetition metrics and two-phase sequence
+        # packing (per-bucket windows + broadcast offsets).
+        from spark_hudi_etl_pipeline_spark.plans.training_plans import (
+            pack_sequences,
+            repetition_metrics,
+        )
+
+        t0 = time.perf_counter()
+        repetition_metrics(d).write.mode("overwrite").format("noop").save()
+        results["repetition_filters"][factor] = time.perf_counter() - t0
+        rows["repetition_filters"][factor] = d.count()
+
+        t0 = time.perf_counter()
+        pack_sequences(d).write.mode("overwrite").format("noop").save()
+        results["pack_sequences"][factor] = time.perf_counter() - t0
+        rows["pack_sequences"][factor] = d.count()
 
         ords = replicate(spark, base, "orders", factor, ["o_orderkey"])
         o = spark.read.parquet(ords)
