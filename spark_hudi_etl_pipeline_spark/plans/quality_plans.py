@@ -1,0 +1,176 @@
+"""Data-quality / validation tier: dbt-style constraint checks,
+single-pass table profiling, and per-dimension embedding statistics.
+At 100 TB these are the pre-flight gates of every pipeline run — each
+is a constant-size aggregate result, computed with one scan per table
+(the profile folds all per-column stats into a single aggregate job,
+never one scan per column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Constraint validation: primary-key uniqueness, not-null, accepted
+# values, referential integrity — each a violation count, unioned into
+# one report. The FK probe is a left-anti join on the natural key (AQE
+# picks broadcast vs shuffle by the dim's actual size).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "validate_constraints",
+    oracle="""
+SELECT * FROM (
+  SELECT 'lineitem_fk_orders' AS check_name,
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+  UNION ALL
+  SELECT 'orders_custkey_not_null',
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+  UNION ALL
+  SELECT 'orders_pk_unique',
+         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+  UNION ALL
+  SELECT 'orders_status_accepted',
+         (SELECT count(*) FROM orders
+          WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+)
+ORDER BY check_name
+""",
+)
+def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return constraint_report(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def constraint_report(o: DataFrame, li: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``validate_constraints`` (tests drive it
+    with deliberately broken table copies)."""
+    fk = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("lineitem_fk_orders").alias("check_name"), "n_violations")
+    )
+    nn = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_violations")
+    ).select(F.lit("orders_custkey_not_null").alias("check_name"), "n_violations")
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n_violations")
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "n_violations")
+    av = o.agg(
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).alias("n_violations")
+    ).select(F.lit("orders_status_accepted").alias("check_name"), "n_violations")
+
+    return fk.unionByName(nn).unionByName(pk).unionByName(av).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# Table profile: per-column null count, exact distinct count, min/max
+# (string-rendered) — ALL columns in one aggregate pass over one scan,
+# then unpivoted with stack(). Restricted to integer/string columns so
+# the string rendering is engine-exact.
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "profile_orders",
+    oracle="""
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column_name,
+         count(*) - count(o_orderkey) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_s
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus),
+         CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority),
+         CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+  FROM orders
+)
+ORDER BY column_name
+""",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "as (column_name, n_nulls, n_distinct, min_s, max_s)"
+        )
+    ).orderBy("column_name")
+
+
+# --------------------------------------------------------------------------
+# Embedding per-dimension statistics: mean/std/min/max for each of the
+# 64 dimensions — the normalization-fit step before cosine/ANN work.
+# One posexplode (map-side) + one 64-group aggregate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+WITH z AS (
+  SELECT unnest(list_zip(embedding,
+                         generate_series(1, len(embedding)))) AS s
+  FROM embeddings
+)
+SELECT CAST(s[2] AS BIGINT) AS dim,
+       round(avg(s[1]), 6) AS mean_q,
+       round(stddev_samp(s[1]), 6) AS std_q,
+       min(s[1]) AS dim_min,
+       max(s[1]) AS dim_max
+FROM z
+GROUP BY dim
+ORDER BY dim
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    z = e.select(F.posexplode("embedding").alias("pos", "val"))
+    return (
+        z.groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("mean_q"),
+            F.round(F.stddev_samp("val"), 6).alias("std_q"),
+            F.min("val").alias("dim_min"),
+            F.max("val").alias("dim_max"),
+        )
+        .orderBy("dim")
+    )
