@@ -15,5 +15,6 @@ from . import similarity_plans  # noqa: E402,F401
 from . import text_plans  # noqa: E402,F401
 from . import training_plans  # noqa: E402,F401
 from . import quality_plans  # noqa: E402,F401
+from . import graph_plans  # noqa: E402,F401
 
 __all__ = ["ORACLES", "QUERIES", "query"]

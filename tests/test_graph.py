@@ -1,0 +1,33 @@
+"""Graph tier (plans/graph_plans.py): PageRank invariants the
+fixed-point oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_hudi_etl_pipeline_spark.plans import QUERIES
+from spark_hudi_etl_pipeline_spark.plans.graph_plans import pagerank_ranks
+from spark_hudi_etl_pipeline_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_pagerank_mass_conserved(spark):
+    """On an undirected (dangling-free) graph, total rank mass stays 1
+    after every synchronous iteration."""
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    for iters in (1, 3):
+        total = pagerank_ranks(li, o, iters=iters).agg(F.sum("r")).first()[0]
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_top20_shape(spark):
+    rows = QUERIES["pagerank_cust_supp_top20"](spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    qs = [r["rank_q"] for r in rows]
+    assert qs == sorted(qs, reverse=True)
+    assert all(q > 0 for q in qs)
+    assert len({r["node"] for r in rows}) == 20
+    # Suppliers have far higher degree than customers in this bipartite
+    # graph — the top of the ranking should be supplier nodes.
+    assert rows[0]["node"].startswith("s")
