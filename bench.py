@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: Headline suite: one representative per tier (aggregation, fact-fact
 #: join, star join, window, sessionization, JSON, keyed upsert, as-of
-#: join, event-time window, fuzzy dedup ×2, similarity, text scoring).
+#: join, event-time window, fuzzy dedup ×2, similarity, text scoring,
+#: repetition filters, sequence packing, sliding distinct, constraint
+#: validation, iterative PageRank).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -38,6 +40,11 @@ HEADLINE = [
     "dedup_simhash",
     "knn_bruteforce_cosine",
     "text_quality_scores",
+    "text_repetition_filters",
+    "pack_sequences_token_budget",
+    "rolling_7d_active_users",
+    "validate_constraints",
+    "pagerank_cust_supp_top20",
 ]
 
 

@@ -86,14 +86,16 @@ def pagerank_ranks(li: DataFrame, o: DataFrame, iters: int = _ITERS) -> DataFram
     e = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # Degree is static — attach it to the edge list ONCE, so each
+    # iteration is a single src-keyed join + dst-keyed fold (the edge
+    # relation keeps its partitioning across iterations).
+    ed = e.join(deg, e["src"] == deg["node"]).select("src", "dst", "d")
     ranks = deg.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
     )
     for _ in range(iters):
-        contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
-            .select(F.col("dst"), (F.col("r") / F.col("d")).alias("contrib"))
+        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst"), (F.col("r") / F.col("d")).alias("contrib")
         )
         ranks = (
             contrib.groupBy(F.col("dst").alias("node"))

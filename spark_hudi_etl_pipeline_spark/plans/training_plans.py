@@ -30,6 +30,18 @@ def _tokens(col: str = "text") -> F.Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
+def _gram_starts(n: F.Column, k: int) -> F.Column:
+    """1-based start indices for word k-grams: [1 .. n-k+1], EMPTY when
+    the document has fewer than ``k`` tokens. The guard matters: Spark's
+    ``sequence(1, stop)`` REVERSES when ``stop < 1`` (e.g. ``[1, 0]``),
+    so an unguarded short document would emit negative-start slices
+    (runtime error / bogus grams) where DuckDB's ``generate_series``
+    yields nothing."""
+    return F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 # --------------------------------------------------------------------------
 # Gopher-style repetition filters: fraction of bigram occurrences taken
 # by the most frequent bigram, fraction of trigram occurrences whose
@@ -92,7 +104,11 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def repetition_metrics(docs: DataFrame) -> DataFrame:
     """DataFrame-level core of ``text_repetition_filters`` (also driven
-    by ``tools/scale_probe.py`` on replicated corpora)."""
+    by ``tools/scale_probe.py`` on replicated corpora).
+
+    Documents shorter than a gram size keep their row with NULL for that
+    metric (and a NULL ``keep`` gate → treated as not-keep); they are
+    never dropped or mis-shingled (see ``_gram_starts``)."""
     d = docs.select("doc_id", _tokens().alias("t"))
     n = F.size("t")
 
@@ -101,7 +117,7 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
             src = F.col("t")
         else:
             src = F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
+                _gram_starts(n, k),
                 lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
             )
         return F.transform(
@@ -186,7 +202,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), n - 7),
+                _gram_starts(n, 8),
                 lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
             )
         ).alias("g"),
@@ -865,7 +881,7 @@ def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), n - 1),
+                    _gram_starts(n, 2),
                     lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
                 )
             ).alias("g")

@@ -241,3 +241,37 @@ def test_mixture_weights_normalized(spark):
     rows = QUERIES["source_mixture_weights"](spark, SF_SMALL).collect()
     assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
     assert all(r["weight"] > 0 for r in rows)
+
+
+def test_repetition_metrics_short_docs(spark):
+    """Docs shorter than the gram size must not crash (Spark sequence()
+    reverses on stop<start) and yield NULL metrics, not bogus grams."""
+    from spark_hudi_etl_pipeline_spark.plans.training_plans import (
+        repetition_metrics,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "a b c d e")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(d).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["top_bigram_frac"] is None       # no bigrams
+    assert rows[1]["dup_trigram_frac"] is None      # no trigrams
+    assert rows[1]["distinct_word_ratio"] == 1.0
+    assert rows[2]["top_bigram_frac"] == 1.0        # single bigram
+    assert rows[2]["dup_trigram_frac"] is None
+    assert rows[3]["top_bigram_frac"] is not None
+    assert rows[3]["dup_trigram_frac"] == 0.0       # all trigrams unique
+
+
+def test_pack_sequences_single_doc(spark):
+    from spark_hudi_etl_pipeline_spark.plans.training_plans import (
+        pack_sequences,
+    )
+
+    d = spark.createDataFrame([(7, "one two three")], ["doc_id", "text"])
+    rows = pack_sequences(d).collect()
+    assert len(rows) == 1
+    assert rows[0]["seq_id"] == 0
+    assert rows[0]["n_docs"] == 1 and rows[0]["total_tokens"] == 3
