@@ -90,6 +90,12 @@ def pagerank_ranks(li: DataFrame, o: DataFrame, iters: int = _ITERS) -> DataFram
     # iteration is a single src-keyed join + dst-keyed fold (the edge
     # relation keeps its partitioning across iterations).
     ed = e.join(deg, e["src"] == deg["node"]).select("src", "dst", "d")
+    # The degree-annotated edge list is consumed once per iteration;
+    # without materialization the lazy plan recomputes the orders⋈lineitem
+    # distinct + degree agg ``iters`` times. Same persist point as the
+    # LSH banding (operators/dedup.py) — at cluster scale this is
+    # persist(MEMORY_AND_DISK) on the co-partitioned edge relation.
+    ed = ed.localCheckpoint(eager=True)
     ranks = deg.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
     )
