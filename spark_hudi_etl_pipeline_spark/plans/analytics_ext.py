@@ -1268,3 +1268,104 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue growth: monthly rollup + lag window — the
+# standard KPI-trend query shape (one month-keyed agg shuffle, one
+# ordered window over the tiny monthly relation). Growth is quantized
+# at 1e-4 fixed point after an engine-exact rounded-revenue base.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mom_revenue_growth",
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT CAST(month AS DATE) AS month, revenue,
+       CAST(floor((revenue / lag(revenue) OVER (ORDER BY month) - 1.0)
+                  * 10000) AS BIGINT) AS growth_q
+FROM m
+ORDER BY month
+""",
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    return (
+        m.select(
+            F.col("month").cast("date").alias("month"),
+            "revenue",
+            F.floor(
+                (F.col("revenue") / F.lag("revenue").over(w) - 1.0) * 10000
+            )
+            .cast("long")
+            .alias("growth_q"),
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto / cumulative-share: suppliers ranked by revenue with running
+# cumulative share ("which prefix of suppliers carries 80% of
+# revenue"). Ordering and arithmetic run on a 1e-2 fixed-point revenue
+# so rank ties and cumulative sums are engine-exact, never fp-order
+# dependent.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "supplier_pareto_cumshare",
+    oracle="""
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100)
+              AS BIGINT) AS rev_q
+  FROM lineitem GROUP BY l_suppkey
+),
+t AS (SELECT sum(rev_q) AS total_q FROM s)
+SELECT s.l_suppkey, s.rev_q,
+       row_number() OVER (ORDER BY s.rev_q DESC, s.l_suppkey) AS rnk,
+       round(sum(s.rev_q) OVER (ORDER BY s.rev_q DESC, s.l_suppkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1.0 / t.total_q, 6) AS cum_share
+FROM s, t
+ORDER BY rnk
+""",
+)
+def supplier_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.floor(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        )
+        .cast("long")
+        .alias("rev_q")
+    )
+    t = s.agg(F.sum("rev_q").alias("total_q"))
+    w = Window.orderBy(F.desc("rev_q"), F.asc("l_suppkey"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "l_suppkey",
+            "rev_q",
+            F.row_number().over(w).alias("rnk"),
+            F.round(
+                F.sum("rev_q").over(wc) * F.lit(1.0) / F.col("total_q"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("rnk")
+    )
