@@ -961,3 +961,104 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation: the tiers composed into ONE declarative
+# plan — repetition gate ∧ not-contaminated ∧ lang = 'en', folded to
+# per-source kept-doc/token counts. Catalyst fuses the shared tokenize
+# across the metric and shingle branches; the contaminated set stays a
+# broadcast semi-join; nothing materializes between stages.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, lang, {_TOKS} AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bim AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top_bigram_frac
+        FROM bic GROUP BY doc_id),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks
+),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+trim_ AS (SELECT doc_id,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c)
+                   AS dup_trigram_frac
+          FROM tric GROUP BY doc_id),
+dw AS (SELECT doc_id, len(list_distinct(t)) * 1.0 / len(t) AS distinct_word_ratio
+       FROM toks),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 7),
+             i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 29 = 0),
+contaminated AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (g)
+  WHERE sh.doc_id % 29 <> 0
+),
+kept AS (
+  SELECT toks.doc_id, toks.source, len(toks.t) AS n_tokens
+  FROM toks
+  JOIN bim USING (doc_id) JOIN trim_ USING (doc_id) JOIN dw USING (doc_id)
+  WHERE toks.lang = 'en'
+    AND bim.top_bigram_frac <= 0.2
+    AND trim_.dup_trigram_frac <= 0.6
+    AND dw.distinct_word_ratio >= 0.3
+    AND toks.doc_id % 29 <> 0
+    AND toks.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT source, count(*) AS n_docs_kept, sum(n_tokens) AS n_tokens_kept
+FROM kept GROUP BY source ORDER BY source
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source counts of documents surviving the full curation
+    gauntlet (benchmark slice itself excluded from the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    metrics = repetition_metrics(docs).select("doc_id", "keep")
+
+    d = docs.select("doc_id", "source", "lang", _tokens().alias("t"))
+    n = F.size("t")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _gram_starts(n, 8),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
+            )
+        ).alias("g"),
+    )
+    bench = sh.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = (
+        d.filter((F.col("lang") == "en") & (F.col("doc_id") % 29 != 0))
+        .join(metrics.filter(F.col("keep")), "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("source", n.alias("n_tokens"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -275,3 +275,40 @@ def test_pack_sequences_single_doc(spark):
     assert len(rows) == 1
     assert rows[0]["seq_id"] == 0
     assert rows[0]["n_docs"] == 1 and rows[0]["total_tokens"] == 3
+
+
+def test_curation_pipeline_composes_tiers(spark):
+    """The composed pipeline must equal the conjunction of its parts
+    computed independently: en ∧ repetition-keep ∧ not-benchmark ∧
+    not-contaminated, token totals included."""
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    out = {r["source"]: (r["n_docs_kept"], r["n_tokens_kept"])
+           for r in QUERIES["corpus_curation_pipeline"](spark, SF_SMALL).collect()}
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    keep_ids = {
+        r["doc_id"]
+        for r in QUERIES["text_repetition_filters"](spark, SF_SMALL)
+        .filter(F.col("keep"))
+        .collect()
+    }
+    contaminated = {
+        r["doc_id"]
+        for r in QUERIES["decontaminate_ngram_overlap"](spark, SF_SMALL).collect()
+    }
+    expected: dict[str, list[int]] = {}
+    for r in docs.select(
+        "doc_id", "source", "lang",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"),
+    ).collect():
+        if (
+            r["lang"] == "en"
+            and r["doc_id"] % 29 != 0
+            and r["doc_id"] in keep_ids
+            and r["doc_id"] not in contaminated
+        ):
+            agg = expected.setdefault(r["source"], [0, 0])
+            agg[0] += 1
+            agg[1] += r["n"]
+    assert out == {s: tuple(v) for s, v in expected.items()}
