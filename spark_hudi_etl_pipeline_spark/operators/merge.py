@@ -57,6 +57,41 @@ def precombine_batch(
     )
 
 
+def align_schemas(
+    existing: DataFrame, batch: DataFrame, *, skip: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for the upsert path (the reference enables Hudi's
+    ``hoodie.schema.on.read.enable`` at pipeline_architecture.py:54;
+    README claims schema-evolution support at README.md:308).
+
+    Returns both frames projected onto the UNION schema: columns the
+    batch adds are appended (existing rows read them as NULL), columns
+    the batch omits become NULL in the batch rows (whole-row upsert
+    replace semantics), and a column present on both sides is cast to
+    the table's type (no surprise type flips). Map-only — no shuffle.
+    ``skip`` columns (the delete flag) stay batch-only."""
+    etypes = {f.name: f.dataType for f in existing.schema.fields}
+    btypes = {f.name: f.dataType for f in batch.schema.fields}
+    new_cols = [c for c in batch.columns if c not in etypes and c not in skip]
+    union_cols = existing.columns + new_cols
+    existing2 = existing.select(
+        *existing.columns,
+        *[F.lit(None).cast(btypes[c]).alias(c) for c in new_cols],
+    )
+    batch2 = batch.select(
+        *[
+            (
+                F.col(c).cast(etypes.get(c, btypes.get(c)))
+                if c in btypes
+                else F.lit(None).cast(etypes[c])
+            ).alias(c)
+            for c in union_cols
+        ],
+        *[F.col(c) for c in skip if c in batch.columns],
+    )
+    return existing2, batch2
+
+
 def merge_upsert(
     existing: DataFrame | None,
     batch: DataFrame,
@@ -64,6 +99,7 @@ def merge_upsert(
     precombine: str,
     *,
     delete_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Pure-DataFrame upsert: returns the post-merge table contents.
 
@@ -77,9 +113,17 @@ def merge_upsert(
     it wins the key is removed from the table (a stale delete loses to a
     newer existing row and is ignored). The flag column never lands in
     the output.
+
+    ``evolve_schema=True`` reproduces Hudi's schema-on-read evolution
+    (:func:`align_schemas`): batches may add or omit non-key columns;
+    without it, a batch must match the table schema exactly.
     """
     if delete_col is not None and delete_col in (existing.columns if existing is not None else []):
         raise ValueError(f"delete flag {delete_col!r} must not exist in the table")
+    if evolve_schema and existing is not None:
+        existing, batch = align_schemas(
+            existing, batch, skip=(delete_col,) if delete_col else ()
+        )
     deduped = precombine_batch(batch, keys, precombine)
     if existing is None:
         if delete_col is not None:
@@ -132,6 +176,7 @@ def upsert_parquet(
     precombine: str,
     *,
     delete_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Materializing upsert sink (reference R7 write_hudi_table,
     :238-260, re-expressed): merge ``batch`` into the parquet table at
@@ -139,13 +184,18 @@ def upsert_parquet(
     commit; single atomic directory swap via a staging write because
     parquet has no transaction log (Hudi/Delta would make this a real
     ACID commit — connector passthrough point).
+
+    ``evolve_schema=True`` = Hudi ``hoodie.schema.on.read.enable``
+    passthrough semantics: the table schema widens to the batch's new
+    columns (see :func:`align_schemas`).
     """
     try:
         existing = spark.read.parquet(path)
     except Exception:  # first write: path absent
         existing = None
     merged = merge_upsert(
-        existing, batch, keys, precombine, delete_col=delete_col
+        existing, batch, keys, precombine,
+        delete_col=delete_col, evolve_schema=evolve_schema,
     )
     if existing is not None:
         # Materialize the merge before overwriting the files we read.
