@@ -692,7 +692,7 @@ def shard_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
 mm AS (SELECT min(n) AS lo, max(n) AS hi FROM t)
-SELECT CAST(least((t.n - mm.lo) * 10 // (mm.hi - mm.lo), 9) AS BIGINT) AS bin,
+SELECT CAST(least((t.n - mm.lo) * 10 // greatest(mm.hi - mm.lo, 1), 9) AS BIGINT) AS bin,
        count(*) AS n_docs, min(t.n) AS bin_min, max(t.n) AS bin_max
 FROM t, mm
 GROUP BY bin ORDER BY bin
@@ -707,7 +707,7 @@ def hist_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.crossJoin(F.broadcast(mm))
         .select(
             F.least(
-                F.expr("(n - lo) * 10 div (hi - lo)"), F.lit(9)
+                F.expr("(n - lo) * 10 div greatest(hi - lo, 1)"), F.lit(9)
             )
             .cast("long")
             .alias("bin"),

@@ -312,3 +312,34 @@ def test_curation_pipeline_composes_tiers(spark):
             agg[0] += 1
             agg[1] += r["n"]
     assert out == {s: tuple(v) for s, v in expected.items()}
+
+
+def test_histogram_constant_corpus_no_div_zero(spark):
+    """ANSI mode: equal-length docs must not raise division-by-zero —
+    all rows land in bin 0."""
+    from spark_hudi_etl_pipeline_spark.plans.training_plans import (
+        hist_token_counts,
+    )
+    import spark_hudi_etl_pipeline_spark.sources.catalog as cat
+
+    d = spark.createDataFrame(
+        [(i, "a b c") for i in range(5)], ["doc_id", "text"]
+    )
+    # Drive the same bin expression directly on a constant corpus.
+    from pyspark.sql import functions as F2
+
+    n = F2.size(F2.split(F2.trim(F2.lower("text")), r"\s+"))
+    mm = d.select(n.alias("n")).agg(
+        F2.min("n").alias("lo"), F2.max("n").alias("hi")
+    )
+    bins = (
+        d.select(n.alias("n"))
+        .crossJoin(F2.broadcast(mm))
+        .select(
+            F2.least(
+                F2.expr("(n - lo) * 10 div greatest(hi - lo, 1)"), F2.lit(9)
+            ).alias("bin")
+        )
+        .collect()
+    )
+    assert all(r["bin"] == 0 for r in bins)
