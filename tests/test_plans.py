@@ -171,3 +171,67 @@ def test_streaming_matches_batch_tumbling(spark):
         map(tuple, QUERIES["streaming_tumbling_counts"](spark, SF_SMALL).collect())
     )
     assert batch == stream
+
+
+# ---- training/quality/graph tier plan gates -----------------------------
+# These use the SIMPLE plan: explain("formatted") prints every scan twice
+# (tree node + numbered detail section), so scan counting there is wrong.
+
+
+def simple_plan_of(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_repetition_filters_single_scan_no_join(spark):
+    """The fused (k, gram) formulation must keep ONE documents scan and
+    zero joins — regression gate on the 3-scan/2-join naive shape."""
+    plan = simple_plan_of(spark, "text_repetition_filters")
+    assert plan.count("FileScan parquet") == 1
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert join not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    plan = simple_plan_of(spark, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_broadcasts_span_spine(spark):
+    """The dense spine comes from the aggregated per-user span — the
+    join back to the daily relation must broadcast, never shuffle the
+    daily side twice."""
+    plan = simple_plan_of(spark, "events_gapfill_daily")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """Two-phase prefix sum: the corpus-sized window must be partitioned
+    by bucket; only the 8-row offset relation may use a global window."""
+    plan = simple_plan_of(spark, "pack_sequences_token_budget")
+    assert "windowspecdefinition(b#" in plan
+
+
+def test_chunking_is_map_side_until_sort(spark):
+    plan = simple_plan_of(spark, "doc_chunk_token_windows")
+    assert "Exchange hashpartitioning" not in plan  # no shuffle agg/join
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_curation_broadcasts_and_single_fact_side(spark):
+    plan = simple_plan_of(spark, "corpus_curation_pipeline")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_profile_is_one_pass(spark):
+    # ONE scan feeds all per-column stats; the Expand-based multi-distinct
+    # legitimately shuffles once on (cols, gid).
+    plan = simple_plan_of(spark, "profile_orders")
+    assert plan.count("FileScan parquet") == 1
