@@ -235,3 +235,65 @@ def dedup_resolve_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/test split: the contamination-aware version of the
+# hash split — near-duplicate CLUSTERS (connected components of the
+# Jaccard pair graph) are assigned to a split atomically, by hashing the
+# canonical id instead of the document id. A near-copy can therefore
+# never land in test while its twin trains. Oracle: the same recursive-
+# CTE closure + the same md5 bucket arithmetic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "leakage_safe_split",
+    oracle="WITH RECURSIVE "
+    + _NEAR_CORPUS_SQL.strip().rstrip()
+    + f""",
+sh AS (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM corpus),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.3
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT s.src, r.label FROM sym s JOIN reach r ON s.dst = r.node
+),
+comp AS (SELECT node AS doc_id, min(label) AS canonical_id FROM reach GROUP BY node)
+SELECT doc_id, canonical_id,
+       CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'cccc'
+            THEN 'train' ELSE 'test' END AS split
+FROM comp ORDER BY doc_id
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    corpus = _with_near_dups(spark, sf_dir)
+    edges = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.3, k=5)
+    comp = dedup.connected_components(
+        corpus.select("doc_id"), edges.select("id_a", "id_b"), id_col="doc_id"
+    )
+    return (
+        hash_split(comp, "canonical_id", {"train": 0.8, "test": 0.2})
+        .select("doc_id", "canonical_id", "split")
+        .orderBy("doc_id")
+    )

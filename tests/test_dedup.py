@@ -149,3 +149,25 @@ def test_connected_components_long_path(spark):
     out = connected_components(nodes, edges, id_col="id", max_iterations=12).collect()
     assert all(r["canonical_id"] == 0 for r in out)
     assert len(out) == n
+
+
+def test_leakage_safe_split_atomic_clusters(spark):
+    """No near-dup pair may straddle the split boundary, and every doc
+    gets exactly one split label."""
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from tests.conftest import SF_SMALL
+
+    out = QUERIES["leakage_safe_split"](spark, SF_SMALL)
+    rows = out.collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(by_id) == len(rows)
+    # Cluster-atomicity: same canonical -> same split.
+    by_canon: dict[int, set[str]] = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_canon.values())
+    # The seeded near-copies (doc_id+10000 of doc_id<5) must ride with
+    # their originals.
+    for i in range(5):
+        assert by_id[i + 10000]["split"] == by_id[i]["split"]
+        assert by_id[i + 10000]["canonical_id"] == by_id[i]["canonical_id"]
