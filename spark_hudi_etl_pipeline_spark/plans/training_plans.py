@@ -1062,3 +1062,130 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM log-probability scoring: mean per-token ln p(w) under the
+# corpus's own unigram distribution — the cheap stand-in for the KenLM
+# perplexity filter of a pretraining pipeline. One tokenize pass: tf is
+# aggregated per (doc, term), the term distribution is an aggregate of
+# tf, and the probability join broadcasts the vocabulary. Fixed-point
+# floor at 1e-4 keeps ln() engine-exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tf AS (
+  SELECT doc_id, g AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+  GROUP BY doc_id, g
+),
+vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+n AS (SELECT sum(c) AS total FROM vocab)
+SELECT tf.doc_id,
+       CAST(floor(sum(tf.tf * ln(vocab.c * 1.0 / n.total))
+                  / sum(tf.tf) * 10000) AS BIGINT) AS mean_logprob_q
+FROM tf JOIN vocab USING (term), n
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    tf = (
+        d.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    n = vocab.agg(F.sum("c").alias("total"))
+    return (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("c") * F.lit(1.0) / F.col("total"))
+                )
+                / F.sum("tf")
+                * 10000
+            )
+            .cast("long")
+            .alias("mean_logprob_q")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate fraction: share of a document's 8-grams that are corpus-
+# frequent (appear in >= 3 distinct documents) — the cross-document
+# complement of the within-document repetition gate. The frequent-
+# shingle set is an aggregate of the same shingle relation (one
+# tokenize) and broadcasts into a map-side membership join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_boilerplate_fraction",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 7),
+             i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+  FROM toks
+),
+freq AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g)
+  WHERE df >= 3
+)
+SELECT sh.doc_id,
+       count(*) AS n_shingles,
+       round(count(CASE WHEN freq.g IS NOT NULL THEN 1 END) * 1.0
+             / count(*), 6) AS boilerplate_frac
+FROM sh LEFT JOIN freq ON sh.g = freq.g
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+""",
+)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    n = F.size("t")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _gram_starts(n, 8),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
+            )
+        ).alias("g"),
+    )
+    freq = (
+        sh.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("g", F.lit(True).alias("is_freq"))
+    )
+    return (
+        sh.join(F.broadcast(freq), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.count(F.when(F.col("is_freq"), 1)) * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("boilerplate_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -343,3 +343,17 @@ def test_histogram_constant_corpus_no_div_zero(spark):
         .collect()
     )
     assert all(r["bin"] == 0 for r in bins)
+
+
+def test_unigram_logprob_bounds(spark):
+    rows = QUERIES["text_unigram_logprob"](spark, SF_SMALL).collect()
+    # ln p < 0 always; quantized at 1e-4 so strictly negative.
+    assert all(r["mean_logprob_q"] < 0 for r in rows)
+    assert len(rows) > 0
+
+
+def test_boilerplate_fraction_bounds(spark):
+    rows = QUERIES["text_boilerplate_fraction"](spark, SF_SMALL).collect()
+    for r in rows:
+        assert 0.0 <= r["boilerplate_frac"] <= 1.0
+        assert r["n_shingles"] >= 1
