@@ -71,7 +71,8 @@ def main() -> None:
                                             "knn_topk": {}, "cdc_diff": {},
                                             "upsert_merge": {},
                                             "repetition_filters": {},
-                                            "pack_sequences": {}}
+                                            "pack_sequences": {},
+                                            "pagerank_3iter": {}}
     rows: dict[str, dict[int, int]] = {k: {} for k in results}
 
     for factor in REPLICAS:
@@ -144,6 +145,20 @@ def main() -> None:
         n_changes = snapshot_diff(o, new_snap, ["o_orderkey"]).count()
         results["cdc_diff"][factor] = time.perf_counter() - t0
         rows["cdc_diff"][factor] = n_changes
+
+        # Iterative graph tier: 3-iteration PageRank on the replicated
+        # customer-supplier graph (edge count grows linearly with the
+        # replicas; iterations must stay one shuffle each).
+        from spark_hudi_etl_pipeline_spark.plans.graph_plans import pagerank_ranks
+
+        li_df = spark.read.parquet(li)
+        t0 = time.perf_counter()
+        pagerank_ranks(
+            li_df.select("l_orderkey", "l_suppkey"),
+            o.select("o_orderkey", "o_custkey"),
+        ).write.mode("overwrite").format("noop").save()
+        results["pagerank_3iter"][factor] = time.perf_counter() - t0
+        rows["pagerank_3iter"][factor] = li_df.count()
 
         # Keyed upsert: a 2%-of-table batch merged in (the incremental
         # write path at table scale — batch side stays small/broadcast).
