@@ -173,19 +173,23 @@ def interval_join(
 
 
 def foreach_batch_upsert(
-    target_path: str, keys: list[str], precombine: str
+    target_path: str, keys: list[str], precombine: str,
+    *, evolve_schema: bool = False,
 ):
     """foreachBatch sink: apply the engine's keyed upsert merge to each
     micro-batch — streaming upsert is the reference's watermark loop made
     native (SURVEY.md §7 Phase 3); reuses operators/merge.py so batch and
-    streaming share one merge semantic."""
+    streaming share one merge semantic (including, with
+    ``evolve_schema=True``, Hudi-style schema-on-read widening when a
+    later stream adds columns)."""
     from ..operators.merge import upsert_parquet
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         upsert_parquet(
-            batch_df.sparkSession, batch_df, target_path, keys=keys, precombine=precombine
+            batch_df.sparkSession, batch_df, target_path,
+            keys=keys, precombine=precombine, evolve_schema=evolve_schema,
         )
 
     return apply
