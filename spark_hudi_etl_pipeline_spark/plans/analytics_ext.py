@@ -1369,3 +1369,38 @@ def supplier_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact decimal aggregation: money arithmetic on DECIMAL(18,2) — sums
+# are exact (integer-scaled) in both engines, so the oracle match is
+# bit-for-bit with NO rounding/quantization step anywhere. The type-
+# surface complement to the double-typed fixtures (SURVEY.md §1.2 notes
+# the reference uses no decimal; a lakehouse engine still must).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "decimal_exact_totals",
+    oracle="""
+SELECT o_orderstatus,
+       sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS DECIMAL(38, 2)))
+         AS total_exact,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_exact"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
