@@ -113,3 +113,32 @@ def test_streaming_foreach_batch_evolves(spark, tmp_path):
     out = {r["k"]: r for r in spark.read.parquet(path).collect()}
     assert out[1]["v"] == 2 and out[1]["score"] == 0.3
     assert out[2]["score"] == 0.4
+
+
+def test_align_schemas_properties(spark):
+    """For any split of payload columns between table and batch: the
+    aligned schemas are identical, ordered table-first, and table types
+    win on overlap."""
+    import itertools
+
+    cols = {"a": "int", "b": "string", "c": "double", "d": "bigint"}
+    for r in range(len(cols) + 1):
+        for batch_extra in itertools.combinations(sorted(cols), r):
+            e_cols = {"k": "int", "v": "int"}
+            b_cols = {"k": "int", "v": "int"}
+            for i, (name, typ) in enumerate(sorted(cols.items())):
+                (e_cols if i % 2 == 0 else b_cols)[name] = typ
+            for name in batch_extra:
+                b_cols[name] = cols[name]
+            e = spark.createDataFrame(
+                [], ", ".join(f"{n} {t}" for n, t in e_cols.items())
+            )
+            b = spark.createDataFrame(
+                [], ", ".join(f"{n} {t}" for n, t in b_cols.items())
+            )
+            e2, b2 = align_schemas(e, b)
+            assert e2.columns == b2.columns
+            assert e2.columns[: len(e_cols)] == list(e_cols)
+            assert dict(e2.dtypes) == dict(b2.dtypes)
+            for n in e_cols:
+                assert dict(e2.dtypes)[n] == e_cols[n]
