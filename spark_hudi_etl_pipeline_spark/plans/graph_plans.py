@@ -100,7 +100,13 @@ def pagerank_ranks(li: DataFrame, o: DataFrame, iters: int = _ITERS) -> DataFram
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
     )
     for _ in range(iters):
-        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+        # The rank vector is O(nodes) — orders smaller than the edge
+        # list; broadcast it so each iteration is map-side against the
+        # materialized edges + ONE fold shuffle on dst. (At
+        # billion-node scale you would instead co-partition ranks with
+        # ed on src and keep a shuffle-hash join — same plan shape,
+        # different join hint.)
+        contrib = ed.join(F.broadcast(ranks), ed["src"] == ranks["node"]).select(
             F.col("dst"), (F.col("r") / F.col("d")).alias("contrib")
         )
         ranks = (
