@@ -120,8 +120,13 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
                 _gram_starts(n, k),
                 lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
             )
+        # Grams shuffle as 8-byte xxhash64 codes, not strings (~5× fewer
+        # shuffle bytes). Counts are per (doc, k): a collision would need
+        # two distinct grams of the same k INSIDE one document —
+        # P ≈ grams²/2⁶⁴ ≈ 1e-15 per doc — and the unchanged string-gram
+        # oracle verifies no collision occurred at test scale.
         return F.transform(
-            src, lambda g: F.struct(F.lit(k).alias("k"), g.alias("g"))
+            src, lambda g: F.struct(F.lit(k).alias("k"), F.xxhash64(g).alias("g"))
         )
 
     allg = d.select(
