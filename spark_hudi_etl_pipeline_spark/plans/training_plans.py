@@ -1166,12 +1166,18 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _tokens().alias("t")
     )
     n = F.size("t")
+    # Shingles travel as xxhash64 codes: the df-count shuffle and the
+    # frequent-set broadcast carry 8 bytes per gram instead of ~50-char
+    # strings (same no-collision argument as repetition_metrics — the
+    # string-shingle oracle verifies it).
     sh = d.select(
         "doc_id",
         F.explode(
             F.transform(
                 _gram_starts(n, 8),
-                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("t"), i, 8))
+                ),
             )
         ).alias("g"),
     )
