@@ -96,14 +96,17 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_part_value",
     oracle="""
 WITH value_by_part AS (
-  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+             * CAST(1 - l_discount AS DECIMAL(4, 2))) AS value
   FROM lineitem, supplier, nation, region
   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
     AND n_regionkey = r_regionkey AND r_name = 'ASIA'
-  GROUP BY l_partkey)
-SELECT l_partkey, round(value, 2) AS part_value
-FROM value_by_part
-WHERE value > (SELECT 2.0 * avg(value) FROM value_by_part)
+  GROUP BY l_partkey),
+t AS (SELECT sum(value) AS total, count(*) AS nparts FROM value_by_part)
+SELECT l_partkey, CAST(value AS DECIMAL(28, 4)) AS part_value
+FROM value_by_part, t
+WHERE CAST(value AS DOUBLE) * nparts > 2.0 * CAST(total AS DOUBLE)
 ORDER BY part_value DESC, l_partkey
 """,
 )
@@ -117,18 +120,36 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey")
     )
+    # Exact DECIMAL sums (prices/discounts are 2-decimal, so the casts
+    # are lossless): per-part values and the grand total are integer-
+    # scaled and bit-identical to the oracle's regardless of
+    # accumulation order. The threshold test cross-multiplies
+    # (value·n > 2·total ⇔ value > 2·avg) in doubles DERIVED from those
+    # exact decimals — both engines compare identical bit patterns, so
+    # membership can never flip on a last-ulp difference.
     value_by_part = (
         l.join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("value")
+        )
     )
     # Scalar threshold via empty-partition window over the tiny aggregate.
-    with_avg = value_by_part.withColumn(
-        "avg_value", F.avg("value").over(Window.partitionBy())
-    )
+    w = Window.partitionBy()
+    with_tot = value_by_part.withColumn(
+        "total", F.sum("value").over(w)
+    ).withColumn("nparts", F.count(F.lit(1)).over(w))
     return (
-        with_avg.filter(F.col("value") > 2.0 * F.col("avg_value"))
-        .select("l_partkey", F.round("value", 2).alias("part_value"))
+        with_tot.filter(
+            F.col("value").cast("double") * F.col("nparts")
+            > 2.0 * F.col("total").cast("double")
+        )
+        .select(
+            "l_partkey", F.col("value").cast("decimal(28,4)").alias("part_value")
+        )
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
 

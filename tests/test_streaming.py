@@ -173,3 +173,60 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         (r["click_id"], r["purchase_id"]) for r in spark.table("t_ssj").collect()
     }
     assert streamed == batch
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Append-mode semantics: a row arriving after the watermark passed
+    its window is DROPPED from the finalized count. maxFilesPerTrigger=1
+    splits the files into separate micro-batches (sleeps order them by
+    mtime); Spark applies the late-event filter with the PREVIOUS
+    batch's watermark (multi-stateful-operator semantics, Spark 3.4+),
+    so the advancer needs one extra batch before the late row arrives."""
+    import datetime as dt
+    import time
+
+    from spark_hudi_etl_pipeline_spark.streaming.windows import (
+        events_file_stream,
+        tumbling_window_counts,
+    )
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    src = str(tmp_path / "late_src")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batches = [
+        [(1, ts(0), 1, "view", 1.0, "{}"), (2, ts(1), 1, "view", 1.0, "{}")],
+        [(3, ts(30), 1, "view", 1.0, "{}")],   # watermark -> 10:29
+        [(6, ts(31), 1, "view", 1.0, "{}")],   # one batch of lag
+        [(4, ts(2), 1, "view", 1.0, "{}"),     # LATE: filtered out
+         (5, ts(32), 1, "view", 1.0, "{}")],
+    ]
+    mode = "overwrite"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            mode).parquet(src)
+        mode = "append"
+        time.sleep(1.1)
+
+    stream = events_file_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        tumbling_window_counts(stream, window="5 minutes", watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {str(r["window_start"]): r["n_events"]
+           for r in spark.table("t_late").collect()}
+    # The [10:00, 10:05) window finalized with the 2 on-time rows only —
+    # the late row (event 4) was dropped by the watermark.
+    assert out.get("2024-01-01 10:00:00") == 2
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"]
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
