@@ -249,10 +249,14 @@ def q12_priority_class_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue_pct",
     oracle="""
-SELECT round(
-  100.0 * sum(CASE WHEN p_type = 'PROMO'
-                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+SELECT floor(
+  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18, 2))
+                        * CAST(1 - l_discount AS DECIMAL(4, 2))
+                   ELSE CAST(0 AS DECIMAL(18, 2)) END) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                   * CAST(1 - l_discount AS DECIMAL(4, 2))) AS DOUBLE)
+  * 10000) / 10000.0 AS promo_revenue_pct
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -264,16 +268,24 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Exact decimal sums (2-decimal money columns -> lossless casts):
+    # both engines aggregate identical integers, the derived doubles are
+    # bit-identical, and floor-quantization cannot tie-break differently
+    # the way round() on a last-ulp-divergent double can.
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
     return (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
-            F.round(
+            (F.floor(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
-            ).alias("promo_revenue_pct")
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double")
+                * 10000
+            ) / 10000.0).alias("promo_revenue_pct")
         )
     )
 
@@ -940,11 +952,13 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     "q8_market_share",
     oracle="""
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
-             / sum(volume), 4) AS mkt_share
+       floor(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18, 2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) * 10000) / 10000.0 AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS o_year,
-         l_extendedprice * (1 - l_discount) AS volume,
+         CAST(l_extendedprice AS DECIMAL(18, 2))
+           * CAST(1 - l_discount AS DECIMAL(4, 2)) AS volume,
          n2.n_name AS supp_nation
   FROM customer, orders, lineitem, supplier, nation n1, nation n2, region
   WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
@@ -980,7 +994,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "supp_nation"
         )
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(4,2)")
     return (
         o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust_side, F.col("c_custkey") == F.col("o_custkey"))
@@ -992,14 +1008,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(
+            (F.floor(
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
-                    .otherwise(0.0)
-                )
-                / F.sum("volume"),
-                4,
-            ).alias("mkt_share")
+                    .otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double")
+                / F.sum("volume").cast("double")
+                * 10000
+            ) / 10000.0).alias("mkt_share")
         )
         .orderBy("o_year")
     )
@@ -1016,7 +1032,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                  * CAST(1 - l_discount AS DECIMAL(4, 2)))
+              AS DECIMAL(28, 4)) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -1035,10 +1053,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     s = load_table(spark, sf_dir, "supplier")
+    # Exact decimal revenue: the argmax equality compares integer-scaled
+    # values identical in both engines (a rounded double sum can differ
+    # in the last ulp and flip membership).
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount")).cast("decimal(4,2)")
         )
+        .cast("decimal(28,4)")
+        .alias("total_revenue")
     )
     # Global max over the per-supplier aggregate (|suppliers| rows — the
     # single-partition window runs over a tiny frame, never the fact).
