@@ -806,3 +806,61 @@ def upsert_file_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-static join: the unbounded event stream enriched with a static
+# dimension (per-user segment derived from customer) — the most common
+# streaming enrichment shape. The static side is a plain DataFrame
+# re-read per micro-batch (so dim updates are picked up between
+# batches); Spark broadcasts it into each batch's plan — stream rows
+# never shuffle for the join. Oracle = the identical batch join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey % 100 AS user_id,
+         min(c_mktsegment) AS segment
+  FROM customer GROUP BY c_custkey % 100
+)
+SELECT d.segment, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN dim d USING (user_id)
+GROUP BY d.segment
+ORDER BY d.segment
+""",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static join drain: events staged as a file stream,
+    joined to a static user->segment dimension, aggregated per segment
+    in complete mode, and checked against the batch join oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy((F.col("c_custkey") % 100).alias("user_id"))
+        .agg(F.min("c_mktsegment").alias("segment"))
+    )
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_enrich_{tag}"
+    ev.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    qname = f"stream_enrich_{tag}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("segment")
