@@ -42,16 +42,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Lazy; Catalyst prunes columns/predicates."""
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); the session reads it as
-        # raw nanos (spark.sql.legacy.parquet.nanosAsLong) — normalize to
-        # TimestampType (µs, truncating like DuckDB's ns→µs cast).
-        # `div` (integer division) keeps full precision; a double detour
-        # would corrupt epoch-nanos (> 2^53).
-        from pyspark.sql import functions as F
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS,false) — a type different
+    Spark builds/configs surface three different ways, and some reject
+    outright (PARQUET_TYPE_ILLEGAL) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on. This loader must work
+    on ANY caller-supplied session (the external harness builds its own),
+    so: try the plain read, on failure flip the legacy conf at runtime
+    and retry, then normalize whatever dtype ``ts`` came back as to
+    TimestampType (µs, truncating — DuckDB's ns→µs cast does the same).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Older readers reject TIMESTAMP(NANOS); the legacy conf makes
+        # them surface raw nanos as LongType instead. Runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # Raw epoch-nanos. `div` (integer division) keeps full precision
+        # (a double detour would corrupt epoch-nanos > 2^53); going
+        # through TIMESTAMP_NTZ keeps the wall-clock value independent of
+        # the session time zone (NTZ→TIMESTAMP cast and collect() use the
+        # same zone, so they round-trip).
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "cast(timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00') as timestamp)"
+            ),
+        )
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
