@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_hudi_etl_pipeline_spark.plans import ORACLES, QUERIES
+from spark_hudi_etl_pipeline_spark.plans import ORACLES, QUERIES, ordered_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,8 +24,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 + extensions."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 + extensions.
+
+    Iteration order is deliberate: the driver checks the first 50 entries,
+    so ``plans.registry.PRIORITY_WINDOW`` (one representative per tier,
+    rotated each round — see COVERAGE.md §Rotation) comes first."""
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -118,6 +118,16 @@ def merge_upsert(
     (:func:`align_schemas`): batches may add or omit non-key columns;
     without it, a batch must match the table schema exactly.
     """
+    # Key/precombine columns are the record identity — a batch without
+    # them cannot be upserted. Hudi rejects key-less records loudly;
+    # silently letting align_schemas NULL-fill them would collapse every
+    # batch row into one NULL-key group (data corruption), so fail first.
+    required = [c for c in [*keys, precombine] if c not in batch.columns]
+    if required:
+        raise ValueError(
+            f"batch is missing key/precombine column(s) {required}; "
+            "schema evolution applies only to non-identity columns"
+        )
     if delete_col is not None and delete_col in (existing.columns if existing is not None else []):
         raise ValueError(f"delete flag {delete_col!r} must not exist in the table")
     if evolve_schema and existing is not None:

@@ -1,7 +1,7 @@
 """Declarative query plans. Importing this package populates the global
 query/oracle registry consumed by ``__spark_entry__.py``."""
 
-from .registry import ORACLES, QUERIES, query
+from .registry import ORACLES, PRIORITY_WINDOW, QUERIES, ordered_queries, query
 
 from . import analytics  # noqa: E402,F401  (registration side effects)
 from . import analytics_ext  # noqa: E402,F401
@@ -17,4 +17,4 @@ from . import training_plans  # noqa: E402,F401
 from . import quality_plans  # noqa: E402,F401
 from . import graph_plans  # noqa: E402,F401
 
-__all__ = ["ORACLES", "QUERIES", "query"]
+__all__ = ["ORACLES", "PRIORITY_WINDOW", "QUERIES", "ordered_queries", "query"]

@@ -821,18 +821,21 @@ def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_props_map",
     oracle="""
 SELECT event_id,
-       list_sort(json_keys(props)) AS prop_keys,
+       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
 FROM events
 ORDER BY event_id
 """,
 )
 def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Output rule (VERDICT r2 #2): no raw ARRAY/MAP columns in registered
+    # query output — the driver's pandas canonicalizer can't hash lists, so
+    # the sorted key array is flattened to a CSV string in both engines.
     e = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,string>")
     return e.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         m.getItem("k").cast("int").alias("k_val"),
     ).orderBy("event_id")
 
@@ -885,7 +888,7 @@ def datetime_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_statuses_by_segment",
     oracle="""
 SELECT c_mktsegment,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
        count(DISTINCT o_orderstatus) AS n_statuses
 FROM orders JOIN customer ON c_custkey = o_custkey
 GROUP BY c_mktsegment
@@ -893,13 +896,16 @@ ORDER BY c_mktsegment
 """,
 )
 def collect_statuses_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flattened to CSV (no raw ARRAY in registered output — see events_props_map).
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
         o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
+            ),
             F.countDistinct("o_orderstatus").alias("n_statuses"),
         )
         .orderBy("c_mktsegment")
@@ -1039,7 +1045,8 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name,
+       CAST(total_revenue * 10000 AS BIGINT) AS total_revenue_q
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 ORDER BY s_suppkey
@@ -1071,7 +1078,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("total_revenue") == F.col("max_rev"))
     return (
         s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            # Integer-scaled (×10⁴, lossless at scale 4) BIGINT output —
+            # no raw DECIMAL in registered output (driver canonicalizer).
+            (F.col("total_revenue") * 10000).cast("long").alias(
+                "total_revenue_q"
+            ),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -1353,7 +1368,8 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s AS (
   SELECT l_suppkey,
-         CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100)
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                  * CAST(1 - l_discount AS DECIMAL(4, 2))) * 10000
               AS BIGINT) AS rev_q
   FROM lineitem GROUP BY l_suppkey
 ),
@@ -1371,9 +1387,20 @@ def supplier_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
+    # Exact DECIMAL revenue sum (lossless casts: prices/discounts are
+    # 2-decimal), then ×10⁴ integer scaling — lossless because the
+    # product has scale 4 (×100 would leave fractional digits, which
+    # Spark truncates but DuckDB rounds on the BIGINT cast). Immune to
+    # fp accumulation order at any SF, unlike floor-quantizing a double
+    # sum (r1/r2 ADVICE: that flips on a last-ulp difference as data
+    # grows).
     s = li.groupBy("l_suppkey").agg(
-        F.floor(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        (
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount")).cast("decimal(4,2)")
+            )
+            * 10000
         )
         .cast("long")
         .alias("rev_q")
@@ -1408,8 +1435,8 @@ def supplier_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_exact_totals",
     oracle="""
 SELECT o_orderstatus,
-       sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS DECIMAL(38, 2)))
-         AS total_exact,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) * 100 AS BIGINT)
+         AS total_cents,
        count(*) AS n_orders
 FROM orders
 GROUP BY o_orderstatus
@@ -1417,13 +1444,17 @@ ORDER BY o_orderstatus
 """,
 )
 def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The sum itself is exact DECIMAL in both engines; the OUTPUT is the
+    # integer-scaled cents total (BIGINT) because the driver canonicalizer
+    # hashes Spark's decimal.Decimal and DuckDB's float64 rendering
+    # differently (VERDICT r2 #2: no raw DECIMAL in registered output).
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("total_exact"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("total_cents"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("o_orderstatus")

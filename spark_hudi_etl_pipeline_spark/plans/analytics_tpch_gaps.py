@@ -104,10 +104,10 @@ WITH value_by_part AS (
     AND n_regionkey = r_regionkey AND r_name = 'ASIA'
   GROUP BY l_partkey),
 t AS (SELECT sum(value) AS total, count(*) AS nparts FROM value_by_part)
-SELECT l_partkey, CAST(value AS DECIMAL(28, 4)) AS part_value
+SELECT l_partkey, CAST(value * 10000 AS BIGINT) AS part_value_q
 FROM value_by_part, t
 WHERE CAST(value AS DOUBLE) * nparts > 2.0 * CAST(total AS DOUBLE)
-ORDER BY part_value DESC, l_partkey
+ORDER BY part_value_q DESC, l_partkey
 """,
 )
 def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,9 +148,13 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 2.0 * F.col("total").cast("double")
         )
         .select(
-            "l_partkey", F.col("value").cast("decimal(28,4)").alias("part_value")
+            "l_partkey",
+            # Integer-scaled (×10⁴) BIGINT output: value is DECIMAL(·,4) so
+            # the scaling is lossless, and the driver hashes BIGINT
+            # identically across engines (unlike raw DECIMAL).
+            (F.col("value") * 10000).cast("long").alias("part_value_q"),
         )
-        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+        .orderBy(F.desc("part_value_q"), F.asc("l_partkey"))
     )
 
 

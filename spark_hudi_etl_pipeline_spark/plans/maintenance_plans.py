@@ -33,7 +33,8 @@ from .registry import query
     "incremental_agg_refresh",
     oracle="""
 SELECT user_id, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DECIMAL(28, 2)) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18, 2))) * 100 AS BIGINT)
+         AS sum_value_cents,
        CAST(floor(CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE)
                   / count(*) * 10000) AS BIGINT) AS avg_q
 FROM events
@@ -67,7 +68,11 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id",
         "n_events",
-        F.col("sum_value").cast("decimal(28,2)").alias("sum_value"),
+        # Exact cents as BIGINT (×100 lossless at scale 2): no raw
+        # DECIMAL in registered output (driver canonicalizer).
+        (F.col("sum_value").cast("decimal(28,2)") * 100)
+        .cast("long")
+        .alias("sum_value_cents"),
         F.floor(
             F.col("sum_value").cast("double") / F.col("n_events") * 10000
         )

@@ -64,6 +64,23 @@ def test_without_flag_strict_contract(spark):
         merge_upsert(existing, short, ["k"], "v").collect()
 
 
+def test_missing_key_or_precombine_raises(spark):
+    """Identity columns are exempt from evolution: a batch missing the
+    key or precombine column must fail loudly (Hudi rejects key-less
+    records; silent NULL-fill would collapse all rows into one NULL-key
+    group)."""
+    existing = _t(spark, [(1, 10, "a")], "k int, v int, payload string")
+    no_key = _t(spark, [(20, "b")], "v int, payload string")
+    with pytest.raises(ValueError, match="key/precombine"):
+        merge_upsert(existing, no_key, ["k"], "v", evolve_schema=True)
+    no_precombine = _t(spark, [(2, "b")], "k int, payload string")
+    with pytest.raises(ValueError, match="key/precombine"):
+        merge_upsert(existing, no_precombine, ["k"], "v", evolve_schema=True)
+    # First-write path (existing=None) enforces the same contract.
+    with pytest.raises(ValueError, match="key/precombine"):
+        merge_upsert(None, no_key, ["k"], "v")
+
+
 def test_align_is_map_only(spark):
     existing = _t(spark, [(1, 10, "a")], "k int, v int, payload string")
     batch = _t(spark, [(2, 20, "b", 0.5)],

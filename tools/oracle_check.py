@@ -68,6 +68,19 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}")
             continue
+        # Canonicalization guard (VERDICT r2 #6): the driver's pandas
+        # hasher renders DECIMAL differently across engines and dies on
+        # list/map cells, so registered output must scalarize these at the
+        # final projection (BIGINT integer scaling / array_join).
+        bad = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("decimal", "array", "map", "struct")
+        ]
+        if bad:
+            failures.append(name)
+            print(f"FAIL  {name}: non-scalar output columns {bad}")
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only]")
             continue
