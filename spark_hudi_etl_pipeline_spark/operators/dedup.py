@@ -170,9 +170,14 @@ def minhash_signature_arrow(num_hashes: int = 32, k: int = 5):
 def _fan_out(df: DataFrame) -> DataFrame:
     """Repartition a CPU-bound stage to default parallelism when the
     upstream scan planned fewer partitions than cores (local small-file
-    scans); no-op on a cluster where scans already have enough splits."""
+    scans); no-op on a cluster where scans already have enough splits.
+
+    Gated on the scan's file count (driver-side metadata, no job) rather
+    than ``df.rdd.getNumPartitions()``, which forces a plan-to-RDD
+    conversion per call. A non-file source reports zero files and fans
+    out — harmless for the local-collection inputs that hits."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 4):
+    if len(df.inputFiles()) < max(2, target // 4):
         df = df.repartition(target)
     return df
 

@@ -72,9 +72,28 @@ def pagerank_cust_supp_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pagerank_ranks(li: DataFrame, o: DataFrame, iters: int = _ITERS) -> DataFrame:
+# Above this many nodes the rank vector outgrows a sane broadcast
+# (5M nodes ≈ 100+ MB serialized with string keys) and every executor
+# would hold the whole graph's state — the scale path shuffles it instead.
+BROADCAST_RANK_MAX_NODES = 5_000_000
+
+
+def pagerank_ranks(
+    li: DataFrame,
+    o: DataFrame,
+    iters: int = _ITERS,
+    *,
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
     """Full rank vector after ``iters`` synchronous iterations — the
-    DataFrame-level core (tests check rank-mass conservation on it)."""
+    DataFrame-level core (tests check rank-mass conservation on it).
+
+    ``broadcast_ranks``: None (default) auto-selects on the measured node
+    count — broadcast-join the O(nodes) rank vector per iteration while it
+    fits (``BROADCAST_RANK_MAX_NODES``), else co-partitioned shuffle-hash
+    join: ranks shuffle on node (O(nodes) per iteration, never collected
+    whole anywhere), the materialized edge relation builds against them
+    without a sort — the plan shape that survives a billion-node graph."""
     e0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
@@ -85,7 +104,6 @@ def pagerank_ranks(li: DataFrame, o: DataFrame, iters: int = _ITERS) -> DataFram
     )
     e = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     # Degree is static — attach it to the edge list ONCE, so each
     # iteration is a single src-keyed join + dst-keyed fold (the edge
     # relation keeps its partitioning across iterations).
@@ -96,26 +114,28 @@ def pagerank_ranks(li: DataFrame, o: DataFrame, iters: int = _ITERS) -> DataFram
     # LSH banding (operators/dedup.py) — at cluster scale this is
     # persist(MEMORY_AND_DISK) on the co-partitioned edge relation.
     ed = ed.localCheckpoint(eager=True)
-    ranks = deg.crossJoin(F.broadcast(n)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
-    )
+    # (node, degree) and the node count both come from the MATERIALIZED
+    # edges — one cheap shuffle each, never a replay of the build join.
+    nodes = ed.select(F.col("src").alias("node"), "d").distinct()
+    n_nodes = nodes.count()
+    if broadcast_ranks is None:
+        broadcast_ranks = n_nodes <= BROADCAST_RANK_MAX_NODES
+    # 1/n and 0.15/n are single IEEE-double divisions in both engines
+    # (DuckDB computes the same from its n CTE) — bit-identical.
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("r"))
     for _ in range(iters):
-        # The rank vector is O(nodes) — orders smaller than the edge
-        # list; broadcast it so each iteration is map-side against the
-        # materialized edges + ONE fold shuffle on dst. (At
-        # billion-node scale you would instead co-partition ranks with
-        # ed on src and keep a shuffle-hash join — same plan shape,
-        # different join hint.)
-        contrib = ed.join(F.broadcast(ranks), ed["src"] == ranks["node"]).select(
+        rank_side = (
+            F.broadcast(ranks) if broadcast_ranks else ranks.hint("shuffle_hash")
+        )
+        contrib = ed.join(rank_side, ed["src"] == ranks["node"]).select(
             F.col("dst"), (F.col("r") / F.col("d")).alias("contrib")
         )
         ranks = (
             contrib.groupBy(F.col("dst").alias("node"))
             .agg(F.sum("contrib").alias("s"))
-            .crossJoin(F.broadcast(n))
             .select(
                 "node",
-                (F.lit(0.15) / F.col("n_nodes") + F.lit(_DAMP) * F.col("s")).alias("r"),
+                (F.lit(0.15) / F.lit(n_nodes) + F.lit(_DAMP) * F.col("s")).alias("r"),
             )
         )
     return ranks

@@ -56,6 +56,13 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     so: try the plain read, on failure flip the legacy conf at runtime
     and retry, then normalize whatever dtype ``ts`` came back as to
     TimestampType (µs, truncating — DuckDB's ns→µs cast does the same).
+
+    The conf flip deliberately persists on the caller's session: the scan
+    is lazy and re-reads the conf at execution time, so restoring it here
+    would break the very DataFrame being returned. Consequence for
+    callers: a later parquet read with TIMESTAMP(NANOS) columns in the
+    same session surfaces them as raw LongType (route it through this
+    loader's normalization if that matters).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
@@ -63,18 +70,28 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        # Older readers reject TIMESTAMP(NANOS); the legacy conf makes
-        # them surface raw nanos as LongType instead. Runtime-settable.
+    except Exception as ex:
+        # Only the nanos-type rejection is recoverable via the legacy
+        # conf (it makes readers surface raw nanos as LongType). Any
+        # other failure (missing file, corrupt footer, permissions) must
+        # propagate untouched — flipping the conf and retrying would
+        # mutate the session and then raise a second, unrelated error.
+        msg = str(ex)
+        if not ("NANOS" in msg or "nanos" in msg or "PARQUET_TYPE_ILLEGAL" in msg):
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):
         # Raw epoch-nanos. `div` (integer division) keeps full precision
-        # (a double detour would corrupt epoch-nanos > 2^53); going
-        # through TIMESTAMP_NTZ keeps the wall-clock value independent of
-        # the session time zone (NTZ→TIMESTAMP cast and collect() use the
-        # same zone, so they round-trip).
+        # (a double detour would corrupt epoch-nanos > 2^53). Going
+        # through TIMESTAMP_NTZ pins the wall-clock value; the final
+        # NTZ→TIMESTAMP cast re-interprets it in spark.sql.session.timeZone,
+        # which session.py pins to UTC. NOTE: a collect() converts via
+        # the DRIVER OS zone, not the session zone — values only
+        # round-trip because both are UTC here (a non-UTC session on a
+        # differently-zoned host would shift wall-clocks, and DST-gap
+        # wall-clocks can't round-trip through a non-UTC zone at all).
         df = df.withColumn(
             "ts",
             F.expr(

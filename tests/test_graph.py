@@ -21,6 +21,25 @@ def test_pagerank_mass_conserved(spark):
         assert abs(total - 1.0) < 1e-9
 
 
+def test_pagerank_scale_path_same_ranks(spark):
+    """The co-partitioned shuffle-hash path (what a billion-node graph
+    would run, no rank-vector broadcast) produces the exact same ranks
+    as the broadcast path, and its plan contains no broadcast of the
+    rank vector."""
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    b = pagerank_ranks(li, o, broadcast_ranks=True)
+    s = pagerank_ranks(li, o, broadcast_ranks=False)
+    rb = {r["node"]: r["r"] for r in b.collect()}
+    rs = {r["node"]: r["r"] for r in s.collect()}
+    assert rb.keys() == rs.keys()
+    # Same recurrence; only fp accumulation order may differ.
+    assert max(abs(rb[k] - rs[k]) for k in rb) < 1e-12
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
 def test_pagerank_top20_shape(spark):
     rows = QUERIES["pagerank_cust_supp_top20"](spark, SF_SMALL).collect()
     assert len(rows) == 20
