@@ -16,7 +16,7 @@ not be judged against an exact-SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup
@@ -180,6 +180,89 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle="WITH "
+    + _EXACT_CORPUS_SQL
+    + """,
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+             CAST(floor((len(t) - 1) / 16) AS BIGINT))) AS chunk_pos,
+         t
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, chunk_pos,
+         len(list_slice(t, chunk_pos * 16 + 1,
+                        least((chunk_pos + 1) * 16, len(t)))) AS n_toks,
+         array_to_string(list_slice(t, chunk_pos * 16 + 1,
+                         least((chunk_pos + 1) * 16, len(t))), ' ') AS chunk_text
+  FROM chunks
+),
+ranked AS (
+  SELECT doc_id, chunk_pos, n_toks,
+         row_number() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_pos) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS kept_tokens
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style chunk-level exact dedup: every document is cut into
+    16-token chunks, a chunk seen before anywhere in the corpus (first
+    occurrence = smallest (doc_id, chunk_pos)) is dropped, and the query
+    reports per-document kept/removed chunk and token counts — the
+    sub-document twin of :func:`dedup_exact_fingerprint` (a doc whose
+    every chunk is a dup is a verbatim copy; partial overlap catches
+    quoted/boilerplate spans whole-doc dedup misses).
+
+    Scale shape: the only shuffle is the global first-occurrence window,
+    keyed on ``xxhash64(chunk_text)`` — 8 bytes per chunk instead of the
+    chunk text itself (same shuffle compression as the boilerplate
+    filter), with the window state bounded per distinct chunk, never
+    O(corpus). The injected verbatim copies (doc_id ≥ 10000) make every
+    one of their chunks a duplicate deterministically."""
+    d = _with_exact_dups(spark, sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    nchunks = F.floor((F.size("t") - 1) / F.lit(16)).cast("long")
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0).cast("long"), nchunks)).alias("chunk_pos"),
+    )
+    piece = F.slice(F.col("t"), (F.col("chunk_pos") * 16 + 1).cast("int"), 16)
+    ch = chunks.select(
+        "doc_id",
+        "chunk_pos",
+        F.size(piece).alias("n_toks"),
+        # 64-bit hash stands in for the chunk text on the shuffle; at
+        # corpus scale a collision needs ~2^32 distinct chunks (and the
+        # oracle partitions by the text itself, so the gate would catch
+        # one at test scale).
+        F.xxhash64(F.concat_ws(" ", piece)).alias("chunk_key"),
+    )
+    w = Window.partitionBy("chunk_key").orderBy("doc_id", "chunk_pos")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum(F.when(F.col("rn") == 1, F.col("n_toks")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
         .orderBy("doc_id")
     )
 

@@ -58,13 +58,24 @@ def _oracle() -> str:
 @query("pagerank_cust_supp_top20", oracle=_oracle())
 def pagerank_cust_supp_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank nodes after 3 synchronous iterations (damping
-    0.85) on the undirected customer–supplier graph."""
+    0.85) on the undirected customer–supplier graph. The iteration runs
+    on packed BIGINT node ids; the oracle's string labels are decoded
+    only for the 20 output rows."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     ranks = pagerank_ranks(li, o)
     return (
         ranks.select(
-            "node",
+            F.when(
+                F.col("node") % 2 == 0,
+                F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+                )
+            )
+            .alias("node"),
             F.floor(F.col("r") * F.lit(1_000_000_000)).cast("long").alias("rank_q"),
         )
         .orderBy(F.desc("rank_q"), "node")
@@ -93,12 +104,18 @@ def pagerank_ranks(
     fits (``BROADCAST_RANK_MAX_NODES``), else co-partitioned shuffle-hash
     join: ranks shuffle on node (O(nodes) per iteration, never collected
     whole anywhere), the materialized edge relation builds against them
-    without a sort — the plan shape that survives a billion-node graph."""
+    without a sort — the plan shape that survives a billion-node graph.
+
+    Node ids are PACKED BIGINTS — customer c → 2c, supplier s → 2s+1 —
+    not strings: every iteration shuffles/hashes the node key, and 8-byte
+    fixed-width keys shuffle fewer bytes and hash faster than ~8-char
+    strings (the label form exists only in the oracle and the final
+    20-row decode)."""
     e0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
     )

@@ -250,3 +250,78 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction: regex scrubbing of emails and phone-like numbers — the
+# standard privacy pass a pretraining corpus runs before anything else.
+# The fixture text is synthetic (PII-free), so the plan deterministically
+# plants PII first (emails on doc_id % 3 == 0, phones on doc_id % 5 == 0;
+# the oracle plants the identical strings), making the redaction + counts
+# non-vacuous. Map-only codegen'd expressions — no shuffle, trivially
+# scales; the regexes avoid lookarounds so Java (Spark) and RE2 (DuckDB)
+# agree.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM planted
+ORDER BY doc_id
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub: count and redact planted emails/phone
+    numbers. Spark regexp_replace replaces all matches (= DuckDB's 'g')."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+    ).orderBy("doc_id")

@@ -171,3 +171,26 @@ def test_leakage_safe_split_atomic_clusters(spark):
     for i in range(5):
         assert by_id[i + 10000]["split"] == by_id[i]["split"]
         assert by_id[i + 10000]["canonical_id"] == by_id[i]["canonical_id"]
+
+
+def test_chunk_exact_dedup_invariants(spark):
+    """Injected verbatim copies (doc_id >= 10000) must have every chunk
+    marked duplicate and keep zero tokens; counts are conserved."""
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = {r["doc_id"]: r for r in QUERIES["dedup_chunk_exact"](spark, SF_SMALL).collect()}
+    copies = [r for doc_id, r in rows.items() if doc_id >= 10000]
+    assert len(copies) == 5
+    for r in copies:
+        assert r["n_dup_chunks"] == r["n_chunks"]
+        assert r["kept_tokens"] == 0
+    # Counts are internally consistent everywhere, and the corpus-wide
+    # duplicate mass is at least the injected copies' chunks (organic
+    # short-tail-chunk collisions in the small-vocab fixture can add
+    # more, but never less).
+    for r in rows.values():
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        assert r["kept_tokens"] <= r["n_chunks"] * 16
+    total_dups = sum(r["n_dup_chunks"] for r in rows.values())
+    assert total_dups >= sum(r["n_chunks"] for r in copies)

@@ -357,3 +357,19 @@ def test_boilerplate_fraction_bounds(spark):
     for r in rows:
         assert 0.0 <= r["boilerplate_frac"] <= 1.0
         assert r["n_shingles"] >= 1
+
+
+def test_pii_redaction_clean(spark):
+    """After redaction no email/phone pattern survives, and counts match
+    the planting rule (email iff doc_id%3==0, phone iff doc_id%5==0)."""
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from tests.conftest import SF_SMALL
+
+    out = QUERIES["text_pii_redaction"](spark, SF_SMALL)
+    rows = out.collect()
+    for r in rows:
+        assert r["n_emails"] == (1 if r["doc_id"] % 3 == 0 else 0)
+        assert r["n_phones"] == (1 if r["doc_id"] % 5 == 0 else 0)
+        assert "@" not in r["clean_text"]
+        assert ("<EMAIL>" in r["clean_text"]) == (r["doc_id"] % 3 == 0)
+        assert ("<PHONE>" in r["clean_text"]) == (r["doc_id"] % 5 == 0)
