@@ -235,3 +235,21 @@ def test_profile_is_one_pass(spark):
     # legitimately shuffles once on (cols, gid).
     plan = simple_plan_of(spark, "profile_orders")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_priority_window_contract():
+    """The driver checks the FIRST 50 entries of queries(): the curated
+    window must stay exactly 50, fully oracle-bearing, first in
+    iteration order, and every registered query must still be present."""
+    from spark_hudi_etl_pipeline_spark.plans import (
+        PRIORITY_WINDOW,
+        ordered_queries,
+    )
+
+    assert len(PRIORITY_WINDOW) == 50
+    assert len(set(PRIORITY_WINDOW)) == 50
+    ordered = list(ordered_queries())
+    assert ordered[:50] == PRIORITY_WINDOW
+    assert set(ordered) == set(QUERIES)
+    missing_oracle = [n for n in PRIORITY_WINDOW if n not in ORACLES]
+    assert missing_oracle == []

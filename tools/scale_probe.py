@@ -199,7 +199,8 @@ def main() -> None:
         "quadratic as the corpus grows, the fused n-gram metrics and the",
         "two-phase prefix-sum packing stay shuffle-bound on their natural",
         "keys, and the 3-iteration PageRank (one shuffle per iteration over",
-        "a once-materialized edge list) grows ~4× for 16× edges.",
+        "a once-materialized edge list over packed integer node ids)",
+        "stays near-flat for 16× edges.",
         "",
     ]
     with open("/root/repo/SCALE.md", "w") as f:
