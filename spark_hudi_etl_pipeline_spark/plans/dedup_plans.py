@@ -380,3 +380,89 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "canonical_id", "split")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_chunk_apply",
+    oracle="WITH "
+    + _EXACT_CORPUS_SQL
+    + """,
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+             CAST(floor((len(t) - 1) / 16) AS BIGINT))) AS chunk_pos,
+         t
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, chunk_pos,
+         array_to_string(list_slice(t, chunk_pos * 16 + 1,
+                         least((chunk_pos + 1) * 16, len(t))), ' ') AS chunk_text
+  FROM chunks
+),
+ranked AS (
+  SELECT doc_id, chunk_pos, chunk_text,
+         row_number() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_pos) AS rn
+  FROM ch
+)
+SELECT c.doc_id,
+       coalesce(k.kept_text, '') AS kept_text,
+       coalesce(k.n_kept_chunks, 0) AS n_kept_chunks
+FROM corpus c
+LEFT JOIN (
+  SELECT doc_id,
+         string_agg(chunk_text, ' ' ORDER BY chunk_pos) AS kept_text,
+         count(*) AS n_kept_chunks
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+) k USING (doc_id)
+ORDER BY c.doc_id
+""",
+)
+def dedup_chunk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of chunk-level dedup (:func:`dedup_chunk_exact`
+    reports, this one produces): each document's text rebuilt from only
+    its first-occurrence chunks, in order — verbatim copies collapse to
+    empty text, partially-duplicated documents lose exactly their
+    repeated spans. Unlike the stats query the window must carry the
+    chunk text (it is the output), so the shuffle is O(corpus tokens) —
+    the unavoidable cost of materializing a deduplicated corpus."""
+    d = _with_exact_dups(spark, sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    nchunks = F.floor((F.size("t") - 1) / F.lit(16)).cast("long")
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0).cast("long"), nchunks)).alias("chunk_pos"),
+    )
+    piece = F.slice(F.col("t"), (F.col("chunk_pos") * 16 + 1).cast("int"), 16)
+    ch = chunks.select(
+        "doc_id", "chunk_pos", F.concat_ws(" ", piece).alias("chunk_text")
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_pos")
+    kept = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_pos", "chunk_text"))),
+                    lambda x: x["chunk_text"],
+                ),
+            ).alias("kept_text"),
+            F.count(F.lit(1)).alias("n_kept_chunks"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(kept, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+            F.coalesce(F.col("n_kept_chunks"), F.lit(0)).alias("n_kept_chunks"),
+        )
+        .orderBy("doc_id")
+    )

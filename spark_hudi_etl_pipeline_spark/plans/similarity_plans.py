@@ -202,3 +202,113 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# k-means assignment step (E-step), completing the loop with
+# embedding_centroids (the M-step): every vector goes to its
+# highest-cosine label centroid. The centroids are floor-quantized to
+# integers FIRST — the per-label averages are parallel double sums whose
+# last ulp is accumulation-order-dependent, but the quantized integers
+# are engine-invariant, and every downstream product/sum runs the same
+# left-to-right double arithmetic in both engines, so the argmax is
+# bit-deterministic (ties break on label). Scale shape: centroids are
+# |labels|×dim (tiny, broadcast); the corpus is scanned once, map-side —
+# no shuffle of the vectors at any corpus size.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_assign_nearest",
+    oracle="""
+WITH cent AS (
+  SELECT label, i - 1 AS dim_idx,
+         CAST(floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000) AS BIGINT) AS cq
+  FROM embeddings, generate_series(1, 64) AS s(i)
+  GROUP BY label, i
+),
+carr AS (SELECT label, list(cq ORDER BY dim_idx) AS c FROM cent GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label AS orig_label, c.label AS cand_label,
+         list_sum(list_transform(list_zip(e.embedding, c.c),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(CAST(list_sum(list_transform(c.c, x -> x * x)) AS DOUBLE)))
+           AS cos
+  FROM embeddings e, carr c
+),
+r AS (
+  SELECT vec_id, orig_label, cand_label, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cand_label) AS rn
+  FROM scored
+)
+SELECT vec_id, orig_label, cand_label AS assigned_label,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_q
+FROM r WHERE rn = 1 ORDER BY vec_id
+""",
+)
+def embedding_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.floor(F.avg(F.col("v").cast("double")) * 10000)
+            .cast("long")
+            .alias("cq")
+        )
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "cq"))).alias("s"))
+        .select(
+            F.col("label").alias("cand_label"),
+            F.transform("s", lambda x: x["cq"]).alias("c"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "c", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # Integer sum of squares (exact, fits BIGINT: |cq| ≤ ~2×10⁴ squared
+    # × 64 dims), then one double sqrt — bit-identical across engines.
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform("c", lambda x: x * x), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    scored = (
+        emb.select("vec_id", F.col("label").alias("orig_label"), "embedding")
+        .crossJoin(F.broadcast(carr))
+        .select(
+            "vec_id",
+            "orig_label",
+            "cand_label",
+            (dot / (vnorm * cnorm)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cand_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "orig_label",
+            F.col("cand_label").alias("assigned_label"),
+            F.floor(F.col("cos") * 10000).cast("long").alias("cos_q"),
+        )
+        .orderBy("vec_id")
+    )

@@ -325,3 +325,80 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("clean_text"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Quality-stratified downsampling: rank the corpus by the composite
+# quality score, quartile it, and keep a deterministic hash-sample per
+# quartile (all of the best quartile, progressively less of worse ones) —
+# the standard "oversample high-quality data" curation step, as one
+# declarative plan. Membership is a pure function of the row (md5 bucket,
+# engine-portable), so the sample is stable under repartition/append.
+# The ntile ranks by the ROUNDED score (what quality_score emits) with a
+# doc_id tie-break — both engines order identical values identically.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sample_by_quality_bucket",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+           / greatest(length(text), 1) AS punct_ratio,
+         {_STOP_HITS['en']} / greatest(len({_LOWER_TOKS}), 1) AS stop_ratio,
+         list_sum(list_transform({_TOKS}, t -> length(t)))
+           / greatest(len({_TOKS}), 1) AS mtl
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0
+                 WHEN n < 50 THEN n / 50.0 ELSE 20000.0 / n END) * 0.3
+         + (1.0 - least(punct_ratio * 4, 1.0)) * 0.2
+         + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE stop_ratio / 0.05 END) * 0.3
+         + (CASE WHEN mtl BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+         , 6) AS quality
+  FROM m
+),
+b AS (
+  SELECT doc_id,
+         ntile(4) OVER (ORDER BY quality DESC, doc_id) AS bucket
+  FROM q
+)
+SELECT bucket, count(*) AS n_docs,
+       sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                CASE bucket WHEN 1 THEN 'zzzz' WHEN 2 THEN '8000'
+                            WHEN 3 THEN '4000' ELSE '2000' END
+           THEN 1 ELSE 0 END) AS n_kept
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def sample_by_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep 100%/50%/25%/12.5% of quality quartiles 1-4, deterministically
+    by md5(doc_id) bucket; reports per-quartile corpus and kept counts."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import hash_bucket, hex_threshold
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", text.quality_score("text").alias("quality"))
+    b = scored.withColumn(
+        "bucket",
+        F.ntile(4).over(Window.orderBy(F.desc("quality"), F.asc("doc_id"))),
+    )
+    thr = (
+        F.when(F.col("bucket") == 1, hex_threshold(1.0))
+        .when(F.col("bucket") == 2, hex_threshold(0.5))
+        .when(F.col("bucket") == 3, hex_threshold(0.25))
+        .otherwise(hex_threshold(0.125))
+    )
+    keep = (hash_bucket(F.col("doc_id")) < thr).cast("int")
+    return (
+        b.select("bucket", keep.alias("keep"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("keep").alias("n_kept"))
+        .orderBy("bucket")
+    )

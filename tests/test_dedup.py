@@ -194,3 +194,19 @@ def test_chunk_exact_dedup_invariants(spark):
         assert r["kept_tokens"] <= r["n_chunks"] * 16
     total_dups = sum(r["n_dup_chunks"] for r in rows.values())
     assert total_dups >= sum(r["n_chunks"] for r in copies)
+
+
+def test_chunk_apply_consistent_with_stats(spark):
+    """The apply step keeps exactly the chunks the stats query says
+    survive, and verbatim copies collapse to empty text."""
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from tests.conftest import SF_SMALL
+
+    stats = {r["doc_id"]: r for r in QUERIES["dedup_chunk_exact"](spark, SF_SMALL).collect()}
+    applied = {r["doc_id"]: r for r in QUERIES["dedup_chunk_apply"](spark, SF_SMALL).collect()}
+    assert stats.keys() == applied.keys()
+    for doc_id, s in stats.items():
+        a = applied[doc_id]
+        assert a["n_kept_chunks"] == s["n_chunks"] - s["n_dup_chunks"]
+        if doc_id >= 10000:
+            assert a["kept_text"] == "" and a["n_kept_chunks"] == 0

@@ -130,3 +130,20 @@ def test_ivf_probe_bounds(spark, emb):
     total = emb.count()
     for r in per_q:
         assert r["count"] < total
+
+
+def test_assign_nearest_shape(spark):
+    """E-step output: one row per vector, labels from the corpus label
+    set, quantized cosine within [-10000, 10000]."""
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    rows = QUERIES["embedding_assign_nearest"](spark, SF_SMALL).collect()
+    assert len(rows) == emb.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["assigned_label"] in labels
+        assert -10000 <= r["cos_q"] <= 10000

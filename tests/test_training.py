@@ -373,3 +373,18 @@ def test_pii_redaction_clean(spark):
         assert "@" not in r["clean_text"]
         assert ("<EMAIL>" in r["clean_text"]) == (r["doc_id"] % 3 == 0)
         assert ("<PHONE>" in r["clean_text"]) == (r["doc_id"] % 5 == 0)
+
+
+def test_quality_bucket_sampling_rates(spark):
+    """Quartiles partition the corpus; the best quartile keeps
+    everything; kept counts never exceed the quartile size."""
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = {r["bucket"]: r for r in QUERIES["sample_by_quality_bucket"](spark, SF_SMALL).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    n_total = sum(r["n_docs"] for r in rows.values())
+    assert n_total == 500
+    assert rows[1]["n_kept"] == rows[1]["n_docs"]
+    for r in rows.values():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
