@@ -417,6 +417,171 @@ def upsert_parquet_indexed(
     return n_written
 
 
+#: Bloom-index sizing: 65536 bits (8 KiB) / 5 hashes per file ⇒ <0.5%
+#: false-positive rate at ~5000 distinct keys per file (Hudi's dynamic
+#: bloom targets the same regime). A false positive only costs an extra
+#: file rewrite; false negatives are impossible (bloom property).
+BLOOM_BITS = 65536
+BLOOM_HASHES = 5
+_BLOOM_DIR = "_bloom"  # underscore prefix: invisible to parquet scans
+
+
+def _bloom_positions(key_col):
+    """Array of BLOOM_HASHES bit positions for one key (xxhash64 seeded
+    by hashing the seed literal alongside the key)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(key_col, F.lit(s)), F.lit(BLOOM_BITS))
+            for s in range(BLOOM_HASHES)
+        ]
+    )
+
+
+def _bloom_words(file_keys: DataFrame, key: str) -> DataFrame:
+    """Fold a (file, key) relation into per-file bloom bitsets stored as
+    a sparse (file, word_idx, word) relation — ≤ BLOOM_BITS/64 rows per
+    file regardless of row count (the aggregate is the index build)."""
+    p = file_keys.select("file", F.explode(_bloom_positions(F.col(key))).alias("pos"))
+    return (
+        p.select(
+            "file",
+            F.expr("pos div 64").cast("int").alias("word_idx"),
+            # shiftleft's bit-count argument must be a column here, which
+            # the Python F.shiftleft API doesn't accept — SQL form.
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+
+def _table_bloom_words(spark, path: str, key: str, files: list[str] | None = None) -> DataFrame:
+    """Bloom words for ``files`` of the table (all files when None),
+    reading only the key column (column-pruned scan)."""
+    import os
+
+    src = (
+        spark.read.parquet(*[os.path.join(path, f) for f in files])
+        if files
+        else spark.read.parquet(path)
+    )
+    keyed = src.select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+        F.col(key),
+    )
+    return _bloom_words(keyed, key)
+
+
+def upsert_parquet_bloom_indexed(
+    spark,
+    batch: DataFrame,
+    path: str,
+    key: str,
+    precombine: str,
+    *,
+    delete_col: str | None = None,
+) -> int:
+    """Bloom-indexed COW upsert — Hudi's DEFAULT index type
+    (``hoodie.index.type=BLOOM``; pipeline_architecture.py:183-192 runs
+    its upserts against exactly this index): each data file carries an
+    8 KiB bloom bitset over its record keys, a batch rewrites only the
+    files whose bloom *might* contain a batch key, and — unlike the
+    key-range SIMPLE index of :func:`upsert_parquet_indexed` — pruning
+    survives an UNCLUSTERED layout: membership is per-key, not per-range,
+    so scattered keys still skip every file they can't be in.
+
+    The index lives in a ``_bloom`` sidecar relation (underscore-prefixed
+    ⇒ invisible to table scans; Hudi stores the same bits in file footers
+    / its metadata table), maintained incrementally: only files written
+    by this commit get their blooms (re)computed, O(batch), never
+    O(table). Probing is a broadcast join of the tiny word relation
+    against the batch's distinct keys — a file is affected when all
+    BLOOM_HASHES bits of some batch key are set — so neither the batch
+    nor the table ever reaches the driver (only the affected-file NAME
+    list does, as with Hudi's index lookup).
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    sidecar = os.path.join(path, _BLOOM_DIR)
+
+    if not os.path.isdir(path):
+        merged = merge_upsert(None, batch, [key], precombine, delete_col=delete_col)
+        merged.write.mode("overwrite").parquet(path)
+        _table_bloom_words(spark, path, key).write.mode("overwrite").parquet(sidecar)
+        return merged.count()
+
+    words = (
+        spark.read.parquet(sidecar)
+        if os.path.isdir(sidecar)
+        else _table_bloom_words(spark, path, key)  # cold build: one key scan
+    )
+    # Materialize now (metadata-scale): the commit below deletes data
+    # files and overwrites the sidecar this lazy plan reads from.
+    words = words.localCheckpoint(eager=True)
+    probe = (
+        batch.select(F.col(key).alias("__bk"))
+        .distinct()
+        .select(
+            "__bk", F.posexplode(_bloom_positions(F.col("__bk"))).alias("seed", "pos")
+        )
+        .select(
+            "__bk",
+            "seed",
+            F.expr("pos div 64").cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+    )
+    affected = [
+        r["file"]
+        for r in (
+            probe.join(F.broadcast(words), on="word_idx")
+            .filter(F.col("word").bitwiseAND(F.col("mask")) != 0)
+            .groupBy("file", "__bk")
+            .agg(F.countDistinct("seed").alias("nbits"))
+            .filter(F.col("nbits") == BLOOM_HASHES)
+            .select("file")
+            .distinct()
+            .collect()
+        )
+    ]
+    if affected:
+        existing_sub = spark.read.parquet(*[os.path.join(path, f) for f in affected])
+        merged = merge_upsert(existing_sub, batch, [key], precombine, delete_col=delete_col)
+    else:
+        merged = merge_upsert(None, batch, [key], precombine, delete_col=delete_col)
+
+    # Same stage → move-in → delete-replaced commit as the SIMPLE index.
+    staging = f"{path}/.staging-{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(staging)
+    n_written = 0
+    try:
+        moved = []
+        for i, f in enumerate(sorted(glob.glob(f"{staging}/*.parquet"))):
+            dest = os.path.join(path, f"part-upsert-{uuid.uuid4().hex}-{i:05d}.parquet")
+            shutil.move(f, dest)
+            moved.append(dest)
+        for f in affected:
+            os.remove(os.path.join(path, f))
+        n_written = spark.read.parquet(*moved).count() if moved else 0
+        # Incremental index maintenance: drop replaced files' words, add
+        # the new files' words — O(commit), the sidecar rewrite itself is
+        # metadata-scale. (words is already materialized above.)
+        kept = words.filter(~F.col("file").isin(affected))
+        new_words = (
+            _table_bloom_words(spark, path, key, [os.path.basename(m) for m in moved])
+            if moved
+            else None
+        )
+        out_words = kept.unionByName(new_words) if new_words is not None else kept
+        out_words.write.mode("overwrite").parquet(sidecar)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return n_written
+
+
 def hudi_writer_options(
     table_name: str,
     keys: list[str],

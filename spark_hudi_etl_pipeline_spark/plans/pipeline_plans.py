@@ -809,6 +809,85 @@ def upsert_file_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bloom-indexed upsert (operators/merge.py::upsert_parquet_bloom_indexed
+# — Hudi BLOOM-index COW write, Hudi's default index): orders is written
+# hash-scattered (repartition by key — every file's key RANGE spans the
+# domain, so range pruning would degrade to a full rewrite), then the
+# same update/insert batch merges in; per-file bloom bitsets still
+# rewrite only the files that can contain a batch key (mtime evidence in
+# tests/test_merge_partitioned.py). Oracle = the same canonical
+# window-dedup merge — the index must never change the result.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "upsert_bloom_indexed",
+    oracle="""
+WITH batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 1 AS is_batch
+  FROM orders WHERE o_orderkey % 9 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, o_orderdate, 1
+  FROM orders WHERE o_orderkey % 333 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 0 AS is_batch
+  FROM orders
+  UNION ALL
+  SELECT * FROM batch
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def upsert_bloom_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.merge import upsert_parquet_bloom_indexed
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/bloom_upsert_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # fresh table per run
+    orders.repartition(16, F.col("o_orderkey")).write.mode("overwrite").parquet(path)
+    updates = (
+        orders.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 333 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1000000000
+    )
+    upsert_parquet_bloom_indexed(
+        spark,
+        updates.unionByName(inserts),
+        path,
+        "o_orderkey",
+        "o_orderdate",
+    )
+    return (
+        spark.read.parquet(path)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Stream-static join: the unbounded event stream enriched with a static
 # dimension (per-user segment derived from customer) — the most common
 # streaming enrichment shape. The static side is a plain DataFrame

@@ -231,3 +231,83 @@ def test_indexed_upsert_delete_records(spark, keyed_table):
     out = spark.read.parquet(keyed_table)
     assert out.count() == 98
     assert out.filter(F.col("k").isin([3, 42])).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom-indexed upsert (upsert_parquet_bloom_indexed): per-file bloom
+# bitsets as the write index. Unlike the range index, pruning must
+# survive an UNCLUSTERED (hash-scattered) layout.
+# ---------------------------------------------------------------------------
+
+from spark_hudi_etl_pipeline_spark.operators.merge import (
+    upsert_parquet_bloom_indexed,
+)
+
+
+@pytest.fixture()
+def scattered_table(spark, tmp_path):
+    """100 keys hash-scattered over 5 files — every file's key RANGE
+    spans nearly the whole domain (the worst case for the range index)."""
+    path = str(tmp_path / "scattered")
+    rows = [(k, f"v{k}", 1) for k in range(100)]
+    df = spark.createDataFrame(rows, KSCHEMA).repartition(5, F.col("k"))
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_bloom_upsert_prunes_on_scattered_layout(spark, scattered_table):
+    before = all_files(scattered_table)
+    batch = spark.createDataFrame([(3, "v3-new", 2)], KSCHEMA)
+    upsert_parquet_bloom_indexed(spark, batch, scattered_table, "k", "prec")
+    after = all_files(scattered_table)
+    survivors = set(before) & set(after)
+    # Only the one file whose bloom contains key 3 is replaced; with
+    # 8 KiB blooms over ~20 keys, false positives are ~impossible.
+    assert len(set(before) - survivors) == 1
+    assert all(after[f] == before[f] for f in survivors)
+    out = {(r["k"], r["v"]) for r in spark.read.parquet(scattered_table).collect()}
+    assert (3, "v3-new") in out and (4, "v4") in out
+    assert len(out) == 100
+
+
+def test_bloom_upsert_matches_full_merge(spark, scattered_table):
+    batch = spark.createDataFrame(
+        [(10, "u10", 9), (55, "u55", 9), (200, "ins", 9), (20, "stale", 0)],
+        KSCHEMA,
+    )
+    full = spark.read.parquet(scattered_table)
+    expected = {
+        tuple(r) for r in merge_upsert(full, batch, ["k"], "prec").collect()
+    }
+    upsert_parquet_bloom_indexed(spark, batch, scattered_table, "k", "prec")
+    got = {tuple(r) for r in spark.read.parquet(scattered_table).collect()}
+    assert got == expected
+
+
+def test_bloom_upsert_pure_insert_no_rewrites(spark, scattered_table):
+    before = all_files(scattered_table)
+    batch = spark.createDataFrame([(1000, "new", 1), (1001, "new", 1)], KSCHEMA)
+    upsert_parquet_bloom_indexed(spark, batch, scattered_table, "k", "prec")
+    after = all_files(scattered_table)
+    assert all(after[f] == before[f] for f in before)
+    assert len(after) > len(before)
+    assert spark.read.parquet(scattered_table).count() == 102
+
+
+def test_bloom_upsert_delete_records_and_incremental_index(spark, scattered_table):
+    batch = spark.createDataFrame(
+        [(3, None, 9, True), (42, None, 9, True)],
+        "k long, v string, prec long, deleted boolean",
+    )
+    upsert_parquet_bloom_indexed(
+        spark, batch, scattered_table, "k", "prec", delete_col="deleted"
+    )
+    out = spark.read.parquet(scattered_table)
+    assert out.count() == 98
+    assert out.filter(F.col("k").isin([3, 42])).count() == 0
+    # The sidecar tracks exactly the current data files.
+    import os
+
+    sidecar = spark.read.parquet(os.path.join(scattered_table, "_bloom"))
+    indexed = {r["file"] for r in sidecar.select("file").distinct().collect()}
+    assert indexed == set(all_files(scattered_table))
