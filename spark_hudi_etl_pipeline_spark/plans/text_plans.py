@@ -402,3 +402,85 @@ def sample_by_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("keep").alias("n_kept"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-id encoding: build the corpus vocabulary (top-100 terms by
+# document frequency) and encode every document as its sequence of
+# vocabulary ids (OOV → 0) — the text→ints step every training pipeline
+# runs before batching. Scale shape: the vocab is a top-k (TakeOrdered,
+# never a global sort), ids attach via a BROADCAST join against the
+# exploded tokens (the corpus shuffles once, on doc_id, to reassemble
+# ordered sequences), and the id sequence ships as a CSV string (scalar
+# output contract).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_encode_ids",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS term
+  FROM toks
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM tok WHERE term <> '' GROUP BY term
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS id
+  FROM df ORDER BY df DESC, term LIMIT 100
+),
+enc AS (
+  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+  FROM tok t LEFT JOIN vocab v USING (term)
+)
+SELECT doc_id,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv,
+       count(*) AS n_tokens,
+       sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_oov
+FROM enc GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    tok = d.select("doc_id", F.posexplode("t").alias("pos0", "term")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "term"
+    )
+    df_rel = (
+        tok.filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    # Top-k FIRST (TakeOrdered — no global sort/window over the full
+    # term relation), then ids from a window over the 100-row result.
+    top = df_rel.orderBy(F.desc("df"), F.asc("term")).limit(100)
+    vocab = top.withColumn(
+        "id", F.row_number().over(Window.orderBy(F.desc("df"), F.asc("term")))
+    ).select("term", "id")
+    enc = tok.join(F.broadcast(vocab), on="term", how="left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda x: x["id"].cast("string"),
+                ),
+            ).alias("ids_csv"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )

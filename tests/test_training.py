@@ -388,3 +388,18 @@ def test_quality_bucket_sampling_rates(spark):
     assert rows[1]["n_kept"] == rows[1]["n_docs"]
     for r in rows.values():
         assert 0 <= r["n_kept"] <= r["n_docs"]
+
+
+def test_encode_ids_consistency(spark):
+    """Id sequence length equals token count; ids are within the vocab
+    range; OOV count matches zeros in the sequence."""
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["text_encode_ids"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        ids = [int(x) for x in r["ids_csv"].split(",")]
+        assert len(ids) == r["n_tokens"]
+        assert all(0 <= i <= 100 for i in ids)
+        assert sum(1 for i in ids if i == 0) == r["n_oov"]
