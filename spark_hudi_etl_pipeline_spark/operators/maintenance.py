@@ -85,6 +85,63 @@ def refresh_aggregate_parquet(
     return merged
 
 
+def refresh_join_parquet(
+    spark: SparkSession,
+    a_batch: DataFrame | None,
+    b_batch: DataFrame | None,
+    path: str,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of a materialized INNER-JOIN view (the
+    delta rule: ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, for append-only sides):
+    fold new batches of either input into the join view at ``path``
+    without ever re-joining the full inputs.
+
+    State layout: ``path/a`` and ``path/b`` accumulate the (append-only)
+    inputs; ``path/v`` accumulates the view. Per refresh, the three
+    delta joins each have a batch on at least one side — with batches
+    small relative to the accumulated tables, Catalyst broadcasts the
+    batch side and the big side never shuffles; cost is O(Δ · matches),
+    never O(|A| · |B|). The full recompute is the oracle, not the plan.
+
+    Append-only contract (no updates/deletes — the CDC-complete rule
+    also subtracts retractions; that path belongs to a connector with a
+    transaction log). Returns the post-refresh view.
+    """
+    import os
+
+    a_path, b_path, v_path = (os.path.join(path, s) for s in ("a", "b", "v"))
+
+    def _read(p: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(p)
+        except Exception:  # first refresh: no state yet
+            return None
+
+    a_old, b_old = _read(a_path), _read(b_path)
+    deltas = []
+    if a_batch is not None and b_old is not None:
+        deltas.append(F.broadcast(a_batch).join(b_old, on=on))
+    if b_batch is not None and a_old is not None:
+        deltas.append(a_old.join(F.broadcast(b_batch), on=on))
+    if a_batch is not None and b_batch is not None:
+        deltas.append(a_batch.join(b_batch, on=on))
+    v_old = _read(v_path)
+    parts = ([v_old] if v_old is not None else []) + deltas
+    if not parts:
+        raise ValueError("nothing to refresh: no state and no batches")
+    view = parts[0]
+    for p in parts[1:]:
+        view = view.unionByName(p)
+    view = view.localCheckpoint(eager=True)  # materialize before overwrite
+    view.write.mode("overwrite").parquet(v_path)
+    for batch, old, p in ((a_batch, a_old, a_path), (b_batch, b_old, b_path)):
+        if batch is not None:
+            acc = old.unionByName(batch) if old is not None else batch
+            acc.localCheckpoint(eager=True).write.mode("overwrite").parquet(p)
+    return view
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -257,3 +257,52 @@ def clustered_scan_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental JOIN-view maintenance: the delta rule ΔV = ΔA⋈B ∪ A⋈ΔB ∪
+# ΔA⋈ΔB folds append-only batches of BOTH join inputs into a
+# materialized orders⋈customer view without ever re-joining full
+# history. The oracle is the one thing the incremental path must
+# converge to: the full join recomputed from scratch.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "incremental_join_refresh",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) * 100 AS BIGINT)
+         AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import refresh_join_parquet
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/join_state_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # fresh state per run
+    cut = F.lit("1995-06-01 00:00:00").cast("timestamp")
+    o_batches = (o.filter(F.col("o_orderdate") < cut), o.filter(F.col("o_orderdate") >= cut))
+    c_batches = (c.filter(F.col("o_custkey") % 2 == 0), c.filter(F.col("o_custkey") % 2 == 1))
+    for ob, cb in zip(o_batches, c_batches):
+        view = refresh_join_parquet(spark, ob, cb, path, on=["o_custkey"])
+    return (
+        view.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

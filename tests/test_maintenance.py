@@ -95,3 +95,28 @@ def test_compact_parquet_reduces_files_keeps_data(spark, tmp_path):
         F.sum("event_id"), F.count(F.lit(1))
     ).collect()[0]
     assert tuple(after_sum) == tuple(before_sum)
+
+
+def test_join_refresh_converges_to_full_join(spark, tmp_path):
+    """Batched delta-rule maintenance equals the full A⋈B, including a
+    one-sided refresh (only new A rows) and a final both-sided batch."""
+    from spark_hudi_etl_pipeline_spark.operators.maintenance import (
+        refresh_join_parquet,
+    )
+
+    path = str(tmp_path / "jv")
+    a = spark.createDataFrame(
+        [(k, f"a{k}") for k in range(20)], "k int, av string"
+    )
+    b = spark.createDataFrame(
+        [(k % 7, f"b{k}") for k in range(15)], "k int, bv string"
+    )
+    # Fold in three refreshes: (A half, B half), (A rest only), (B rest).
+    a1, a2 = a.filter(F.col("k") < 10), a.filter(F.col("k") >= 10)
+    b1, b2 = b.filter(F.col("bv") < "b8"), b.filter(F.col("bv") >= "b8")
+    refresh_join_parquet(spark, a1, b1, path, on=["k"])
+    refresh_join_parquet(spark, a2, None, path, on=["k"])
+    view = refresh_join_parquet(spark, None, b2, path, on=["k"])
+    got = {tuple(r) for r in view.select("k", "av", "bv").collect()}
+    expected = {tuple(r) for r in a.join(b, on=["k"]).select("k", "av", "bv").collect()}
+    assert got == expected and len(got) > 0
