@@ -90,3 +90,41 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-k per-group sampling: exactly 10 documents per source, chosen by
+# md5 priority — the deterministic replacement for reservoir sampling
+# when the sample must be reproducible across engines/runs/partitionings
+# (hash-fraction sampling gives a BINOMIAL count; training-data recipes
+# often need exact shard sizes). One window shuffle on the group key;
+# the per-group heap state is k rows, independent of group size.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sample_fixed_per_source",
+    oracle="""
+SELECT source, doc_id, rnk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rnk
+  FROM documents)
+WHERE rnk <= 10
+ORDER BY source, rnk
+""",
+)
+def sample_fixed_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("source", "rnk")
+    )

@@ -90,3 +90,19 @@ def test_hash_bucket_matches_duckdb(spark):
             f"SELECT substring(md5(CAST({i} AS VARCHAR)), 1, 4)"
         ).fetchone()
         assert got[i] == exp, f"md5 bucket diverges for key {i}"
+
+
+def test_fixed_per_source_exact_k_and_stable(spark):
+    """Exactly 10 per source, and membership is invariant under
+    repartitioning (pure function of the row)."""
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from tests.conftest import SF_SMALL
+
+    out = QUERIES["sample_fixed_per_source"](spark, SF_SMALL)
+    rows = out.collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 10 for v in per_source.values())
+    again = {(r["source"], r["doc_id"]) for r in QUERIES["sample_fixed_per_source"](spark, SF_SMALL).collect()}
+    assert again == {(r["source"], r["doc_id"]) for r in rows}
