@@ -174,6 +174,53 @@ def ivf_assign(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame, *, corpus_id: str, vec_col: str, n_centroids: int
+) -> DataFrame:
+    """Deterministic, seed-free centroid table: the ``n_centroids``
+    lowest-id corpus vectors (a production index would k-means refine
+    them — that changes recall, not any plan shape downstream).
+    TakeOrderedAndProject (orderBy+limit) picks the seeds without a
+    global sort; the single-partition row_number then runs over just
+    n_centroids rows, never the corpus. Returned broadcast-hinted."""
+    seeds = (
+        corpus.select(F.col(corpus_id), F.col(vec_col))
+        .orderBy(F.asc(corpus_id))
+        .limit(n_centroids)
+    )
+    return F.broadcast(
+        seeds.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(F.asc(corpus_id)))
+        ).select(
+            (F.col("__rn") - 1).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+
+def _ivf_score_lists(
+    c_lists: DataFrame, queries: DataFrame, centroids: DataFrame,
+    *, query_id: str, vec_col: str, nprobe: int, k: int,
+) -> DataFrame:
+    """Shared IVF tail: probe each query's nprobe lists, exact cosine
+    re-rank inside. ``c_lists`` columns: (cid, cv, centroid_id)."""
+    q_probes = F.broadcast(
+        ivf_assign(
+            queries, centroids, id_col=query_id, vec_col=vec_col, out_vec="qv",
+            nprobe=nprobe,
+        ).select(F.col(query_id).alias("qid"), "qv", "centroid_id")
+    )
+    scored = c_lists.join(q_probes, on="centroid_id").select(
+        "qid", "cid", F.round(vectors.cosine("cv", "qv"), 4).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -189,44 +236,79 @@ def ivf_ann(
     ``n_centroids`` inverted lists (nearest-centroid assignment), probe
     each query's ``nprobe`` nearest lists, exact cosine re-rank inside.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors —
-    deterministic and seed-free; a production index would k-means refine
-    them, which changes recall, not this plan shape. At 100 TB the corpus
-    is written partitioned by ``centroid_id``, so a probe is partition
-    pruning: it reads nprobe/n_centroids of the data (the same IVF story
-    as FAISS, expressed as a layout + bucket join).
+    At 100 TB the corpus is written partitioned by ``centroid_id``
+    (:func:`ivf_write_partitioned`), so a probe is partition pruning: it
+    reads nprobe/n_centroids of the data (the same IVF story as FAISS,
+    expressed as a layout + bucket join) — see
+    :func:`ivf_ann_partitioned` for that path, which this in-memory form
+    must match row-for-row (asserted in tests/test_similarity.py).
     """
-    # TakeOrderedAndProject (orderBy+limit) picks the seed vectors without
-    # a global sort; the single-partition row_number then runs over just
-    # n_centroids rows, never the corpus.
-    seeds = corpus.select(F.col(corpus_id), F.col(vec_col)).orderBy(
-        F.asc(corpus_id)
-    ).limit(n_centroids)
-    centroids = F.broadcast(
-        seeds.withColumn(
-            "__rn", F.row_number().over(Window.orderBy(F.asc(corpus_id)))
-        ).select(
-            (F.col("__rn") - 1).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
-        )
+    centroids = ivf_centroids(
+        corpus, corpus_id=corpus_id, vec_col=vec_col, n_centroids=n_centroids
     )
     c_lists = ivf_assign(
         corpus, centroids, id_col=corpus_id, vec_col=vec_col, out_vec="cv", nprobe=1
     ).select(F.col(corpus_id).alias("cid"), "cv", "centroid_id")
-    q_probes = F.broadcast(
-        ivf_assign(
+    return _ivf_score_lists(
+        c_lists, queries, centroids,
+        query_id=query_id, vec_col=vec_col, nprobe=nprobe, k=k,
+    )
+
+
+def ivf_write_partitioned(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    *,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Materialize the IVF index AS A LAYOUT: the corpus written
+    hive-partitioned by ``centroid_id`` (one directory per inverted
+    list). Returns the centroid table the probe side must reuse."""
+    centroids = ivf_centroids(
+        corpus, corpus_id=corpus_id, vec_col=vec_col, n_centroids=n_centroids
+    )
+    lists = ivf_assign(
+        corpus, centroids, id_col=corpus_id, vec_col=vec_col, out_vec="cv", nprobe=1
+    ).select(F.col(corpus_id).alias("cid"), "cv", "centroid_id")
+    lists.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    return centroids
+
+
+def ivf_ann_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    query_id: str,
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """The scale path of :func:`ivf_ann`: probe a corpus materialized by
+    :func:`ivf_write_partitioned`. The probed list ids (≤ nprobe ×
+    |queries| values, metadata-scale) become a ``centroid_id IN (…)``
+    filter that Catalyst turns into PartitionFilters — only the probed
+    list directories are ever scanned (asserted on inputFiles in
+    tests/test_similarity.py). Results are identical to the in-memory
+    form: same centroids, same lists, same re-rank."""
+    probe_ids = [
+        r["centroid_id"]
+        for r in ivf_assign(
             queries, centroids, id_col=query_id, vec_col=vec_col, out_vec="qv",
             nprobe=nprobe,
-        ).select(F.col(query_id).alias("qid"), "qv", "centroid_id")
-    )
-    scored = c_lists.join(q_probes, on="centroid_id").select(
-        "qid", "cid", F.round(vectors.cosine("cv", "qv"), 4).alias("cosine")
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("qid", "rank")
+        )
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    ]
+    c_lists = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe_ids))
+    return _ivf_score_lists(
+        c_lists, queries, centroids,
+        query_id=query_id, vec_col=vec_col, nprobe=nprobe, k=k,
     )
 
 

@@ -147,3 +147,47 @@ def test_assign_nearest_shape(spark):
     for r in rows:
         assert r["assigned_label"] in labels
         assert -10000 <= r["cos_q"] <= 10000
+
+
+def test_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path):
+    """The partitioned-layout probe reads ONLY the probed list
+    directories (partition pruning on disk) and returns exactly the
+    in-memory ivf_ann result."""
+    from spark_hudi_etl_pipeline_spark.operators.similarity import (
+        ivf_ann,
+        ivf_ann_partitioned,
+        ivf_write_partitioned,
+    )
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    centroids = ivf_write_partitioned(
+        spark, emb, path, corpus_id="vec_id", n_centroids=16
+    )
+    got = ivf_ann_partitioned(
+        spark, path, queries, centroids, query_id="vec_id", nprobe=2, k=5
+    )
+    rows = got.collect()
+    expected = ivf_ann(
+        emb, queries, corpus_id="vec_id", query_id="vec_id",
+        n_centroids=16, nprobe=2, k=5,
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in expected]
+    # Pruning evidence: the probed list ids land in the scan's
+    # PartitionFilters (inputFiles() can't be used — it reports the
+    # UNPRUNED file index), so only those directories are scanned.
+    two = emb.filter(F.col("vec_id") < 2)
+    pruned = ivf_ann_partitioned(
+        spark, path, two, centroids, query_id="vec_id", nprobe=2, k=5
+    )
+    assert pruned.count() == 2 * 5
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*IN \(([^)]*)\)", plan)
+    assert m, f"no IN partition filter in plan: {plan[:2000]}"
+    assert len(m.group(1).split(",")) <= 4  # ≤ nprobe × |queries| lists
