@@ -1459,3 +1459,45 @@ def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted JOIN invariance (the join twin of salted_agg): orders ⋈
+# customer through operators/skew.salted_join — the big side salted over
+# 16 reducers, the dim replicated — aggregated per segment. The oracle
+# is the plain join: salting must never change results, only spread hot
+# keys.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "salted_join_segment_volume",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) * 100 AS BIGINT)
+         AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def salted_join_segment_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, on=["custkey"], n_salts=16)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

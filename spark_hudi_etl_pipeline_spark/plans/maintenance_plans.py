@@ -306,3 +306,48 @@ def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Compaction layout-invariance: events lands as many tiny per-commit
+# files (the streaming-upsert debris pattern), compact_parquet rewrites
+# them toward a size target, and the registered output is a per-type
+# aggregate over the COMPACTED table — the oracle reads the original
+# events, so the gate proves compaction is byte-preserving on the data
+# (file-count reduction itself is asserted in tests/test_maintenance.py).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "compacted_scan_invariance",
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18, 2))) * 100 AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def compacted_scan_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/compact_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    ev.repartition(64).write.mode("overwrite").parquet(path)  # small-file debris
+    n_before, n_after = compact_parquet(
+        spark, path, target_bytes_per_file=8 * 1024 * 1024
+    )
+    assert n_after < n_before  # compaction must actually reduce file count
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
