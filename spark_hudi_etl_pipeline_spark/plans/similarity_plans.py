@@ -96,13 +96,58 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_ivf_ann")  # rows-only: IVF recall depends on centroid layout
+def _cos_u(x: str, y: str) -> str:
+    """Unrounded DuckDB cosine mirroring functions.vectors.cosine's
+    left-to-right double accumulation (same form as _COS_SQL)."""
+    return f"""(
+  list_sum(list_transform(list_zip({x}, {y}),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({x}, p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))
+   * sqrt(list_sum(list_transform({y}, p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))))"""
+
+
+@query(
+    "knn_ivf_ann",
+    oracle=f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+ca AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_u DESC, centroid_id) AS pr
+  FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           {_cos_u('e.embedding', 'c.cv')} AS cos_u
+    FROM embeddings e CROSS JOIN cent c)
+),
+c_lists AS (SELECT vec_id AS cid, embedding AS cvec, centroid_id
+            FROM ca WHERE pr = 1),
+q_probes AS (SELECT vec_id AS qid, embedding AS qvec, centroid_id
+             FROM ca WHERE vec_id < 10 AND pr <= 2),
+scored AS (
+  SELECT q.qid, l.cid, round({_cos_u('l.cvec', 'q.qvec')}, 4) AS cosine
+  FROM c_lists l JOIN q_probes q USING (centroid_id)),
+r AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, cid) AS rank
+  FROM scored)
+SELECT qid, cid, cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-5: corpus partitioned into 16 inverted
     lists by nearest centroid, queries probe their 2 nearest lists, exact
     cosine re-rank inside. Recall vs brute force asserted in
-    tests/test_similarity.py; at scale the lists become partition-pruned
-    parquet layout (operators/similarity.py docstring)."""
+    tests/test_similarity.py; the partition-pruned layout twin is
+    ivf_ann_partitioned (identical results, PartitionFilters evidence).
+
+    Unlike LSH tiers, this IS value-checkable: the seed-free centroid
+    construction (16 lowest-id vectors) makes every stage — assignment
+    argmax, probe ranking, re-rank — a deterministic function the oracle
+    replays with bit-identical double arithmetic."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_ann(
