@@ -1501,3 +1501,45 @@ def salted_join_segment_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (WITH RECURSIVE — new engine surface in Spark 4): an
+# ancestor walk over the implicit binary-tree hierarchy k → k div 2 on
+# order keys, the classic BOM/org-chart recursion bounded by the key
+# domain (≤10 halvings from 1024). The recursion is genuinely iterative
+# (depth varies per node); both engines run the identical UNION ALL
+# fixpoint. Complements dedup_resolve_canonical's iterative-DataFrame
+# transitive closure with the declarative-SQL form.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "recursive_ancestor_walk",
+    oracle="""
+WITH RECURSIVE anc(node, anc_node, depth) AS (
+  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey < 1024
+  UNION ALL
+  SELECT a.node, a.anc_node // 2, a.depth + 1
+  FROM anc a WHERE a.anc_node > 1
+)
+SELECT node, max(depth) AS root_depth,
+       CAST(sum(anc_node) AS BIGINT) AS path_sum
+FROM anc GROUP BY node ORDER BY node
+""",
+)
+def recursive_ancestor_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, anc_node, depth) AS (
+          SELECT o_orderkey, o_orderkey, 0 FROM __orders_rcte
+          WHERE o_orderkey < 1024
+          UNION ALL
+          SELECT a.node, a.anc_node DIV 2, a.depth + 1
+          FROM anc a WHERE a.anc_node > 1
+        )
+        SELECT node, max(depth) AS root_depth, sum(anc_node) AS path_sum
+        FROM anc GROUP BY node ORDER BY node
+        """
+    )

@@ -213,8 +213,8 @@ ranked AS (
 )
 SELECT doc_id,
        count(*) AS n_chunks,
-       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
-       sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS kept_tokens
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM ranked GROUP BY doc_id ORDER BY doc_id
 """,
 )

@@ -110,7 +110,7 @@ diff AS (
               WHEN o.o_totalprice <> n.o_totalprice THEN 'update' END
            AS change_type
   FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey)
-SELECT change_type, count(*) AS n_keys, sum(k) AS sum_keys
+SELECT change_type, count(*) AS n_keys, CAST(sum(k) AS BIGINT) AS sum_keys
 FROM diff
 WHERE change_type IS NOT NULL
 GROUP BY change_type
@@ -225,7 +225,7 @@ def timeline_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       sum(o_orderkey) AS sum_keys,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
        round(sum(o_totalprice), 2) AS sum_price
 FROM orders
 WHERE o_totalprice BETWEEN 50000 AND 150000

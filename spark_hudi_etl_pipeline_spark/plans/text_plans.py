@@ -230,7 +230,7 @@ tf AS (
   FROM toks WHERE term <> ''
   GROUP BY doc_id, term
 )
-SELECT term, count(*) AS df, sum(tf) AS total_tf
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
 FROM tf
 GROUP BY term
 ORDER BY df DESC, term
@@ -369,10 +369,10 @@ b AS (
   FROM q
 )
 SELECT bucket, count(*) AS n_docs,
-       sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+       CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
                 CASE bucket WHEN 1 THEN 'zzzz' WHEN 2 THEN '8000'
                             WHEN 3 THEN '4000' ELSE '2000' END
-           THEN 1 ELSE 0 END) AS n_kept
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM b GROUP BY bucket ORDER BY bucket
 """,
 )
@@ -442,7 +442,7 @@ enc AS (
 SELECT doc_id,
        string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv,
        count(*) AS n_tokens,
-       sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_oov
+       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM enc GROUP BY doc_id ORDER BY doc_id
 """,
 )

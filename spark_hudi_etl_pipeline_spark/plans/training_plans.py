@@ -456,7 +456,7 @@ c AS (
   FROM t
 )
 SELECT CAST(floor((cum - n_tokens) * 1.0 / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
-       count(*) AS n_docs, sum(n_tokens) AS total_tokens
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM c GROUP BY seq_id ORDER BY seq_id
 """,
 )
@@ -938,7 +938,7 @@ def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_mixture_weights",
     oracle=f"""
 WITH s AS (
-  SELECT source, count(*) AS n_docs, sum(len({_TOKS})) AS n_tokens
+  SELECT source, count(*) AS n_docs, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ),
 tot AS (SELECT sum(sqrt(n_tokens)) AS z FROM s)
@@ -1025,7 +1025,7 @@ kept AS (
     AND toks.doc_id % 29 <> 0
     AND toks.doc_id NOT IN (SELECT doc_id FROM contaminated)
 )
-SELECT source, count(*) AS n_docs_kept, sum(n_tokens) AS n_tokens_kept
+SELECT source, count(*) AS n_docs_kept, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
 FROM kept GROUP BY source ORDER BY source
 """,
 )

@@ -92,6 +92,28 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {ex}")
             continue
+        # Cross-engine dtype guard (same class as the DECIMAL rule): a
+        # DuckDB HUGEINT (sum over integers) or DECIMAL lands in pandas
+        # as float64/object while Spark ships int64 — the driver's hash
+        # then mismatches on representation. Oracles must CAST such
+        # columns (e.g. `CAST(sum(x) AS BIGINT)`).
+        stypes = {f.name: f.dataType.typeName() for f in sdf.schema.fields}
+        int_s = {"byte", "short", "integer", "long"}
+        int_d = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+        float_d = {"FLOAT", "DOUBLE"}
+        bad_pairs = []
+        for col, dt in zip(drel.columns, [str(t) for t in drel.types]):
+            st = stypes.get(col)
+            if dt == "HUGEINT" or dt.startswith("DECIMAL"):
+                bad_pairs.append(f"{col}: duck={dt}")
+            elif st in int_s and dt in float_d:
+                bad_pairs.append(f"{col}: spark={st} duck={dt}")
+            elif st in ("double", "float") and dt in int_d:
+                bad_pairs.append(f"{col}: spark={st} duck={dt}")
+        if bad_pairs:
+            failures.append(name)
+            print(f"FAIL  {name}: cross-engine dtype drift {bad_pairs}")
+            continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         sn = normalize_rows(scols, [tuple(r) for r in srows])
