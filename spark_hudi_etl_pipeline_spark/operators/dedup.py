@@ -167,17 +167,72 @@ def minhash_signature_arrow(num_hashes: int = 32, k: int = 5):
     return signature
 
 
+def _size_suffix_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('134217728', '128m', '4MB') to bytes."""
+    s = v.strip().lower().removesuffix("b")
+    mult = 1
+    if s and s[-1] in "kmgt":
+        mult = 1024 ** ("kmgt".index(s[-1]) + 1)
+        s = s[:-1]
+    return int(float(s)) * mult
+
+
+def _estimated_scan_partitions(df: DataFrame, files: list[str]) -> int:
+    """Estimate how many partitions Spark's file-scan packing will plan
+    for ``files`` — replicating FilePartition.maxSplitBytes: splits are
+    packed by size toward maxPartitionBytes (floored at openCostInBytes,
+    scaled down when total/parallelism is smaller). Driver-side metadata
+    only (leaf-file sizes), no job, no plan-to-RDD conversion. Many tiny
+    files therefore estimate to FEW partitions — a raw file count would
+    report the opposite."""
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    max_part = _size_suffix_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    open_cost = _size_suffix_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4m")
+    )
+    hconf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme in ("", "file"):
+            total += os.path.getsize(unquote(parsed.path))
+        else:
+            jp = sc._jvm.org.apache.hadoop.fs.Path(f)
+            total += jp.getFileSystem(hconf).getFileStatus(jp).getLen()
+    padded = total + len(files) * open_cost
+    bytes_per_core = padded // max(1, sc.defaultParallelism)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    return max(1, math.ceil(padded / max(1, max_split)))
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Repartition a CPU-bound stage to default parallelism when the
-    upstream scan planned fewer partitions than cores (local small-file
-    scans); no-op on a cluster where scans already have enough splits.
+    upstream scan plans fewer partitions than cores; no-op on a cluster
+    where scans already have enough splits.
 
-    Gated on the scan's file count (driver-side metadata, no job) rather
-    than ``df.rdd.getNumPartitions()``, which forces a plan-to-RDD
-    conversion per call. A non-file source reports zero files and fans
-    out — harmless for the local-collection inputs that hits."""
+    Gated on min(file count, estimated planned scan partitions): a raw
+    file count alone would see a scan over many TINY files — which Spark
+    packs into few partitions — as "already parallel" and skip the
+    repartition, under-parallelizing exactly the case the fan-out exists
+    for. The estimate replays Spark's split packing from leaf-file sizes
+    (driver-side metadata, no job); ``df.rdd.getNumPartitions()`` would
+    be exact but forces a plan-to-RDD conversion per call. A non-file
+    source reports zero files and fans out — harmless for the
+    local-collection inputs that hits."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < max(2, target // 4):
+    threshold = max(2, target // 4)
+    files = df.inputFiles()
+    planned = len(files)
+    if planned >= threshold:  # many files may still pack into few splits
+        planned = min(planned, _estimated_scan_partitions(df, files))
+    if planned < threshold:
         df = df.repartition(target)
     return df
 

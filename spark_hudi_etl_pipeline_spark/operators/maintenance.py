@@ -26,6 +26,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def read_state_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read accumulated state at ``path``, or None iff the path does not
+    exist (first refresh). Existence is checked explicitly through the
+    Hadoop FileSystem API (scheme-portable: local, HDFS, object stores)
+    so that a transient or corrupt-footer read failure on EXISTING state
+    propagates instead of being conflated with "no state yet" — the
+    conflation would silently drop accumulated state and overwrite the
+    materialized view with a partial result."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    return spark.read.parquet(path)
+
+
 def aggregate_state(
     batch: DataFrame,
     keys: list[str],
@@ -76,10 +92,7 @@ def refresh_aggregate_parquet(
     operators/merge.upsert_parquet; a Hudi/Delta connector would make
     the commit transactional). Returns the post-refresh state."""
     state = aggregate_state(batch, keys, sums, count_alias=count_alias)
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:  # first refresh: no state yet
-        existing = None
+    existing = read_state_if_exists(spark, path)
     merged = merge_aggregate_state(existing, state, keys).localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(path)
     return merged
@@ -113,10 +126,7 @@ def refresh_join_parquet(
     a_path, b_path, v_path = (os.path.join(path, s) for s in ("a", "b", "v"))
 
     def _read(p: str) -> DataFrame | None:
-        try:
-            return spark.read.parquet(p)
-        except Exception:  # first refresh: no state yet
-            return None
+        return read_state_if_exists(spark, p)
 
     a_old, b_old = _read(a_path), _read(b_path)
     deltas = []

@@ -457,19 +457,35 @@ def _bloom_words(file_keys: DataFrame, key: str) -> DataFrame:
 
 def _table_bloom_words(spark, path: str, key: str, files: list[str] | None = None) -> DataFrame:
     """Bloom words for ``files`` of the table (all files when None),
-    reading only the key column (column-pruned scan)."""
+    reading only the key column (column-pruned scan).
+
+    Every file additionally gets one marker row (word_idx = -1, word = 0)
+    so that EMPTY data files — a commit's writer can emit zero-row part
+    files — still appear in the sidecar: the sidecar-vs-listing
+    validation on load compares file sets, and a perpetually-absent
+    empty file would force a cold rebuild on every upsert. Markers can
+    never match a probe (probe word_idx ≥ 0)."""
+    import glob
     import os
 
-    src = (
-        spark.read.parquet(*[os.path.join(path, f) for f in files])
-        if files
-        else spark.read.parquet(path)
-    )
+    if files is None:
+        files = sorted(
+            os.path.basename(f)
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    src = spark.read.parquet(*[os.path.join(path, f) for f in files])
     keyed = src.select(
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
         F.col(key),
     )
-    return _bloom_words(keyed, key)
+    markers = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).select(
+        "file",
+        F.lit(-1).cast("int").alias("word_idx"),
+        F.lit(0).cast("long").alias("word"),
+    )
+    return _bloom_words(keyed, key).unionByName(markers)
 
 
 def upsert_parquet_bloom_indexed(
@@ -513,11 +529,27 @@ def upsert_parquet_bloom_indexed(
         _table_bloom_words(spark, path, key).write.mode("overwrite").parquet(sidecar)
         return merged.count()
 
-    words = (
-        spark.read.parquet(sidecar)
-        if os.path.isdir(sidecar)
-        else _table_bloom_words(spark, path, key)  # cold build: one key scan
-    )
+    # Load the sidecar only if its file set matches the directory listing
+    # (metadata-scale check): a crash between the data-file move/delete
+    # and the sidecar rewrite leaves a stale sidecar whose missing entries
+    # for new files yield bloom FALSE NEGATIVES — a later upsert would
+    # skip those files and write duplicate keys — and whose stale entries
+    # for deleted files would make the probe's read of "affected" paths
+    # fail. On any mismatch, fall back to the cold rebuild (one
+    # column-pruned key scan).
+    data_files = {
+        os.path.basename(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    }
+    words = None
+    if os.path.isdir(sidecar):
+        candidate = spark.read.parquet(sidecar)
+        sidecar_files = {
+            r["file"] for r in candidate.select("file").distinct().collect()
+        }
+        if sidecar_files == data_files:
+            words = candidate
+    if words is None:
+        words = _table_bloom_words(spark, path, key)  # cold (re)build
     # Materialize now (metadata-scale): the commit below deletes data
     # files and overwrites the sidecar this lazy plan reads from.
     words = words.localCheckpoint(eager=True)

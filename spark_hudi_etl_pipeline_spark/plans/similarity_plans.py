@@ -165,11 +165,19 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_centroids",
     oracle="""
-SELECT label, i - 1 AS dim_idx,
-       CAST(floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000) AS BIGINT)
-         AS centroid_q
-FROM embeddings, generate_series(1, 64) AS s(i)
-GROUP BY label, i
+WITH pts AS (
+  SELECT label, i - 1 AS dim_idx,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS sv
+  FROM embeddings, generate_series(1, 64) AS s(i)
+),
+agg AS (
+  SELECT label, dim_idx, sum(sv) AS s, count(*) AS n
+  FROM pts GROUP BY label, dim_idx
+)
+SELECT label, dim_idx,
+       CAST((s - ((s % (n * 100) + n * 100) % (n * 100))) // (n * 100)
+            AS BIGINT) AS centroid_q
+FROM agg
 ORDER BY label, dim_idx
 """,
 )
@@ -182,16 +190,30 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "label", F.posexplode("embedding").alias("dim_idx", "v")
     )
-    # Fixed-point quantization via floor, not round: centroids of
-    # centered random vectors sit near rounding-boundary short decimals
-    # (x.xxx5), where Spark's HALF_UP and C-library rounding disagree;
-    # floor over bit-identical doubles is engine-invariant.
+    # Exact accumulation: each element is quantized to a BIGINT at 1e-6
+    # (per-element op — order-independent and bit-identical across
+    # engines: float→double is exact, *1e6 and floor are single
+    # correctly-rounded IEEE ops), summed exactly as integers, then
+    # floor-divided with pure integer arithmetic. A parallel DOUBLE
+    # average is accumulation-order-dependent, so a last-ulp engine
+    # difference at an integer boundary could flip the quantized value;
+    # this path has no double accumulation at all. centroid_q ≈
+    # floor(avg(v)*10000) (sum(sv)/(n*100), sv = floor(v*1e6)).
+    sv = F.floor(F.col("v").cast("double") * 1000000).cast("long")
+    agg = emb.groupBy("label", "dim_idx").agg(
+        F.sum(sv).alias("s"), F.count(F.lit(1)).alias("n")
+    )
     return (
-        emb.groupBy("label", "dim_idx")
-        .agg(
-            F.floor(F.avg(F.col("v").cast("double")) * 10000)
+        agg.select(
+            "label",
+            "dim_idx",
+            # (s - mod) is exactly divisible by d, so truncating integer
+            # `div` equals floor division — no double arithmetic.
+            F.expr(
+                "(s - ((s % (n * 100) + n * 100) % (n * 100))) div (n * 100)"
+            )
             .cast("bigint")
-            .alias("centroid_q")
+            .alias("centroid_q"),
         )
         .orderBy("label", "dim_idx")
     )
@@ -252,25 +274,31 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # k-means assignment step (E-step), completing the loop with
 # embedding_centroids (the M-step): every vector goes to its
-# highest-cosine label centroid. The centroids are floor-quantized to
-# integers FIRST — the per-label averages are parallel double sums whose
-# last ulp is accumulation-order-dependent, but the quantized integers
-# are engine-invariant, and every downstream product/sum runs the same
-# left-to-right double arithmetic in both engines, so the argmax is
-# bit-deterministic (ties break on label). Scale shape: centroids are
-# |labels|×dim (tiny, broadcast); the corpus is scanned once, map-side —
-# no shuffle of the vectors at any corpus size.
+# highest-cosine label centroid. The centroids are quantized to integers
+# via EXACT accumulation (per-element BIGINT codes summed exactly, then
+# integer floor-division — no order-dependent double sum anywhere), and
+# every downstream product/sum runs the same left-to-right double
+# arithmetic in both engines, so the argmax is bit-deterministic (ties
+# break on label). Scale shape: centroids are |labels|×dim (tiny,
+# broadcast); the corpus is scanned once, map-side — no shuffle of the
+# vectors at any corpus size.
 # --------------------------------------------------------------------------
 
 
 @query(
     "embedding_assign_nearest",
     oracle="""
-WITH cent AS (
+WITH pts AS (
   SELECT label, i - 1 AS dim_idx,
-         CAST(floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000) AS BIGINT) AS cq
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS sv
   FROM embeddings, generate_series(1, 64) AS s(i)
-  GROUP BY label, i
+),
+cent AS (
+  SELECT label, dim_idx,
+         CAST((sum(sv) - ((sum(sv) % (count(*) * 100) + count(*) * 100)
+                          % (count(*) * 100))) // (count(*) * 100)
+              AS BIGINT) AS cq
+  FROM pts GROUP BY label, dim_idx
 ),
 carr AS (SELECT label, list(cq ORDER BY dim_idx) AS c FROM cent GROUP BY label),
 scored AS (
@@ -298,13 +326,22 @@ def embedding_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Exact integer-scaled centroid accumulation (same construction and
+    # rationale as embedding_centroids): no double accumulation, so the
+    # quantized centroid can't flip on engine summation order.
+    sv = F.floor(F.col("v").cast("double") * 1000000).cast("long")
     cent = (
         emb.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
         .groupBy("label", "dim_idx")
-        .agg(
-            F.floor(F.avg(F.col("v").cast("double")) * 10000)
+        .agg(F.sum(sv).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim_idx",
+            F.expr(
+                "(s - ((s % (n * 100) + n * 100) % (n * 100))) div (n * 100)"
+            )
             .cast("long")
-            .alias("cq")
+            .alias("cq"),
         )
     )
     carr = (

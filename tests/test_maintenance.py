@@ -120,3 +120,49 @@ def test_join_refresh_converges_to_full_join(spark, tmp_path):
     got = {tuple(r) for r in view.select("k", "av", "bv").collect()}
     expected = {tuple(r) for r in a.join(b, on=["k"]).select("k", "av", "bv").collect()}
     assert got == expected and len(got) > 0
+
+
+def test_refresh_corrupt_existing_state_raises(spark, tmp_path):
+    """A read failure on EXISTING state must propagate, not be conflated
+    with 'first refresh' — the conflation silently drops accumulated
+    state and overwrites the view with one batch's partial result."""
+    import pytest
+
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    path = str(tmp_path / "state")
+    refresh_aggregate_parquet(
+        spark, ev, path, keys=["user_id"], sums={"value": "sv"}, count_alias="n"
+    )
+    # Corrupt the accumulated state (torn write / bad footer).
+    import glob as _glob
+
+    for f in _glob.glob(f"{path}/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet footer")
+    with pytest.raises(Exception):
+        refresh_aggregate_parquet(
+            spark, ev, path, keys=["user_id"], sums={"value": "sv"},
+            count_alias="n",
+        )
+
+
+def test_refresh_join_corrupt_state_raises(spark, tmp_path):
+    from spark_hudi_etl_pipeline_spark.operators.maintenance import (
+        refresh_join_parquet,
+    )
+    import glob as _glob
+
+    import pytest
+
+    a = spark.createDataFrame([(1, "x")], "k int, a string")
+    b = spark.createDataFrame([(1, "y")], "k int, b string")
+    path = str(tmp_path / "jv")
+    refresh_join_parquet(spark, a, b, path, on=["k"])
+    for f in _glob.glob(f"{path}/v/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"garbage")
+    with pytest.raises(Exception):
+        refresh_join_parquet(
+            spark, spark.createDataFrame([(2, "x2")], "k int, a string"),
+            None, path, on=["k"],
+        )

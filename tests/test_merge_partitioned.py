@@ -311,3 +311,43 @@ def test_bloom_upsert_delete_records_and_incremental_index(spark, scattered_tabl
     sidecar = spark.read.parquet(os.path.join(scattered_table, "_bloom"))
     indexed = {r["file"] for r in sidecar.select("file").distinct().collect()}
     assert indexed == set(all_files(scattered_table))
+
+
+def test_bloom_upsert_stale_sidecar_falls_back_to_cold_rebuild(
+    spark, scattered_table
+):
+    """A crash between the data-file commit and the sidecar rewrite
+    leaves a file the sidecar has never seen. Trusting that sidecar
+    yields bloom FALSE NEGATIVES (the unindexed file is never probed),
+    so a later upsert of its keys would insert duplicates. The loader
+    must detect the sidecar/listing mismatch and cold-rebuild."""
+    import os
+    import shutil
+
+    batch = spark.createDataFrame([(7, "warm", 2)], KSCHEMA)
+    upsert_parquet_bloom_indexed(spark, batch, scattered_table, "k", "prec")
+
+    # Simulate the torn commit: a new data file (key 500) lands without
+    # a sidecar update.
+    staging = os.path.join(scattered_table, "..", "torn-staging")
+    spark.createDataFrame([(500, "torn", 1)], KSCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    (src,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    shutil.move(
+        os.path.join(staging, src),
+        os.path.join(scattered_table, "part-torn-00000.parquet"),
+    )
+    sidecar = spark.read.parquet(os.path.join(scattered_table, "_bloom"))
+    indexed = {r["file"] for r in sidecar.select("file").distinct().collect()}
+    assert "part-torn-00000.parquet" not in indexed  # sidecar IS stale
+
+    batch2 = spark.createDataFrame([(500, "fixed", 9)], KSCHEMA)
+    upsert_parquet_bloom_indexed(spark, batch2, scattered_table, "k", "prec")
+    out = spark.read.parquet(scattered_table).filter(F.col("k") == 500)
+    rows = [(r["k"], r["v"]) for r in out.collect()]
+    assert rows == [(500, "fixed")]  # exactly one row — no duplicate key
+    # And the rebuilt sidecar matches the directory again.
+    sidecar2 = spark.read.parquet(os.path.join(scattered_table, "_bloom"))
+    indexed2 = {r["file"] for r in sidecar2.select("file").distinct().collect()}
+    assert indexed2 == set(all_files(scattered_table))
