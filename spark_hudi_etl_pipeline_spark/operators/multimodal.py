@@ -3,12 +3,15 @@ as opaque ``binary`` payloads with typed metadata, processed via
 Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, batch iteration, partition sizing —
-is real and tested; the actual media decoding is STUBBED behind
-``register_decoder`` (the image/audio libraries are not in this
-container). ``deterministic_fake_decoder`` provides a reproducible
-stand-in so the distributed pipeline is exercised end-to-end; a real
-deployment registers e.g. a PIL/ffmpeg decoder with the same signature
-and nothing else changes.
+is real and tested. Decoding is real for the uncompressed raster
+formats a pure-Python/numpy decoder can own with no media libraries:
+**BMP (24-bit uncompressed)** and **PPM/PGM (P6/P5 binary)** — header
+parse, pixel decode (BMP bottom-up rows + 4-byte row padding, P6/P5
+maxval handling), and an exact integer 8×8 mean-pool feature grid.
+Compressed codecs (JPEG/PNG/video) still route to
+``deterministic_fake_decoder`` / ``unsupported_decoder``; a real
+deployment registers a PIL/ffmpeg decoder via ``register_decoder`` with
+the same signature and nothing else changes.
 
 Scale design:
 - media rows are large → ``repartition_for_payloads`` targets a bounded
@@ -31,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -61,11 +65,18 @@ MEDIA_SCHEMA = StructType(
 
 #: Feature row produced by decode_features (fixed width so downstream
 #: similarity/dedup operators can consume it like any embedding).
+#: ``features`` is an exact integer 8×8 mean-pool grid (milli-gray
+#: levels) for really-decoded images, NULL for fallback-checksum rows;
+#: ``codec``/``width``/``height`` come from the real header parse.
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("feature_dim", IntegerType(), False),
         StructField("feature_checksum", LongType(), False),
+        StructField("codec", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("features", ArrayType(LongType()), True),
     ]
 )
 
@@ -80,21 +91,226 @@ def register_decoder(media_type: str, decoder: Decoder) -> None:
     _DECODERS[media_type] = decoder
 
 
+# ---------------------------------------------------------------------------
+# Real raster decoders (pure Python/numpy — no media libraries).
+# ---------------------------------------------------------------------------
+
+
+def _parse_pnm_header(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Parse a binary PNM header (P6 = RGB, P5 = gray): magic, then
+    whitespace/comment-separated width, height, maxval, then one
+    whitespace byte before the raster. Returns
+    (codec, width, height, maxval, raster_offset)."""
+    magic = payload[:2].decode("ascii", "replace")
+    if magic not in ("P6", "P5"):
+        raise ValueError(f"not a binary PNM payload (magic {magic!r})")
+    fields: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(fields) < 3:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i] == ord("#"):  # comment to end of line
+            while i < n and payload[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        start = i
+        while i < n and not payload[i : i + 1].isspace():
+            i += 1
+        if i == start:
+            raise ValueError("truncated PNM header")
+        fields.append(int(payload[start:i]))
+    i += 1  # exactly one whitespace byte separates header from raster
+    w, h, maxval = fields
+    if not (0 < maxval < 65536 and w > 0 and h > 0):
+        raise ValueError("invalid PNM dimensions/maxval")
+    return ("ppm" if magic == "P6" else "pgm", w, h, maxval, i)
+
+
+def decode_ppm(payload: bytes) -> tuple[str, int, int, "np.ndarray"]:
+    """Decode binary PPM (P6) / PGM (P5) to (codec, width, height,
+    uint8 pixels shaped H×W×3). maxval ≤ 255 only (the 2-byte-sample
+    variant belongs to a real media lib). Grayscale is broadcast to
+    three channels so downstream features are format-agnostic."""
+    import numpy as np
+
+    codec, w, h, maxval, off = _parse_pnm_header(payload)
+    if maxval > 255:
+        raise ValueError("16-bit PNM samples not supported")
+    ch = 3 if codec == "ppm" else 1
+    need = w * h * ch
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    px = raster.reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return codec, w, h, px
+
+
+def decode_bmp(payload: bytes) -> tuple[str, int, int, "np.ndarray"]:
+    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) to
+    (codec, width, height, uint8 pixels H×W×3, top-down row order,
+    RGB channel order). Handles the format's two layout quirks: rows are
+    padded to 4-byte boundaries, and a positive biHeight means the
+    raster is stored bottom-up in BGR."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp})")
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError("invalid BMP dimensions")
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    raster = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return "bmp", w, h, rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """Encode H×W×3 uint8 pixels as binary PPM (P6) — fixture/resize
+    output format (exact round-trip with decode_ppm)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Encode H×W×3 uint8 RGB pixels as an uncompressed 24-bit BMP
+    (bottom-up, BGR, padded rows — exact round-trip with decode_bmp)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    data = raster.tobytes()
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def probe_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Identify (codec, width, height) from header bytes alone — no
+    raster read. None when the payload is not a supported raster."""
+    import struct
+
+    try:
+        if payload[:2] in (b"P6", b"P5"):
+            codec, w, h, _, _ = _parse_pnm_header(payload)
+            return codec, w, h
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            w, h_signed = struct.unpack_from("<ii", payload, 18)
+            return "bmp", w, abs(h_signed)
+    except (ValueError, struct.error):
+        return None
+    return None
+
+
+#: Feature grid side: features are an 8×8 = 64-cell exact mean-pool.
+FEATURE_GRID = 8
+
+
+def _grid_features(px: "np.ndarray") -> list[int]:
+    """Exact integer 8×8 mean-pool over grayscale: cell value =
+    floor(1000 · Σ(r+g+b) / (3·n_pixels)) — pure integer arithmetic on
+    uint8 sums, so the features are bit-reproducible everywhere (no
+    float accumulation, no resampling library variance)."""
+    h, w, _ = px.shape
+    s = px.astype("int64").sum(axis=2)  # per-pixel r+g+b
+    out: list[int] = []
+    for gy in range(FEATURE_GRID):
+        y0, y1 = gy * h // FEATURE_GRID, (gy + 1) * h // FEATURE_GRID
+        y1 = max(y1, y0 + 1) if y0 < h else h
+        for gx in range(FEATURE_GRID):
+            x0, x1 = gx * w // FEATURE_GRID, (gx + 1) * w // FEATURE_GRID
+            x1 = max(x1, x0 + 1) if x0 < w else w
+            cell = s[min(y0, h - 1) : y1, min(x0, w - 1) : x1]
+            out.append(int(cell.sum()) * 1000 // (3 * cell.size))
+    return out
+
+
+def _feature_checksum(features: list[int]) -> int:
+    checksum = 0
+    for v in features:
+        checksum = (checksum * 1_000_003 + v) % (1 << 62)
+    return checksum
+
+
+def image_decoder(payload: bytes, meta: dict[str, Any]) -> dict[str, Any]:
+    """REAL image decoder for uncompressed rasters (BMP 24-bit, PPM P6,
+    PGM P5): header parse → pixel decode → exact 8×8 mean-pool feature
+    grid. Features derive from actual pixel data; width/height from the
+    actual header. Raises ValueError on unsupported codecs — pair with
+    ``image_decoder_or_fallback`` for mixed corpora."""
+    magic = payload[:2]
+    if magic == b"BM":
+        codec, w, h, px = decode_bmp(payload)
+    elif magic in (b"P6", b"P5"):
+        codec, w, h, px = decode_ppm(payload)
+    else:
+        raise ValueError("unsupported image codec (BMP/PPM/PGM only)")
+    features = _grid_features(px)
+    return {
+        "feature_dim": len(features),
+        "feature_checksum": _feature_checksum(features),
+        "codec": codec,
+        "width": w,
+        "height": h,
+        "features": features,
+    }
+
+
+def image_decoder_or_fallback(payload: bytes, meta: dict[str, Any]) -> dict[str, Any]:
+    """Route decodable rasters through the real decoder; everything else
+    (compressed codecs, non-image payloads) through the deterministic
+    checksum fallback — one registry entry serves a mixed corpus."""
+    if payload[:2] in (b"BM", b"P6", b"P5"):
+        try:
+            return image_decoder(payload, meta)
+        except ValueError:
+            pass  # malformed header / unsupported subformat → fallback
+    return deterministic_fake_decoder(payload, meta)
+
+
 def deterministic_fake_decoder(payload: bytes, meta: dict[str, Any]) -> dict[str, Any]:
-    """STUB decoder: derives features from payload bytes alone
-    (deterministic — suitable for tests/CI). A real image decoder would
-    do PIL.open/resize/embed here with the identical signature."""
+    """FALLBACK decoder for codecs without a pure-Python decode path
+    (JPEG/PNG/video need PIL/ffmpeg, absent here): derives a
+    deterministic checksum from payload bytes alone so the distributed
+    plumbing still runs end-to-end; feature/dimension columns stay NULL
+    to make the non-decode explicit."""
     checksum = 0
     for i, b in enumerate(payload[:4096]):
         checksum = (checksum * 31 + b + i) % (1 << 62)
-    return {"feature_dim": 64, "feature_checksum": checksum}
+    return {
+        "feature_dim": 64,
+        "feature_checksum": checksum,
+        "codec": None,
+        "width": None,
+        "height": None,
+        "features": None,
+    }
 
 
 def unsupported_decoder(payload: bytes, meta: dict[str, Any]) -> dict[str, Any]:
     """Explicit stub for codecs this container cannot decode."""
     raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg, not present in this environment; "
-        "register a real decoder with register_decoder()"
+        "decoding this codec requires PIL/ffmpeg, not present in this "
+        "environment; register a real decoder with register_decoder()"
     )
 
 
@@ -114,15 +330,41 @@ def attach_metadata(df: DataFrame, *, media_type: str, payload_col: str = "paylo
     )
 
 
+def probe_metadata(media: DataFrame) -> DataFrame:
+    """Fill ``meta.codec/width/height`` by REAL header parsing (BMP /
+    PPM / PGM) — raster bytes are never touched, so the probe is cheap
+    even for huge payloads; unrecognized payloads keep NULLs. Same
+    Arrow-batched iterator→iterator shape as decode_features."""
+    schema = media.schema
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                d = dict(meta) if isinstance(meta, dict) else meta._asdict()
+                probed = probe_image_header(bytes(row["payload"]))
+                if probed is not None:
+                    d["codec"], d["width"], d["height"] = probed
+                metas.append(d)
+            out = pdf.copy()
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(probe, schema=schema)
+
+
 def decode_features(
     media: DataFrame, *, batch_hint_rows: int = 64
 ) -> DataFrame:
     """Decode/feature-extract every media row via Arrow-batched
     ``mapInPandas`` (iterator→iterator: constant memory per task).
 
-    Uses the registered decoder for each row's ``meta.media_type``
-    (falling back to the deterministic fake so plumbing is testable
-    without media libs)."""
+    Uses the registered decoder for each row's ``meta.media_type``;
+    unregistered image types route through ``image_decoder_or_fallback``
+    (REAL decode for BMP/PPM/PGM rasters, checksum fallback otherwise),
+    other types through the deterministic fallback."""
+    feature_cols = [f.name for f in FEATURE_SCHEMA.fields]
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,16 +372,18 @@ def decode_features(
             for _, row in pdf.iterrows():
                 meta = row["meta"]
                 mtype = meta["media_type"] if isinstance(meta, dict) else meta.media_type
-                decoder = _DECODERS.get(mtype, deterministic_fake_decoder)
-                feats = decoder(bytes(row["payload"]), dict(meta) if isinstance(meta, dict) else meta._asdict())
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "feature_dim": feats["feature_dim"],
-                        "feature_checksum": feats["feature_checksum"],
-                    }
+                default = (
+                    image_decoder_or_fallback
+                    if mtype == "image"
+                    else deterministic_fake_decoder
                 )
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+                decoder = _DECODERS.get(mtype, default)
+                feats = decoder(bytes(row["payload"]), dict(meta) if isinstance(meta, dict) else meta._asdict())
+                rec = {"media_id": row["media_id"]}
+                for c in feature_cols[1:]:
+                    rec[c] = feats.get(c)
+                out.append(rec)
+            yield pd.DataFrame(out, columns=feature_cols)
 
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
@@ -197,18 +441,40 @@ def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(expand, schema=FRAME_SCHEMA)
 
 
+def resize_pixels(px: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resize (deterministic integer source indices
+    src = ⌊dst·src_size/dst_size⌋ — no interpolation-library variance)."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return px[ys][:, xs]
+
+
 def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Resize every image payload (STUB: deterministic truncate/pad to
-    width*height bytes — a real decoder registers PIL resize with the
-    identical signature; schema/partitioning/batching are what this
-    operator actually owns)."""
+    """Resize every image payload. Decodable rasters (BMP/PPM/PGM) get a
+    REAL decode → nearest-neighbor resize → PPM re-encode; payloads
+    without a pure-Python decode path keep the deterministic
+    truncate/pad stand-in (to width·height bytes) so mixed corpora
+    still flow. Schema/partitioning/batching are unchanged either way."""
     target = width * height
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [
-                (bytes(p)[:target]).ljust(target, b"\0") for p in pdf["payload"]
-            ]
+            resized = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if b[:2] in (b"BM", b"P6", b"P5"):
+                    try:
+                        _, _, _, px = (
+                            decode_bmp(b) if b[:2] == b"BM" else decode_ppm(b)
+                        )
+                        resized.append(encode_ppm(resize_pixels(px, width, height)))
+                        continue
+                    except ValueError:
+                        pass
+                resized.append(b[:target].ljust(target, b"\0"))
             out = pdf.copy()
             out["payload"] = resized
             yield out

@@ -283,13 +283,44 @@ def multimodal_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_features")  # rows-only: checksum has no SQL twin
+@query("multimodal_decode_features")  # rows-only: pixel decode has no SQL twin
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over every payload
-    (deterministic fake decoder — the real decoder registers via
-    operators.multimodal.register_decoder with the same signature)."""
-    m = _media_table(spark, sf_dir)
-    return decode_features(m).orderBy("media_id")
+    """Arrow-batched mapInPandas feature extraction through the REAL
+    raster decoder: each document's bytes are framed as a valid 16×16
+    binary PPM (header + 768 raster bytes, built JVM-side with binary
+    concat/rpad — no Python in the framing), so decode_features runs an
+    actual header parse + pixel decode + exact 8×8 mean-pool per row.
+    Features/dimensions in the output derive from real pixel data."""
+    d = load_table(spark, sf_dir, "documents")
+    header = F.encode(F.lit("P6\n16 16\n255\n"), "UTF-8")
+    raster = F.rpad(
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 768),
+        768,
+        F.lit(b"\x00"),
+    )
+    m = attach_metadata(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(header, raster).alias("payload"),
+        ),
+        media_type="image",
+    )
+    return (
+        decode_features(m)
+        .select(
+            "media_id",
+            "feature_dim",
+            "feature_checksum",
+            "codec",
+            "width",
+            "height",
+            # scalar-output rule: render the exact integer feature grid
+            # as CSV (values are engine-invariant integers, so the
+            # rendering is deterministic)
+            F.array_join("features", ",").alias("features_csv"),
+        )
+        .orderBy("media_id")
+    )
 
 
 # --------------------------------------------------------------------------

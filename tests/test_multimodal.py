@@ -97,3 +97,147 @@ def test_resize_images_schema_stable(spark):
     assert out.schema == media.schema
     row = out.collect()[0]
     assert len(bytes(row["payload"])) == 6
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path: BMP / PPM / PGM — pure-Python decoders, exact
+# pixel-derived features, header-probe metadata, real resize.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def _gradient_px(w, h):
+    """Deterministic RGB test image."""
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = ((x * 17 + y * 3) % 256, (y * 29) % 256, (x * 5) % 256)
+    return px
+
+
+def _expected_grid_features(px):
+    """Independent reference: exact integer 8x8 mean-pool, written as
+    plain Python loops (no shared code with the operator)."""
+    h, w, _ = px.shape
+    feats = []
+    for gy in range(8):
+        y0, y1 = gy * h // 8, (gy + 1) * h // 8
+        if y0 < h:
+            y1 = max(y1, y0 + 1)
+        for gx in range(8):
+            x0, x1 = gx * w // 8, (gx + 1) * w // 8
+            if x0 < w:
+                x1 = max(x1, x0 + 1)
+            total, count = 0, 0
+            for y in range(min(y0, h - 1), y1):
+                for x in range(min(x0, w - 1), x1):
+                    total += int(px[y, x, 0]) + int(px[y, x, 1]) + int(px[y, x, 2])
+                    count += 1
+            feats.append(total * 1000 // (3 * count))
+    return feats
+
+
+def test_bmp_roundtrip_odd_width():
+    """5x3 exercises BMP's 4-byte row padding, bottom-up rows, BGR order."""
+    px = _gradient_px(5, 3)
+    codec, w, h, out = mm.decode_bmp(mm.encode_bmp(px))
+    assert (codec, w, h) == ("bmp", 5, 3)
+    assert np.array_equal(out, px)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    px = _gradient_px(16, 16)
+    codec, w, h, out = mm.decode_ppm(mm.encode_ppm(px))
+    assert (codec, w, h) == ("ppm", 16, 16)
+    assert np.array_equal(out, px)
+    # comment lines in the header are legal PNM
+    raw = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    codec, w, h, out = mm.decode_ppm(raw)
+    assert (w, h) == (2, 1) and out[0, 1, 2] == 6
+
+
+def test_pgm_grayscale_broadcast():
+    raw = b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40])
+    codec, w, h, out = mm.decode_ppm(raw)
+    assert codec == "pgm"
+    assert np.array_equal(out[:, :, 0], [[10, 20], [30, 40]])
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+
+
+def test_image_decoder_exact_features_from_pixels():
+    """The feature vector must equal an independently computed exact
+    8x8 mean-pool of the REAL pixel data — and be identical for the
+    same pixels encoded as BMP and as PPM."""
+    px = _gradient_px(32, 24)
+    expected = _expected_grid_features(px)
+    for payload, codec in ((mm.encode_bmp(px), "bmp"), (mm.encode_ppm(px), "ppm")):
+        feats = mm.image_decoder(payload, {})
+        assert feats["features"] == expected
+        assert (feats["width"], feats["height"]) == (32, 24)
+        assert feats["codec"] == codec
+        assert feats["feature_dim"] == 64
+    assert mm.image_decoder(mm.encode_bmp(px), {})["feature_checksum"] == \
+        mm.image_decoder(mm.encode_ppm(px), {})["feature_checksum"]
+
+
+def test_image_smaller_than_grid():
+    """Images smaller than 8x8 still produce 64 well-defined features."""
+    px = _gradient_px(3, 2)
+    feats = mm.image_decoder(mm.encode_ppm(px), {})
+    assert len(feats["features"]) == 64
+    assert all(0 <= v <= 255_000 for v in feats["features"])
+
+
+def test_decode_features_real_images_in_spark(spark):
+    """End-to-end through mapInPandas: real rasters decode for real
+    (pixel features, header dimensions); non-raster payloads fall back
+    to the checksum stub with NULL feature columns."""
+    px1, px2 = _gradient_px(16, 8), _gradient_px(8, 16)
+    rows = [
+        (1, bytearray(mm.encode_bmp(px1))),
+        (2, bytearray(mm.encode_ppm(px2))),
+        (3, bytearray(b"not an image payload")),
+    ]
+    media = mm.attach_metadata(
+        spark.createDataFrame(rows, "media_id long, payload binary"),
+        media_type="image",
+    )
+    out = {r["media_id"]: r for r in mm.decode_features(media).collect()}
+    assert list(out[1]["features"]) == _expected_grid_features(px1)
+    assert (out[1]["codec"], out[1]["width"], out[1]["height"]) == ("bmp", 16, 8)
+    assert list(out[2]["features"]) == _expected_grid_features(px2)
+    assert (out[2]["codec"], out[2]["width"], out[2]["height"]) == ("ppm", 8, 16)
+    assert out[3]["features"] is None and out[3]["codec"] is None
+    assert out[3]["feature_checksum"] is not None  # fallback still runs
+
+
+def test_probe_metadata_fills_dimensions(spark):
+    px = _gradient_px(12, 7)
+    rows = [(1, bytearray(mm.encode_bmp(px))), (2, bytearray(b"opaque"))]
+    media = mm.attach_metadata(
+        spark.createDataFrame(rows, "media_id long, payload binary"),
+        media_type="image",
+    )
+    out = {r["media_id"]: r["meta"] for r in mm.probe_metadata(media).collect()}
+    assert (out[1]["codec"], out[1]["width"], out[1]["height"]) == ("bmp", 12, 7)
+    assert out[1]["media_type"] == "image" and out[1]["n_bytes"] > 0
+    assert out[2]["codec"] is None and out[2]["width"] is None
+
+
+def test_resize_images_real_path(spark):
+    """Decodable rasters resize through actual pixels (nearest
+    neighbor), re-encoded as PPM; opaque payloads keep the stub."""
+    px = _gradient_px(16, 16)
+    rows = [(1, bytearray(mm.encode_bmp(px))), (2, bytearray(b"opaque-bytes"))]
+    media = mm.attach_metadata(
+        spark.createDataFrame(rows, "media_id long, payload binary"),
+        media_type="image",
+    )
+    out = {r["media_id"]: bytes(r["payload"])
+           for r in mm.resize_images(media, width=4, height=4).collect()}
+    codec, w, h, got = mm.decode_ppm(out[1])
+    assert (w, h) == (4, 4)
+    expected = px[(np.arange(4) * 16) // 4][:, (np.arange(4) * 16) // 4]
+    assert np.array_equal(got, expected)
+    assert out[2] == b"opaque-bytes"[:16].ljust(16, b"\0")
