@@ -113,16 +113,25 @@ def write_clustered(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def file_column_bounds(path: str, cols: list[str]) -> list[dict]:
+def file_column_bounds(
+    path: str, cols: list[str], *, files: list[str] | None = None
+) -> list[dict]:
     """Per-file (min, max) statistics for ``cols`` from the parquet
     footers — the skipping index a reader consults. Footer-only reads;
-    no data pages are touched."""
+    no data pages are touched. ``files`` restricts the scan to a known
+    live-file set (e.g. a commit manifest) so orphaned pre-crash files
+    are never consulted."""
     import os
 
     import pyarrow.parquet as pq
 
+    names = (
+        sorted(files)
+        if files is not None
+        else sorted(os.listdir(path))
+    )
     out = []
-    for name in sorted(os.listdir(path)):
+    for name in names:
         if not name.endswith(".parquet"):
             continue
         md = pq.ParquetFile(os.path.join(path, name)).metadata

@@ -310,6 +310,133 @@ def upsert_parquet_partitioned(
     return merged.count()
 
 
+# ---------------------------------------------------------------------------
+# Manifest commit protocol (shared by the file-indexed and bloom-indexed
+# COW writers): the commit point is publishing manifest version N+1 — a
+# single new immutable object — never a directory mutation.
+#
+#   write new data files (unique names; invisible until referenced)
+#     → publish _manifest/vN+1.json        ← THE atomic commit point
+#     → best-effort clean of replaced files (post-commit, a cleaner's job)
+#
+# Readers resolve the live file set from the LATEST manifest, so a crash
+# at any point leaves them on version N (old complete state) or N+1 (new
+# complete state) — never a torn mix. On POSIX the publish is an atomic
+# rename; on an object store each manifest version is a fresh single-PUT
+# key (rename-free), which is exactly Hudi's .hoodie instant-file commit
+# and Delta's _delta_log JSON protocol. Pre-manifest tables (plain
+# directories) fall back to the directory listing and are migrated on
+# their first manifest commit.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_DIR = "_manifest"  # underscore prefix: invisible to table scans
+
+
+def _manifest_latest(path: str) -> tuple[int, list[str]] | None:
+    """Latest committed (version, live data files) at ``path``, or None
+    for pre-manifest tables. Metadata-scale: one small JSON read."""
+    import json
+    import os
+
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    if not versions:
+        return None
+    v = versions[-1]
+    with open(os.path.join(mdir, f"v{v}.json")) as fh:
+        return v, json.load(fh)["files"]
+
+
+def _manifest_publish(path: str, files: list[str], version: int) -> None:
+    """Atomically publish manifest ``version`` referencing ``files``:
+    write-temp + rename (POSIX-atomic; single fresh-key PUT on an object
+    store). This is the commit point — everything before it is invisible
+    to readers, everything after it is cleanup."""
+    import json
+    import os
+    import uuid
+
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{version}-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "files": sorted(files)}, fh)
+    os.rename(tmp, os.path.join(mdir, f"v{version}.json"))
+
+
+def table_live_files(path: str) -> tuple[int, list[str]]:
+    """(manifest version, live data files) — latest manifest when one
+    exists, else (0, directory listing) for pre-manifest tables."""
+    import glob
+    import os
+
+    m = _manifest_latest(path)
+    if m is not None:
+        return m
+    return 0, sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
+def read_indexed_table(spark, path: str) -> DataFrame:
+    """Manifest-consistent read of an indexed COW table: only files the
+    latest committed manifest references are scanned, so readers never
+    observe a torn commit (orphaned pre-crash files are invisible)."""
+    import os
+
+    _, files = table_live_files(path)
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def _commit_staged(
+    spark, path: str, staging: str, version: int, kept: list[str]
+) -> tuple[list[str], int]:
+    """Shared commit tail: move staged part files in under unique names
+    (pre-commit — invisible until referenced), publish manifest
+    ``version`` over ``kept`` + the new files (THE commit point), then
+    best-effort-clean files the new manifest no longer references.
+    Returns (new file basenames, rows written)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    moved = []
+    try:
+        for i, f in enumerate(sorted(glob.glob(f"{staging}/*.parquet"))):
+            dest = os.path.join(
+                path, f"part-upsert-{uuid.uuid4().hex}-{i:05d}.parquet"
+            )
+            shutil.move(f, dest)
+            moved.append(os.path.basename(dest))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    live = sorted(set(kept) | set(moved))
+    _manifest_publish(path, live, version)  # ← commit point
+    # Post-commit cleaner (Hudi's hoodie.clean.automatic): replaced files
+    # are unreferenced by the new manifest; removing them is best-effort
+    # hygiene, not correctness — a crash here leaves orphans that every
+    # manifest-based read ignores.
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        if os.path.basename(f) not in live:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    n_written = (
+        spark.read.parquet(*[os.path.join(path, m) for m in moved]).count()
+        if moved
+        else 0
+    )
+    return moved, n_written
+
+
 def upsert_parquet_indexed(
     spark,
     batch: DataFrame,
@@ -342,18 +469,15 @@ def upsert_parquet_indexed(
     unclustered layout every file may overlap and the write degrades to
     the full rewrite of :func:`upsert_parquet`, correctly.
 
-    Commit protocol on plain parquet: new files are staged and moved in
-    under unique names, then replaced files are deleted — the
-    no-transaction-log equivalent of Hudi's timeline commit, with the
-    same caveat as :func:`upsert_parquet` (a real log would make this
-    atomic).
+    Commit protocol: the manifest publish is the atomic commit point
+    (see the manifest-protocol block above) — object-store-safe by
+    construction; readers via :func:`read_indexed_table` can never see a
+    torn mix of old and new files.
 
     Single-column key (the range index is one-dimensional); returns rows
     written.
     """
-    import glob
     import os
-    import shutil
     import uuid
 
     from .clustering import file_column_bounds
@@ -361,10 +485,15 @@ def upsert_parquet_indexed(
     if not os.path.isdir(path):
         merged = merge_upsert(None, batch, [key], precombine, delete_col=delete_col)
         merged.write.mode("overwrite").parquet(path)
+        version, live = table_live_files(path)
+        _manifest_publish(path, live, version + 1)
         return merged.count()
 
+    version, live_files = table_live_files(path)
     bounds = [
-        b for b in file_column_bounds(path, [key]) if b[key][0] is not None
+        b
+        for b in file_column_bounds(path, [key], files=live_files)
+        if b[key][0] is not None
     ]
     files_df = spark.createDataFrame(
         [(b["file"], b[key][0], b[key][1]) for b in bounds],
@@ -396,24 +525,12 @@ def upsert_parquet_indexed(
         merged = merge_upsert(
             None, batch, [key], precombine, delete_col=delete_col
         )
-    # Stage → move-in → delete-replaced: the merge reads the files it
-    # replaces, so materialize via the staging write itself.
+    # Stage (the merge reads the files it replaces, so the staging write
+    # doubles as materialization) → manifest commit → clean.
     staging = f"{path}/.staging-{uuid.uuid4().hex}"
     merged.write.mode("overwrite").parquet(staging)
-    n_written = 0
-    try:
-        moved = []
-        for i, f in enumerate(sorted(glob.glob(f"{staging}/*.parquet"))):
-            dest = os.path.join(
-                path, f"part-upsert-{uuid.uuid4().hex}-{i:05d}.parquet"
-            )
-            shutil.move(f, dest)
-            moved.append(dest)
-        for f in affected:
-            os.remove(os.path.join(path, f))
-        n_written = spark.read.parquet(*moved).count() if moved else 0
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    kept = [f for f in live_files if f not in set(affected)]
+    _, n_written = _commit_staged(spark, path, staging, version + 1, kept)
     return n_written
 
 
@@ -515,10 +632,14 @@ def upsert_parquet_bloom_indexed(
     BLOOM_HASHES bits of some batch key are set — so neither the batch
     nor the table ever reaches the driver (only the affected-file NAME
     list does, as with Hudi's index lookup).
+
+    Commit protocol: the manifest publish is the atomic commit point
+    (see the manifest-protocol block above); the sidecar is updated
+    post-commit and validated against the manifest on load, so a crash
+    anywhere leaves readers consistent and at worst costs one cold
+    index rebuild.
     """
-    import glob
     import os
-    import shutil
     import uuid
 
     sidecar = os.path.join(path, _BLOOM_DIR)
@@ -526,30 +647,31 @@ def upsert_parquet_bloom_indexed(
     if not os.path.isdir(path):
         merged = merge_upsert(None, batch, [key], precombine, delete_col=delete_col)
         merged.write.mode("overwrite").parquet(path)
-        _table_bloom_words(spark, path, key).write.mode("overwrite").parquet(sidecar)
+        version, live = table_live_files(path)
+        _manifest_publish(path, live, version + 1)
+        _table_bloom_words(spark, path, key, live).write.mode(
+            "overwrite"
+        ).parquet(sidecar)
         return merged.count()
 
-    # Load the sidecar only if its file set matches the directory listing
-    # (metadata-scale check): a crash between the data-file move/delete
-    # and the sidecar rewrite leaves a stale sidecar whose missing entries
-    # for new files yield bloom FALSE NEGATIVES — a later upsert would
-    # skip those files and write duplicate keys — and whose stale entries
-    # for deleted files would make the probe's read of "affected" paths
-    # fail. On any mismatch, fall back to the cold rebuild (one
-    # column-pruned key scan).
-    data_files = {
-        os.path.basename(f) for f in glob.glob(os.path.join(path, "*.parquet"))
-    }
+    version, live_files = table_live_files(path)
+    # Load the sidecar only if its file set matches the manifest's live
+    # set (metadata-scale check): a crash between the manifest publish
+    # and the sidecar rewrite leaves a stale sidecar whose missing
+    # entries for new files yield bloom FALSE NEGATIVES — a later upsert
+    # would skip those files and write duplicate keys. On any mismatch,
+    # fall back to the cold rebuild (one column-pruned key scan over the
+    # manifest-listed files; orphaned pre-crash files are ignored).
     words = None
     if os.path.isdir(sidecar):
         candidate = spark.read.parquet(sidecar)
         sidecar_files = {
             r["file"] for r in candidate.select("file").distinct().collect()
         }
-        if sidecar_files == data_files:
+        if sidecar_files == set(live_files):
             words = candidate
     if words is None:
-        words = _table_bloom_words(spark, path, key)  # cold (re)build
+        words = _table_bloom_words(spark, path, key, live_files)  # cold (re)build
     # Materialize now (metadata-scale): the commit below deletes data
     # files and overwrites the sidecar this lazy plan reads from.
     words = words.localCheckpoint(eager=True)
@@ -585,32 +707,25 @@ def upsert_parquet_bloom_indexed(
     else:
         merged = merge_upsert(None, batch, [key], precombine, delete_col=delete_col)
 
-    # Same stage → move-in → delete-replaced commit as the SIMPLE index.
+    # Same stage → manifest-commit → clean protocol as the SIMPLE index.
     staging = f"{path}/.staging-{uuid.uuid4().hex}"
     merged.write.mode("overwrite").parquet(staging)
-    n_written = 0
-    try:
-        moved = []
-        for i, f in enumerate(sorted(glob.glob(f"{staging}/*.parquet"))):
-            dest = os.path.join(path, f"part-upsert-{uuid.uuid4().hex}-{i:05d}.parquet")
-            shutil.move(f, dest)
-            moved.append(dest)
-        for f in affected:
-            os.remove(os.path.join(path, f))
-        n_written = spark.read.parquet(*moved).count() if moved else 0
-        # Incremental index maintenance: drop replaced files' words, add
-        # the new files' words — O(commit), the sidecar rewrite itself is
-        # metadata-scale. (words is already materialized above.)
-        kept = words.filter(~F.col("file").isin(affected))
-        new_words = (
-            _table_bloom_words(spark, path, key, [os.path.basename(m) for m in moved])
-            if moved
-            else None
-        )
-        out_words = kept.unionByName(new_words) if new_words is not None else kept
-        out_words.write.mode("overwrite").parquet(sidecar)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    kept_files = [f for f in live_files if f not in set(affected)]
+    moved, n_written = _commit_staged(
+        spark, path, staging, version + 1, kept_files
+    )
+    # Post-commit incremental index maintenance: drop replaced files'
+    # words, add the new files' words — O(commit), the sidecar rewrite
+    # itself is metadata-scale. (words was materialized above; a crash
+    # before this line is healed by the manifest-mismatch cold rebuild.)
+    kept_words = words.filter(~F.col("file").isin(affected))
+    new_words = (
+        _table_bloom_words(spark, path, key, moved) if moved else None
+    )
+    out_words = (
+        kept_words.unionByName(new_words) if new_words is not None else kept_words
+    )
+    out_words.write.mode("overwrite").parquet(sidecar)
     return n_written
 
 

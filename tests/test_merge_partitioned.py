@@ -316,19 +316,25 @@ def test_bloom_upsert_delete_records_and_incremental_index(spark, scattered_tabl
 def test_bloom_upsert_stale_sidecar_falls_back_to_cold_rebuild(
     spark, scattered_table
 ):
-    """A crash between the data-file commit and the sidecar rewrite
-    leaves a file the sidecar has never seen. Trusting that sidecar
-    yields bloom FALSE NEGATIVES (the unindexed file is never probed),
-    so a later upsert of its keys would insert duplicates. The loader
-    must detect the sidecar/listing mismatch and cold-rebuild."""
+    """A crash between the manifest publish and the sidecar rewrite
+    leaves a COMMITTED file the sidecar has never seen. Trusting that
+    sidecar yields bloom FALSE NEGATIVES (the unindexed file is never
+    probed), so a later upsert of its keys would insert duplicates. The
+    loader must detect the sidecar/manifest mismatch and cold-rebuild."""
     import os
     import shutil
+
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        _manifest_publish,
+        table_live_files,
+    )
 
     batch = spark.createDataFrame([(7, "warm", 2)], KSCHEMA)
     upsert_parquet_bloom_indexed(spark, batch, scattered_table, "k", "prec")
 
-    # Simulate the torn commit: a new data file (key 500) lands without
-    # a sidecar update.
+    # Simulate the torn commit: a new data file (key 500) is moved in
+    # AND referenced by a published manifest — the crash happens just
+    # before the sidecar update.
     staging = os.path.join(scattered_table, "..", "torn-staging")
     spark.createDataFrame([(500, "torn", 1)], KSCHEMA).coalesce(1).write.mode(
         "overwrite"
@@ -337,6 +343,10 @@ def test_bloom_upsert_stale_sidecar_falls_back_to_cold_rebuild(
     shutil.move(
         os.path.join(staging, src),
         os.path.join(scattered_table, "part-torn-00000.parquet"),
+    )
+    version, live = table_live_files(scattered_table)
+    _manifest_publish(
+        scattered_table, live + ["part-torn-00000.parquet"], version + 1
     )
     sidecar = spark.read.parquet(os.path.join(scattered_table, "_bloom"))
     indexed = {r["file"] for r in sidecar.select("file").distinct().collect()}
@@ -347,7 +357,53 @@ def test_bloom_upsert_stale_sidecar_falls_back_to_cold_rebuild(
     out = spark.read.parquet(scattered_table).filter(F.col("k") == 500)
     rows = [(r["k"], r["v"]) for r in out.collect()]
     assert rows == [(500, "fixed")]  # exactly one row — no duplicate key
-    # And the rebuilt sidecar matches the directory again.
+    # And the rebuilt sidecar matches the live file set again.
     sidecar2 = spark.read.parquet(os.path.join(scattered_table, "_bloom"))
     indexed2 = {r["file"] for r in sidecar2.select("file").distinct().collect()}
     assert indexed2 == set(all_files(scattered_table))
+    assert indexed2 == set(table_live_files(scattered_table)[1])
+
+
+def test_manifest_commit_crash_never_torn(spark, scattered_table):
+    """Crash-between-stage-and-commit: data files that were moved in but
+    never referenced by a published manifest are invisible to readers —
+    a reader sees the complete old state or the complete new state,
+    never a mix. The next successful commit also cleans the orphans."""
+    import os
+    import shutil
+
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        read_indexed_table,
+        table_live_files,
+    )
+
+    batch = spark.createDataFrame([(3, "v3-new", 2)], KSCHEMA)
+    upsert_parquet_indexed(spark, batch, scattered_table, "k", "prec")
+    before = {(r["k"], r["v"]) for r in read_indexed_table(spark, scattered_table).collect()}
+    v_before, _ = table_live_files(scattered_table)
+
+    # Simulate the crash: a staged file full of would-be updates lands
+    # in the table directory, but the manifest publish never happened.
+    staging = os.path.join(scattered_table, "..", "crash-staging")
+    spark.createDataFrame(
+        [(3, "TORN", 99), (4, "TORN", 99)], KSCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    (src,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    orphan = os.path.join(scattered_table, "part-upsert-deadbeef-00000.parquet")
+    shutil.move(os.path.join(staging, src), orphan)
+
+    # Readers on the manifest see the old complete state — no torn mix.
+    after_crash = {(r["k"], r["v"]) for r in read_indexed_table(spark, scattered_table).collect()}
+    assert after_crash == before
+    assert table_live_files(scattered_table)[0] == v_before
+
+    # The next successful commit supersedes the orphan and cleans it.
+    batch2 = spark.createDataFrame([(4, "v4-new", 3)], KSCHEMA)
+    upsert_parquet_indexed(spark, batch2, scattered_table, "k", "prec")
+    final = {(r["k"], r["v"]) for r in read_indexed_table(spark, scattered_table).collect()}
+    assert (3, "v3-new") in final and (4, "v4-new") in final
+    assert not any(v == "TORN" for _, v in final)
+    assert not os.path.exists(orphan)  # cleaner removed the orphan
+    # Directory read and manifest read agree after the clean commit.
+    dir_read = {(r["k"], r["v"]) for r in spark.read.parquet(scattered_table).collect()}
+    assert dir_read == final
