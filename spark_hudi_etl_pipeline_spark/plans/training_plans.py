@@ -94,11 +94,13 @@ ORDER BY doc_id
 def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition metrics and a keep/drop gate.
 
-    ONE corpus scan: unigrams/bigrams/trigrams are emitted together as
-    (k, gram) structs from a single tokenize pass, aggregated on
-    (doc_id, k, gram), then folded per doc with conditional aggregates —
-    two key-local shuffles, zero joins (the naive form is 3 scans + 2
-    per-doc joins; the unchanged oracle proves the fusion exact)."""
+    MAP-ONLY: every metric is a function of one document's own grams, so
+    nothing shuffles — gram counts are computed inside the row by
+    sorting each gram-code array and measuring runs with codegen'd
+    higher-order functions (the earlier explode → groupBy(doc, k, gram)
+    → groupBy(doc) form shuffled ~3 rows per token twice; at corpus
+    scale that shuffle was the dominant and entirely avoidable cost —
+    the unchanged oracle proves the rewrite exact)."""
     return repetition_metrics(load_table(spark, sf_dir, "documents"))
 
 
@@ -106,13 +108,23 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     """DataFrame-level core of ``text_repetition_filters`` (also driven
     by ``tools/scale_probe.py`` on replicated corpora).
 
+    Per-k pipeline, all within the row: gram strings → xxhash64 codes
+    (8-byte comparisons instead of string compares; a collision would
+    need two distinct same-k grams INSIDE one document, P ≈ grams²/2⁶⁴ ≈
+    1e-15, and the string-gram oracle verifies none occurred at test
+    scale) → ``array_sort`` → run-length stats: equal grams are adjacent
+    after the sort, so run boundaries are the positions where a code
+    differs from its predecessor; run lengths are differences of
+    consecutive boundary positions. max run = top gram count, runs >1 =
+    duplicated grams, #runs = distinct grams.
+
     Documents shorter than a gram size keep their row with NULL for that
     metric (and a NULL ``keep`` gate → treated as not-keep); they are
     never dropped or mis-shingled (see ``_gram_starts``)."""
     d = docs.select("doc_id", _tokens().alias("t"))
     n = F.size("t")
 
-    def gram_structs(k: int) -> F.Column:
+    def gram_codes(k: int) -> F.Column:
         if k == 1:
             src = F.col("t")
         else:
@@ -120,38 +132,74 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
                 _gram_starts(n, k),
                 lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
             )
-        # Grams shuffle as 8-byte xxhash64 codes, not strings (~5× fewer
-        # shuffle bytes). Counts are per (doc, k): a collision would need
-        # two distinct grams of the same k INSIDE one document —
-        # P ≈ grams²/2⁶⁴ ≈ 1e-15 per doc — and the unchanged string-gram
-        # oracle verifies no collision occurred at test scale.
-        return F.transform(
-            src, lambda g: F.struct(F.lit(k).alias("k"), F.xxhash64(g).alias("g"))
-        )
+        return F.array_sort(F.transform(src, lambda g: F.xxhash64(g)))
 
-    allg = d.select(
+    def let(expr: F.Column, body) -> F.Column:
+        """Expression-level let-binding: bind ``expr`` to a lambda
+        variable via transform-over-singleton so it is evaluated ONCE
+        per row. Without this, Catalyst inlines a sub-expression at
+        every reference site (CollapseProject has no common-
+        subexpression reuse across HOF lambdas), and the nested
+        sort/filter/zip pipeline below re-evaluates multiplicatively —
+        measured 140× slower."""
+        return F.element_at(F.transform(F.array(expr), body), 1)
+
+    def run_stats(sorted_codes: F.Column) -> F.Column:
+        """struct(total, n_runs, max_run, dup_total) from a sorted code
+        array — pure array expressions; every intermediate array is
+        let-bound so it is computed exactly once per row."""
+
+        def with_sorted(s: F.Column) -> F.Column:
+            total = F.size(s)
+            # 1-based boundary positions: first element, or code !=
+            # predecessor (equal codes are adjacent after the sort).
+            bnd_expr = F.filter(
+                F.sequence(F.lit(1), total),
+                lambda i: (i == F.lit(1))
+                | (F.element_at(s, i) != F.element_at(s, i - 1)),
+            )
+
+            def with_bounds(bnd: F.Column) -> F.Column:
+                n_runs = F.size(bnd)
+                # Run lengths: next boundary (or n+1) minus this boundary.
+                ends = F.concat(F.slice(bnd, 2, n_runs - 1), F.array(total + 1))
+                runs_expr = F.zip_with(bnd, ends, lambda b, e: e - b)
+
+                def with_runs(runs: F.Column) -> F.Column:
+                    return F.struct(
+                        total.alias("total"),
+                        n_runs.alias("n_runs"),
+                        F.array_max(runs).alias("max_run"),
+                        F.aggregate(
+                            runs,
+                            F.lit(0),
+                            lambda acc, r: acc + F.when(r > 1, r).otherwise(0),
+                        ).alias("dup_total"),
+                    )
+
+                return let(runs_expr, with_runs)
+
+            return F.when(total > 0, let(bnd_expr, with_bounds))
+
+        return let(sorted_codes, with_sorted)
+
+    stats = d.select(
         "doc_id",
-        F.explode(
-            F.concat(gram_structs(1), gram_structs(2), gram_structs(3))
-        ).alias("kg"),
-    ).select("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
-    gc = allg.groupBy("doc_id", "k", "g").agg(F.count(F.lit(1)).alias("c"))
-
-    def only(k: int, col: F.Column) -> F.Column:
-        return F.when(F.col("k") == k, col)
-
-    per_doc = gc.groupBy("doc_id").agg(
-        F.round(F.max(only(2, F.col("c"))) / F.sum(only(2, F.col("c"))), 6).alias(
+        run_stats(gram_codes(1)).alias("s1"),
+        run_stats(gram_codes(2)).alias("s2"),
+        run_stats(gram_codes(3)).alias("s3"),
+    )
+    per_doc = stats.select(
+        "doc_id",
+        F.round(F.col("s2.max_run") / F.col("s2.total"), 6).alias(
             "top_bigram_frac"
         ),
-        F.round(
-            F.sum(only(3, F.when(F.col("c") > 1, F.col("c")).otherwise(0)))
-            / F.sum(only(3, F.col("c"))),
-            6,
-        ).alias("dup_trigram_frac"),
-        F.round(
-            F.count(only(1, F.lit(1))) / F.sum(only(1, F.col("c"))), 6
-        ).alias("distinct_word_ratio"),
+        F.round(F.col("s3.dup_total") / F.col("s3.total"), 6).alias(
+            "dup_trigram_frac"
+        ),
+        F.round(F.col("s1.n_runs") / F.col("s1.total"), 6).alias(
+            "distinct_word_ratio"
+        ),
     )
     return per_doc.select(
         "doc_id",

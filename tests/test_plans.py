@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from spark_hudi_etl_pipeline_spark.plans import ORACLES, QUERIES
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 
 def plan_of(spark, name: str) -> str:
@@ -237,10 +237,25 @@ def test_profile_is_one_pass(spark):
     assert plan.count("FileScan parquet") == 1
 
 
+#: Queries registered WITHOUT an oracle on purpose: approximation-bearing
+#: operators (LSH/SimHash/ANN/HLL/GK sketches), nondeterministic surrogate
+#: keys, and binary pixel decode — each gets a rows-only driver record.
+ROWS_ONLY_BY_DESIGN = {
+    "extract_with_surrogate",
+    "multimodal_decode_features",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_lsh_ann",
+    "approx_distinct_customers",
+    "approx_percentiles_price",
+}
+
+
 def test_priority_window_contract():
     """The driver checks the FIRST 50 entries of queries(): the curated
-    window must stay exactly 50, fully oracle-bearing, first in
-    iteration order, and every registered query must still be present."""
+    window must stay exactly 50, first in iteration order, every
+    registered query still present, and every window entry either
+    oracle-bearing or declared rows-only by design."""
     from spark_hudi_etl_pipeline_spark.plans import (
         PRIORITY_WINDOW,
         ordered_queries,
@@ -251,5 +266,41 @@ def test_priority_window_contract():
     ordered = list(ordered_queries())
     assert ordered[:50] == PRIORITY_WINDOW
     assert set(ordered) == set(QUERIES)
-    missing_oracle = [n for n in PRIORITY_WINDOW if n not in ORACLES]
+    missing_oracle = [
+        n
+        for n in PRIORITY_WINDOW
+        if n not in ORACLES and n not in ROWS_ONLY_BY_DESIGN
+    ]
     assert missing_oracle == []
+
+
+def test_plan_shapes_match_golden(spark):
+    """Plan-shape regression net over ALL registered queries: the
+    summarize() counters (join strategies, hash/range exchanges, pushed
+    filters, scan widths, top-k, arrow stages) must match the committed
+    golden — a silently lost broadcast or a new cartesian anywhere in
+    the 133-query surface fails here. Regenerate deliberately with
+    `python tools/plan_audit.py --golden` after an intended plan change."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import GOLDEN_PATH, snapshot_all
+
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)
+    snap = snapshot_all(spark, SF_MEDIUM)
+    assert set(snap) == set(golden), (
+        f"query set drifted: +{set(snap) - set(golden)} "
+        f"-{set(golden) - set(snap)} — regenerate the golden"
+    )
+    diffs = {
+        name: {
+            k: (golden[name].get(k), v)
+            for k, v in snap[name].items()
+            if golden[name].get(k) != v
+        }
+        for name in snap
+        if snap[name] != golden[name]
+    }
+    assert diffs == {}, f"plan shapes drifted vs golden: {diffs}"
