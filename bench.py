@@ -70,11 +70,29 @@ def main() -> None:
         "noop"
     ).save()
 
-    # Two passes, report the per-query minimum: multi-job operator
-    # pipelines (LSH, merge) have ±40% single-shot scheduling noise at
-    # this scale; min-of-2 is the steady-state cost.
+    # The JVM's tiered JIT keeps the Arrow-serialization hot paths 3-4×
+    # slower until they've run a few times (measured: identical LSH plans
+    # 8-9s for the first 2-3 invocations of a fresh JVM, then 2.5s
+    # steady, with the transition point varying per process). Execute the
+    # UDF-heavy pipelines twice untimed so the timed passes below start
+    # past the compilation cliff — a long-lived cluster job amortizes JIT
+    # entirely, so steady state is the honest per-query cost.
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "knn_bruteforce_cosine"):
+        for _ in range(2):
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    # Three passes, report the per-query minimum. Two noise sources at
+    # this scale: multi-job operator pipelines (LSH, merge) have ±40%
+    # single-shot scheduling noise, and the JVM's tiered JIT keeps the
+    # Arrow-serialization/codegen hot paths 3-4× slower until they've
+    # executed a few times (measured: identical LSH plans ran 8-9s for
+    # the first 2-3 invocations of a fresh JVM, then 2.5s steady —
+    # min-of-2 straddles that boundary and reads bimodally across bench
+    # invocations; min-of-3 lands past it). A long-lived cluster job
+    # amortizes JIT entirely, so the steady-state number is the honest
+    # per-query cost.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
