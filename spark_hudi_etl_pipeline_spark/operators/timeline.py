@@ -177,6 +177,18 @@ def read_incremental(
     return log
 
 
+_COMPACTIONS_DIR = "_compactions"
+
+
+def compaction_instants(path: str) -> list[int]:
+    """Sorted instants at which a compacted base commit was published
+    (from the ``_compactions/`` marker files — metadata only)."""
+    d = os.path.join(path, _COMPACTIONS_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(int(f) for f in os.listdir(d) if f.isdigit())
+
+
 def compact_timeline(
     spark,
     path: str,
@@ -189,7 +201,10 @@ def compact_timeline(
     """Collapse commits ≤ ``up_to`` into a single base commit at instant
     ``up_to``, then drop the replaced commit partitions. Reads after
     compaction (as-of ≥ ``up_to``) see identical state with a shorter
-    merge tail. Returns rows in the compacted base."""
+    merge tail. Publishes a ``_compactions/<up_to>`` marker (Hudi's
+    ``commit`` vs ``deltacommit`` instant-type distinction) so
+    :func:`read_optimized` can locate the latest base without reading
+    data files. Returns rows in the compacted base."""
     instants = [t for t in commit_instants(spark, path) if t <= up_to]
     if not instants:
         return 0
@@ -210,4 +225,58 @@ def compact_timeline(
         .partitionBy(COMMIT_COL)
         .parquet(path)
     )
+    marker_dir = os.path.join(path, _COMPACTIONS_DIR)
+    os.makedirs(marker_dir, exist_ok=True)
+    with open(os.path.join(marker_dir, str(up_to)), "w"):
+        pass
     return base.count()
+
+
+def read_optimized(spark, path: str) -> DataFrame:
+    """Hudi MOR *read-optimized* query: scan ONLY the latest compacted
+    base commit — a pure partition-pruned columnar scan with no merge
+    window at all (zero shuffles), at the cost of staleness: delta
+    commits after the last compaction are invisible, exactly Hudi's
+    read-optimized/snapshot trade. Raises if no compaction has ever run
+    (the timeline is all deltas — Hudi likewise shows nothing for
+    log-only file groups; an explicit error beats silently returning an
+    empty table).
+
+    The snapshot (*realtime*) twin is :func:`read_realtime`.
+    """
+    bases = compaction_instants(path)
+    if not bases:
+        raise FileNotFoundError(
+            f"no compacted base commit under {path!r} — run compact_timeline "
+            "first, or use read_realtime/read_as_of for a full merge read"
+        )
+    base = bases[-1]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col(COMMIT_COL) == base)
+        .drop(COMMIT_COL)
+    )
+
+
+def read_realtime(
+    spark,
+    path: str,
+    keys: list[str],
+    precombine: str,
+    *,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Hudi MOR *snapshot* (realtime) query: current state = the latest
+    compacted base merged with the delta commits after it. The fold
+    window only spans base + tail — commits already collapsed into the
+    base were deleted by the compactor, so read amplification is bounded
+    by compaction frequency. Falls back to folding the whole timeline
+    when no compaction has run."""
+    bases = compaction_instants(path)
+    log = spark.read.parquet(path)
+    if bases:
+        # Partition filter: everything at or after the newest base
+        # (older delta partitions were removed by the compactor; the
+        # predicate guards against replaced-but-unremoved stragglers).
+        log = log.filter(F.col(COMMIT_COL) >= bases[-1])
+    return fold_commits(log, keys, precombine, delete_col=delete_col)

@@ -210,6 +210,122 @@ def timeline_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MOR query types (operators/timeline.py read_optimized/read_realtime —
+# Hudi's _ro/_rt table pair): after compacting commits ≤ 2 with commit 3
+# left as an uncompacted delta, the READ-OPTIMIZED view is a pure
+# partition-pruned scan of the base (no merge window, zero shuffles —
+# commit 3's ×4 rows are invisible by design), while the SNAPSHOT
+# (realtime) view folds base + delta tail and must equal the full
+# 3-commit history. Two queries over the same timeline, one per Hudi
+# query type; staleness and base-only scan shape are asserted in
+# tests/test_timeline.py.
+# --------------------------------------------------------------------------
+
+
+def _compacted_timeline(spark: SparkSession, sf_dir: str, tag2: str) -> str:
+    from ..operators.timeline import compact_timeline
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/timeline_{tag2}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # fresh timeline per run
+    for ts, batch in _timeline_commits(orders):
+        commit_append(spark, batch, path, ts)
+    compact_timeline(spark, path, ["o_orderkey"], "o_orderdate", up_to=2)
+    return path
+
+
+@query(
+    "timeline_read_optimized",
+    oracle="""
+WITH log AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 1 AS commit_ts
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 2.0,
+         o_orderdate + INTERVAL 30 DAY, 2
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, commit_ts DESC) AS rn
+  FROM log
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def timeline_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi `_ro` query type: scan the compacted base only — state as of
+    the last compaction (commits 1-2); the uncompacted commit-3 delta is
+    invisible. The oracle folds exactly those two commits."""
+    from ..operators.timeline import read_optimized
+
+    path = _compacted_timeline(spark, sf_dir, "ro")
+    return (
+        read_optimized(spark, path)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "timeline_realtime_snapshot",
+    oracle="""
+WITH log AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 1 AS commit_ts
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 2.0,
+         o_orderdate + INTERVAL 30 DAY, 2
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 4.0,
+         o_orderdate + INTERVAL 60 DAY, 3
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, commit_ts DESC) AS rn
+  FROM log
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def timeline_realtime_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi `_rt` query type: compacted base merged with the commit-3
+    delta tail — the fold window spans base + tail only, yet the result
+    must equal the full 3-commit history (the oracle folds all three),
+    proving compaction is read-transparent for snapshot queries."""
+    from ..operators.timeline import read_realtime
+
+    path = _compacted_timeline(spark, sf_dir, "rt")
+    return (
+        read_realtime(spark, path, ["o_orderkey"], "o_orderdate")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Clustering table service (operators/clustering.py — Hudi's
 # hoodie.clustering z-order mode): orders is rewritten z-ordered on
 # (price, custkey), then a selective 2-D band predicate scans the

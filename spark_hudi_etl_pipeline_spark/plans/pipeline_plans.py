@@ -974,3 +974,243 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning (S7/layout tier): the fact table is laid out
+# hive-partitioned on event_date; the dim-side predicate (day_mod = 2)
+# is NOT a fact column, so static pruning can't touch the fact scan —
+# only DPP can, by broadcasting the filtered dim's join keys into the
+# fact scan's PartitionFilters at runtime. At 100 TB this is the
+# difference between scanning every date partition and scanning 1/7 of
+# them; the `dynamicpruningexpression` in the fact scan is asserted in
+# tests/test_plans.py.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dpp_partition_pruned_join",
+    oracle="""
+WITH fact AS (
+  SELECT event_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, value
+  FROM events
+),
+dim AS (
+  SELECT event_date,
+         date_diff('day', DATE '1970-01-01', event_date) % 7 AS day_mod
+  FROM (SELECT DISTINCT event_date FROM fact)
+)
+SELECT f.event_date, count(*) AS n_events, round(sum(f.value), 2) AS sum_value
+FROM fact f JOIN dim d USING (event_date)
+WHERE d.day_mod = 2
+GROUP BY f.event_date
+ORDER BY f.event_date
+""",
+)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join a date-partitioned fact layout to a filtered calendar dim:
+    the dim filter reaches the fact scan only via dynamic partition
+    pruning (runtime subquery → PartitionFilters), never statically.
+    day_mod is engine-neutral day-of-week (epoch-day mod 7)."""
+    fact_df, dim_df = _dpp_tables(spark, sf_dir)
+    return (
+        fact_df.join(dim_df.filter(F.col("day_mod") == 2), "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+def _dpp_tables(spark: SparkSession, sf_dir: str):
+    """Stage the date-partitioned fact + calendar dim layouts (shared by
+    the query above and the plan-shape test)."""
+    ev = load_table(spark, sf_dir, "events")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    fact_path = f"/root/repo/.scratch/dpp_fact_{tag}"
+    dim_path = f"/root/repo/.scratch/dpp_dim_{tag}"
+    fact = ev.select(
+        "event_id", "value", F.to_date("ts").alias("event_date")
+    )
+    fact.write.mode("overwrite").partitionBy("event_date").parquet(fact_path)
+    dim = (
+        fact.select("event_date")
+        .distinct()
+        .withColumn(
+            "day_mod", F.datediff("event_date", F.lit("1970-01-01")) % 7
+        )
+    )
+    dim.write.mode("overwrite").parquet(dim_path)
+    return spark.read.parquet(fact_path), spark.read.parquet(dim_path)
+
+
+# --------------------------------------------------------------------------
+# Chained stateful aggregation (Spark 3.4+ multiple stateful operators in
+# one streaming query): hourly per-type windows rolled up into 4-hour
+# windows via window_time — both stages watermark-bounded, run as a REAL
+# availableNow drain in append mode. Append mode only emits a window
+# once the watermark passes its end, so the drain appends one future
+# sentinel event that pushes the final watermark past every real window
+# (the standard finalize trick); sentinel windows are filtered out by
+# the known real max timestamp. Oracle = the same two-level rollup in
+# batch SQL.
+# --------------------------------------------------------------------------
+
+
+def _with_future_sentinels(spark: SparkSession, ev: DataFrame, rows):
+    """Union deterministic far-future sentinel rows onto the events
+    frame: (event_id, user_id, event_type, hours_past_max)."""
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sent = spark.range(1).select(
+        *[
+            F.struct(
+                F.lit(eid).cast("long").alias("event_id"),
+                (
+                    F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")
+                ).alias("ts"),
+                F.lit(uid).cast("long").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            ).alias(f"s{i}")
+            for i, (eid, uid, etype, hours) in enumerate(rows)
+        ]
+    )
+    sent = sent.select(
+        F.explode(F.array(*[f"s{i}" for i in range(len(rows))])).alias("r")
+    ).select("r.*")
+    return ev.unionByName(sent.select(*ev.columns)), max_ts
+
+
+@query(
+    "streaming_chained_rollup",
+    oracle="""
+WITH fine AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP),
+                     TIMESTAMP '1970-01-01') AS w1,
+         event_type, count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(18, 2))) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT time_bucket(INTERVAL '4 hours', w1, TIMESTAMP '1970-01-01') AS w_start,
+       count(*) AS n_type_hours,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(sv) * 100 AS BIGINT) AS sum_value_cents
+FROM fine GROUP BY 1 ORDER BY 1
+""",
+)
+def streaming_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL two-stage stateful streaming drain: hourly per-type counts →
+    4-hour rollup, one query, append mode, value summed as exact
+    DECIMAL cents (streaming/windows.py::chained_window_rollup)."""
+    from ..streaming.windows import chained_window_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    staged, max_ts = _with_future_sentinels(
+        spark, ev, [(-1, -1, "sentinel", 10)]
+    )
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_chain_{tag}"
+    staged.coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(staged.schema).parquet(stage)
+    rollup = chained_window_rollup(stream).filter(
+        F.col("w_start") <= F.lit(max_ts)
+    )
+    qname = f"stream_chain_{tag}"
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("w_start")
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join: clicks with no purchase within
+# the hour emit null purchase columns — but only once the purchase-side
+# watermark proves no match can still arrive (state eviction doubles as
+# the no-match proof). Sentinels on both streams advance both watermarks
+# past every real row so the availableNow drain flushes all outer
+# results; oracle = the batch LEFT JOIN.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_interval_join_outer",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id AS user_id,
+       p.event_id AS purchase_id, round(p.value, 2) AS purchase_value
+FROM events c LEFT JOIN events p
+  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+ORDER BY click_id, purchase_id
+""",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    staged, _ = _with_future_sentinels(
+        spark, ev, [(-1, -1, "click", 10), (-2, -2, "purchase", 10)]
+    )
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_ssj_outer_{tag}"
+    staged.coalesce(1).write.mode("overwrite").parquet(stage)
+    schema = staged.schema
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        F.col("user_id") == F.col("p_user_id"),
+        left_time="click_ts",
+        right_time="purchase_ts",
+        upper="1 HOUR",
+        how="left_outer",
+    )
+    qname = f"stream_ssj_outer_{tag}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .filter(F.col("user_id") >= 0)  # drop the watermark sentinels
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            F.round("p_value", 2).alias("purchase_value"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -150,6 +150,7 @@ def interval_join(
     left_watermark: str = "1 hour",
     right_watermark: str = "1 hour",
     upper: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with an event-time interval bound:
     ``on`` (equality) AND ``left_time <= right_time <= left_time + upper``.
@@ -163,13 +164,62 @@ def interval_join(
 
     Works identically on batch DataFrames (watermarks are no-ops there),
     which is how the DuckDB oracle checks it.
+
+    ``how="left_outer"`` emits unmatched left rows (null right columns)
+    once the right watermark passes ``left_time + upper`` — the state
+    eviction point doubles as the proof-of-no-match point, so outer
+    results are exact, just deferred by the lateness horizon. (Inner
+    emits matches immediately; only the null rows wait on eviction.)
     """
     l = left.withWatermark(left_time, left_watermark)
     r = right.withWatermark(right_time, right_watermark)
     bound = (F.col(right_time) >= F.col(left_time)) & (
         F.col(right_time) <= F.col(left_time) + F.expr(f"INTERVAL {upper}")
     )
-    return l.join(r, on & bound, "inner")
+    return l.join(r, on & bound, how)
+
+
+def chained_window_rollup(
+    events: DataFrame,
+    *,
+    fine: str = "1 hour",
+    coarse: str = "4 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Two chained stateful aggregations in ONE streaming query
+    (Spark 3.4+ multiple-stateful-operator support): per-type counts in
+    fine tumbling windows, then a coarse rollup over the finalized fine
+    windows via ``window_time`` — the streaming form of an hourly→daily
+    rollup cube. Each stage's state is bounded by its own watermark
+    horizon; the fine aggregate also shrinks what the coarse stage
+    shuffles by |types|×(coarse/fine) versus re-aggregating raw events.
+
+    ``value`` is summed as DECIMAL(18,2) (the fixture values are exactly
+    2-decimal) so partial-aggregation order can never move the result —
+    output is integer cents.
+    """
+    fine_agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", fine).alias("w1"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    return (
+        fine_agg.groupBy(F.window(F.window_time("w1"), coarse).alias("w2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_type_hours"),
+            F.sum("n_events").alias("n_events"),
+            (F.sum("sv") * 100).cast("long").alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w2.start").alias("w_start"),
+            "n_type_hours",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
 
 
 def foreach_batch_upsert(

@@ -304,3 +304,17 @@ def test_plan_shapes_match_golden(spark):
         if snap[name] != golden[name]
     }
     assert diffs == {}, f"plan shapes drifted vs golden: {diffs}"
+
+
+def test_dpp_join_prunes_fact_partitions(spark):
+    """The dim-side day_mod filter must reach the date-partitioned fact
+    scan as a runtime dynamicpruningexpression in PartitionFilters —
+    static pruning cannot express it (day_mod is not a fact column)."""
+    df = QUERIES["dpp_partition_pruned_join"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fact_scans = [
+        line for line in plan.splitlines() if "dpp_fact" in line
+    ]
+    assert fact_scans and all(
+        "dynamicpruningexpression" in line.lower() for line in fact_scans
+    )

@@ -230,3 +230,109 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1
+
+
+def test_outer_interval_join_emits_unmatched_after_eviction(spark, tmp_path):
+    """left_outer interval join: a click with no purchase in its bound
+    emits null purchase columns — but only once the watermark proves no
+    match can arrive. A far-future row on each side advances both
+    watermarks so the drain flushes every outer result."""
+    from spark_hudi_etl_pipeline_spark.streaming import (
+        events_file_stream,
+        interval_join,
+    )
+
+    src = str(tmp_path / "ssj_outer_in")
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0, "{}"),
+        (2, "2024-01-01 00:30:00", 1, "purchase", 9.5, "{}"),
+        # user 2: click with NO purchase in bound -> outer null row
+        (5, "2024-01-01 00:20:00", 2, "click", 0.0, "{}"),
+        # watermark sentinels (filtered from the assertion)
+        (-1, "2024-01-02 00:00:00", -1, "click", 0.0, "{}"),
+        (-2, "2024-01-02 00:00:00", -2, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    frame = events_file_stream(spark, src)
+    clicks = frame.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+    )
+    purchases = frame.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user_id"),
+    )
+    q = (
+        interval_join(
+            clicks,
+            purchases,
+            F.col("user_id") == F.col("p_user_id"),
+            left_time="click_ts",
+            right_time="purchase_ts",
+            upper="1 HOUR",
+            how="left_outer",
+        )
+        .writeStream.format("memory")
+        .queryName("t_ssj_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("t_ssj_outer").filter(F.col("user_id") >= 0).collect()
+    }
+    assert got == {(1, 2), (5, None)}
+
+
+def test_chained_rollup_stream_matches_batch(spark, events_dir):
+    """Two chained stateful aggregations in one streaming query must
+    equal the identical batch computation (windows/window_time work in
+    both modes); sentinel row pushes the watermark so append mode
+    finalizes every real window."""
+    from spark_hudi_etl_pipeline_spark.streaming import events_file_stream
+    from spark_hudi_etl_pipeline_spark.streaming.windows import (
+        chained_window_rollup,
+    )
+
+    batch_ev = spark.read.parquet(events_dir)
+    expected = {
+        tuple(r)
+        for r in chained_window_rollup(batch_ev)
+        .filter(F.col("w_start").isNotNull())
+        .collect()
+    }
+    max_ts = batch_ev.agg(F.max("ts")).first()[0]
+    sent_dir = events_dir + "_sentinel"
+    batch_ev.unionByName(
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(max_ts) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).select(*batch_ev.columns)
+    ).coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    out = (
+        chained_window_rollup(events_file_stream(spark, sent_dir))
+        .filter(F.col("w_start") <= F.lit(max_ts))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_chained")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("t_chained").collect()}
+    assert got == expected

@@ -163,3 +163,39 @@ def test_fold_matches_replay_without_deletes_any_order(spark):
     )
     win = fold_commits(log, ["k"], "prec")
     assert rows_of(win) == rows_of(seq) == {(1, "new", 50)}
+
+
+def test_read_optimized_scans_base_only_and_is_stale(spark, log_path):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import (
+        compaction_instants,
+        read_optimized,
+        read_realtime,
+    )
+
+    # No compaction yet: read-optimized has no base to scan.
+    with pytest.raises(FileNotFoundError):
+        read_optimized(spark, log_path)
+    compact_timeline(spark, log_path, ["k"], "prec", up_to=2)
+    assert compaction_instants(log_path) == [2]
+    ro = read_optimized(spark, log_path)
+    # Stale by design: commit 3 (a3, d1) is an uncompacted delta.
+    assert rows_of(ro) == {(1, "a1", 10), (2, "b2", 20), (3, "c1", 20)}
+    # Pure scan of the base partition only — no merge window, and the
+    # instant predicate is a PartitionFilter (inputFiles() lists the
+    # relation pre-pruning, so assert on the executed plan).
+    plan = ro._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+    assert "PartitionFilters" in plan and f"{COMMIT_COL}#" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+
+
+def test_read_realtime_merges_base_and_delta_tail(spark, log_path):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import read_realtime
+
+    expected = rows_of(read_as_of(spark, log_path, ["k"], "prec", 3))
+    compact_timeline(spark, log_path, ["k"], "prec", up_to=2)
+    rt = read_realtime(spark, log_path, ["k"], "prec")
+    assert rows_of(rt) == expected
+    # The fold spans base + tail only: commit-1 partitions are gone.
+    assert all(f"{COMMIT_COL}=1" not in f for f in rt.inputFiles())
