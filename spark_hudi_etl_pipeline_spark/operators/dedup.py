@@ -572,7 +572,14 @@ def embedding_neardup_pairs(
     else:
         a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        # Broadcast the right side: this branch is the small-n exact
+        # verify (n² pairs), so b always fits, and the hint turns the
+        # plan into a single-pass BroadcastNestedLoopJoin. Without it,
+        # sources with unknown stats (e.g. local collections) plan a
+        # CartesianProduct with P_a × P_b tasks — measured 33s vs 0.3s
+        # on a 4-row frame because each task re-pulls a Python-backed
+        # partition through a worker round-trip.
+        joined = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     return (
         joined.select(
             "id_a",

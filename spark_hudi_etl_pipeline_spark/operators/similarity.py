@@ -334,3 +334,151 @@ def rp_sketch_arrow(dim: int, n_bits: int = 8, seed: int = 42):
         return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
 
     return F.pandas_udf(sketch, "long")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ)
+# --------------------------------------------------------------------------
+
+
+def pq_codebook(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 16,
+) -> list[list[list[float]]]:
+    """Seed-free PQ codebook: per subspace, the ``n_codes`` codewords are
+    the sub-vectors of the ``n_codes`` lowest-id vectors (the same
+    deterministic construction as the IVF centroids — no RNG, so every
+    downstream stage is value-checkable against a SQL oracle; swap in
+    per-subspace k-means updates for production recall).
+
+    Returns ``codebook[s][k][j]`` as plain doubles. Driver-side collect
+    is ``n_codes`` rows — metadata-scale, the standard broadcast-dim
+    pattern."""
+    sub_dim = dim // n_sub
+    rows = (
+        emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n_codes)
+        .collect()
+    )
+    return [
+        [
+            [float(r["v"][s * sub_dim + j]) for j in range(sub_dim)]
+            for r in rows
+        ]
+        for s in range(n_sub)
+    ]
+
+
+def _sq_dist_expr(vec_col: str, base: int, codeword: list[float]):
+    """Σ_j (vec[base+j] − c_j)² as a fixed left-to-right chain of
+    correctly-rounded double ops — bit-identical in any engine that
+    evaluates the same chain."""
+    total = None
+    for j, c in enumerate(codeword):
+        d = F.col(vec_col).getItem(base + j).cast("double") - F.lit(float(c))
+        term = d * d
+        total = term if total is None else total + term
+    return total
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    out_prefix: str = "pq",
+) -> DataFrame:
+    """Attach per-subspace PQ codes as ``{out_prefix}_0 … _{n_sub-1}``.
+
+    Pure map-side codegen'd expressions — the codebook is inlined as
+    literals (n_sub × n_codes × sub_dim doubles, a few KB), the corpus
+    is scanned once, nothing shuffles at any scale. Argmin per subspace
+    via array_min over (distance, code) structs: lexicographic struct
+    ordering gives min distance with ties to the lowest code."""
+    out = df
+    for s, codewords in enumerate(codebook):
+        sub_dim = len(codewords[0])
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_dist_expr(vec_col, s * sub_dim, cw).alias("d"),
+                    F.lit(k).alias("k"),
+                )
+                for k, cw in enumerate(codewords)
+            ]
+        )
+        out = out.withColumn(
+            f"{out_prefix}_{s}", F.array_min(cands).getField("k")
+        )
+    return out
+
+
+def pq_adc_topk(
+    coded: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    code_prefix: str = "pq",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    query→codeword squared distances form an n_sub × n_codes lookup
+    table (computed driver-side, inlined as literals — the classic ADC
+    table build), and each corpus vector's approximate distance is the
+    fixed left-to-right sum of 8 table lookups by its codes. The corpus
+    scan touches ONLY the code columns — at billion scale that is 8
+    bytes per vector instead of 256, the whole point of PQ — and the
+    queries never join: they are a few KB of literals.
+
+    Output: (qid, cid, adist_q, rank) — adist floor-quantized at 1e-6 so
+    the value is integer-stable across engines."""
+    n_sub = len(codebook)
+    sub_dim = len(codebook[0][0])
+
+    def table_for(qvec: list[float]) -> list[list[float]]:
+        tbl = []
+        for s in range(n_sub):
+            row = []
+            for cw in codebook[s]:
+                d = 0.0
+                for j in range(sub_dim):
+                    t = float(qvec[s * sub_dim + j]) - cw[j]
+                    d = d + t * t
+                row.append(d)
+            tbl.append(row)
+        return tbl
+
+    per_query = []
+    for qid, qvec in queries:
+        tbl = table_for(qvec)
+        total = None
+        for s in range(n_sub):
+            lut = F.array(*[F.lit(v) for v in tbl[s]])
+            term = F.element_at(lut, F.col(f"{code_prefix}_{s}") + 1)
+            total = term if total is None else total + term
+        per_query.append(
+            F.struct(F.lit(int(qid)).alias("qid"), total.alias("ad"))
+        )
+    scored = coded.select(
+        F.col(id_col).alias("cid"),
+        F.explode(F.array(*per_query)).alias("q"),
+    ).select("q.qid", "cid", "q.ad")
+    w = Window.partitionBy("qid").orderBy(F.asc("ad"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "cid",
+            F.floor(F.col("ad") * 1000000).cast("long").alias("adist_q"),
+            "rank",
+        )
+        .orderBy("qid", "rank")
+    )

@@ -394,3 +394,165 @@ def embedding_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): 64-dim vectors → 8 subspaces × 16 codewords
+# (seed-free codebook = sub-vectors of the 16 lowest-id vectors, the
+# same deterministic construction as the IVF centroids, so the encode
+# argmin is fully value-checkable). Encoding is pure map-side codegen'd
+# expressions — codebook inlined as literals, corpus scanned once, zero
+# shuffles at any scale; 64 float32 dims compress to 8 nibbles per
+# vector, the memory-bound trick behind billion-scale ANN (ADC search
+# would scan these codes with a per-query distance lookup table).
+# --------------------------------------------------------------------------
+
+
+def _pq_sq_chain(s: int, sub_dim: int = 8) -> str:
+    """Σ_j (e.embedding[i] − cw.cv[i])² as the same left-to-right double
+    chain the Spark expression evaluates."""
+    terms = []
+    for j in range(sub_dim):
+        i = s * sub_dim + j + 1  # DuckDB lists are 1-based
+        x = (
+            f"(CAST(e.embedding[{i}] AS DOUBLE) - "
+            f"CAST(cw.cv[{i}] AS DOUBLE))"
+        )
+        terms.append(f"{x} * {x}")
+    return " + ".join(terms)
+
+
+def _pq_oracle() -> str:
+    cases = "\n           ".join(
+        f"WHEN {s} THEN {_pq_sq_chain(s)}" for s in range(8)
+    )
+    return f"""
+WITH cw AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+dists AS (
+  SELECT e.vec_id, t.s, cw.k,
+         CASE t.s
+           {cases}
+         END AS d
+  FROM embeddings e
+  CROSS JOIN generate_series(0, 7) AS t(s)
+  CROSS JOIN cw
+),
+best AS (
+  SELECT vec_id, s, k,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) AS rn
+  FROM dists
+)
+SELECT vec_id,
+       string_agg(CAST(k AS VARCHAR), ',' ORDER BY s) AS codes_csv
+FROM best WHERE rn = 1
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus: per subspace, argmin squared-L2 codeword
+    (ties to the lowest code), emitted as a comma-joined code string.
+    The oracle replays the identical distance chains and argmin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb)
+    coded = similarity.pq_encode(emb.select("vec_id", "embedding"), cb)
+    return coded.select(
+        "vec_id",
+        F.concat_ws(
+            ",", *[F.col(f"pq_{s}").cast("string") for s in range(8)]
+        ).alias("codes_csv"),
+    ).orderBy("vec_id")
+
+
+def _pq_q_chain(s: int, sub_dim: int = 8) -> str:
+    """Query-side distance chain (q.embedding vs cw.cv), same form."""
+    terms = []
+    for j in range(sub_dim):
+        i = s * sub_dim + j + 1
+        x = (
+            f"(CAST(q.embedding[{i}] AS DOUBLE) - "
+            f"CAST(cw.cv[{i}] AS DOUBLE))"
+        )
+        terms.append(f"{x} * {x}")
+    return " + ".join(terms)
+
+
+def _pq_adc_oracle() -> str:
+    corpus_cases = "\n           ".join(
+        f"WHEN {s} THEN {_pq_sq_chain(s)}" for s in range(8)
+    )
+    query_cases = "\n           ".join(
+        f"WHEN {s} THEN {_pq_q_chain(s)}" for s in range(8)
+    )
+    # Fixed-order sum: one value per subspace (max over the single row),
+    # chained left-to-right exactly like the Spark lookup chain.
+    chain = "max(CASE WHEN c.s = 0 THEN qd.d END)"
+    for s in range(1, 8):
+        chain = f"({chain} + max(CASE WHEN c.s = {s} THEN qd.d END))"
+    return f"""
+WITH cw AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+dists AS (
+  SELECT e.vec_id, t.s, cw.k,
+         CASE t.s
+           {corpus_cases}
+         END AS d
+  FROM embeddings e
+  CROSS JOIN generate_series(0, 7) AS t(s)
+  CROSS JOIN cw
+),
+best AS (
+  SELECT vec_id, s, k,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) AS rn
+  FROM dists
+),
+codes AS (SELECT vec_id, s, k FROM best WHERE rn = 1),
+qd AS (
+  SELECT q.vec_id AS qid, t.s, cw.k,
+         CASE t.s
+           {query_cases}
+         END AS d
+  FROM embeddings q
+  CROSS JOIN generate_series(0, 7) AS t(s)
+  CROSS JOIN cw
+  WHERE q.vec_id < 10
+),
+scored AS (
+  SELECT qd.qid, c.vec_id AS cid, {chain} AS ad
+  FROM codes c JOIN qd ON qd.s = c.s AND qd.k = c.k
+  GROUP BY qd.qid, c.vec_id
+),
+r AS (
+  SELECT qid, cid, ad,
+         row_number() OVER (PARTITION BY qid ORDER BY ad, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid, CAST(floor(ad * 1000000) AS BIGINT) AS adist_q, rank
+FROM r WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+@query("knn_pq_adc", oracle=_pq_adc_oracle())
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5: queries (vec_id < 10) build literal
+    lookup tables against the seed-free codebook; the corpus is scanned
+    as 8 code columns only. Every distance is replayed exactly by the
+    oracle (fixed-order chains, floor-quantized), so even the
+    approximate search ranking is value-checked; recall vs brute force
+    is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb)
+    coded = similarity.pq_encode(emb.select("vec_id", "embedding"), cb)
+    qrows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return similarity.pq_adc_topk(coded, qrows, cb, k=5)

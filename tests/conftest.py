@@ -22,6 +22,12 @@ def spark():
         master="local[8]",
         extra_configs={
             "spark.sql.shuffle.partitions": "8",
+            # Match local[8]: the 'local' env profile pins 32, which
+            # makes every createDataFrame(list) parallelize into 32
+            # Python-backed partitions — each downstream task then pays
+            # a Python-worker round-trip (a 4-row crossJoin measured
+            # 33s from 32×32 such tasks).
+            "spark.default.parallelism": "8",
             "spark.ui.enabled": "false",
             "spark.ui.showConsoleProgress": "false",
         },

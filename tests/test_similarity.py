@@ -191,3 +191,86 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path):
     m = _re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*IN \(([^)]*)\)", plan)
     assert m, f"no IN partition filter in plan: {plan[:2000]}"
     assert len(m.group(1).split(",")) <= 4  # ≤ nprobe × |queries| lists
+
+
+def test_pq_encode_self_reconstruction(spark):
+    """Codebook vectors encode to zero quantization error: for query
+    vectors that are themselves codewords, ADC distance to themselves is
+    exactly 0 and they rank themselves first."""
+    emb = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cb = similarity.pq_codebook(emb)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    coded = similarity.pq_encode(emb, cb)
+    qrows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    top = similarity.pq_adc_topk(coded, qrows, cb, k=1).collect()
+    for r in top:
+        assert r["cid"] == r["qid"] and r["adist_q"] == 0
+
+
+def test_pq_codes_partition_invariant(spark):
+    """Codes are a pure function of the vector — repartitioning the
+    corpus must not change a single code."""
+    emb = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cb = similarity.pq_codebook(emb)
+    cols = [f"pq_{s}" for s in range(8)]
+    a = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in similarity.pq_encode(emb, cb).collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in similarity.pq_encode(emb.repartition(7), cb).collect()
+    }
+    assert a == b
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """ADC top-5 must overlap the exact squared-L2 top-5 (recall floor;
+    PQ with a 16-sample codebook is crude, so the floor is modest)."""
+    emb = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cb = similarity.pq_codebook(emb)
+    coded = similarity.pq_encode(emb, cb)
+    qrows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    ]
+    approx = similarity.pq_adc_topk(coded, qrows, cb, k=5).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r["qid"], set()).add(r["cid"])
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "cid",
+            (vectors.l2_distance("cv", "qv") ** 2).alias("d2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = [len(got[q0] & truth[q0]) / 5 for q0 in truth]
+    assert sum(recalls) / len(recalls) >= 0.3
