@@ -63,25 +63,6 @@ def test_extract_incremental_pushes_watermark(spark):
     assert "Filter" in plan
 
 
-def test_every_query_compiles(spark):
-    """All registered plans analyze successfully (no unresolved columns)."""
-    for name, fn in QUERIES.items():
-        df = fn(spark, SF_SMALL)
-        _ = df.schema  # forces analysis
-    assert len(QUERIES) >= 29
-    assert set(ORACLES) <= set(QUERIES)
-
-
-def test_oracle_alias_contract(spark):
-    """Column names of each Spark plan appear in its oracle SQL text
-    (alias parity — the driver hashes by sorted column name)."""
-    for name in ORACLES:
-        cols = QUERIES[name](spark, SF_SMALL).columns
-        sql = ORACLES[name].lower()
-        for c in cols:
-            assert c.lower() in sql, f"{name}: column {c} not named in oracle SQL"
-
-
 def test_q6_pushes_all_predicates(spark):
     """The pure-scan query must push every conjunct into the parquet
     reader (full pushdown is the point of q6's shape)."""
@@ -275,21 +256,39 @@ def test_priority_window_contract():
 
 
 def test_plan_shapes_match_golden(spark):
-    """Plan-shape regression net over ALL registered queries: the
-    summarize() counters (join strategies, hash/range exchanges, pushed
-    filters, scan widths, top-k, arrow stages) must match the committed
-    golden — a silently lost broadcast or a new cartesian anywhere in
-    the 133-query surface fails here. Regenerate deliberately with
-    `python tools/plan_audit.py --golden` after an intended plan change."""
+    """One pass over ALL registered queries checking the whole per-query
+    contract — building a query is the expensive part (scratch-writing
+    and streaming queries execute real jobs when constructed), so
+    analysis, alias parity, and the plan-shape golden all run off one
+    build instead of three:
+
+    - every plan analyzes (no unresolved columns);
+    - every output column of an oracle-bearing query is named in its
+      oracle SQL (the driver hashes by sorted column name);
+    - the summarize() counters (join strategies, hash/range exchanges,
+      pushed filters, scan widths, top-k, arrow stages) match the
+      committed golden — a silently lost broadcast or a new cartesian
+      anywhere in the registered surface fails here. Regenerate
+      deliberately with `python tools/plan_audit.py --golden` after an
+      intended plan change."""
     import json
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
     from plan_audit import GOLDEN_PATH, snapshot_all
 
+    assert len(QUERIES) >= 29
+    assert set(ORACLES) <= set(QUERIES)
     with open(GOLDEN_PATH) as f:
         golden = json.load(f)
-    snap = snapshot_all(spark, SF_MEDIUM)
+    snap, columns = snapshot_all(spark, SF_MEDIUM, with_columns=True)
+    for name, cols in columns.items():
+        if name in ORACLES:
+            sql = ORACLES[name].lower()
+            for c in cols:
+                assert c.lower() in sql, (
+                    f"{name}: column {c} not named in oracle SQL"
+                )
     assert set(snap) == set(golden), (
         f"query set drifted: +{set(snap) - set(golden)} "
         f"-{set(golden) - set(snap)} — regenerate the golden"
