@@ -1214,3 +1214,109 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Write-Audit-Publish (operators/wap.py): the upsert_precombine
+# transformation routed through a quality gate — the merged candidate is
+# staged as uncommitted files, audited (PK uniqueness + not-null), and
+# only then published via one atomic manifest write. Same oracle as
+# upsert_precombine: a passing audit must be a pure pass-through. The
+# rejection path (violations abort with the live table untouched) is
+# exercised in tests/test_wap.py.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "wap_publish_clean",
+    oracle="""
+WITH batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 1 AS is_batch
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 4.0,
+         o_orderdate + INTERVAL 60 DAY, 1
+  FROM orders WHERE o_orderkey % 6 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 0 AS is_batch
+  FROM orders
+  UNION ALL
+  SELECT * FROM batch
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price, o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def wap_publish_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from ..operators.wap import wap_upsert
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    existing = load_table(spark, sf_dir, "orders").select(*cols)
+    batch = (
+        existing.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .unionByName(
+            existing.filter(F.col("o_orderkey") % 6 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 4.0)
+            .withColumn(
+                "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+        )
+    )
+
+    def audit(candidate: DataFrame) -> DataFrame:
+        dup = (
+            candidate.groupBy("o_orderkey")
+            .count()
+            .filter(F.col("count") > 1)
+            .select(
+                F.lit("pk_unique").alias("check_name"),
+                F.col("o_orderkey").cast("long").alias("bad_key"),
+            )
+        )
+        nn = candidate.filter(F.col("o_custkey").isNull()).select(
+            F.lit("custkey_not_null").alias("check_name"),
+            F.col("o_orderkey").cast("long").alias("bad_key"),
+        )
+        return dup.unionByName(nn)
+
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/wap_{tag}"
+    _shutil.rmtree(path, ignore_errors=True)  # fresh table per run
+    # Seed commit (no audit needed for the bootstrap), then the audited
+    # batch publish.
+    wap_upsert(
+        spark, existing, path, keys=["o_orderkey"], precombine="o_orderdate"
+    )
+    wap_upsert(
+        spark,
+        batch,
+        path,
+        keys=["o_orderkey"],
+        precombine="o_orderdate",
+        audit=audit,
+    )
+    from ..operators.merge import read_indexed_table
+
+    return (
+        read_indexed_table(spark, path)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )

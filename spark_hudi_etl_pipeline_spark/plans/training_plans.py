@@ -1248,3 +1248,44 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# HLL sketch rollup: the scale twin of rolling_7d_active_users. The
+# exact form explodes the USER-DAY grain 7× and re-counts distinct per
+# window; this form sketches each day ONCE (hll_sketch_agg — Spark
+# 3.5+'s Apache DataSketches HLL), then unions 7 daily sketches per
+# window day. What shuffles is |days|×7 sketches of a few KB each,
+# independent of user cardinality — the pattern that turns a
+# 100 TB distinct-users rollup into a metadata-sized merge, and the
+# sketches are reusable for ANY window length without touching raw
+# events again. Rows-only by design (HLL is an estimator; DuckDB's
+# approx_count_distinct is a different HLL implementation) — the ±2%
+# accuracy contract vs the exact twin is pytest-asserted.
+# --------------------------------------------------------------------------
+
+
+@query("rolling_7d_active_hll")  # rows-only: estimator, no cross-engine twin
+def rolling_7d_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    mx = daily.agg(F.max("day").alias("dmax"))
+    contrib = daily.select(
+        "sk",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("rday"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(mx))
+        .filter(F.col("rday") <= F.col("dmax"))
+        .groupBy(F.col("rday").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("active_7d_approx")
+        )
+        .orderBy("day")
+    )

@@ -403,3 +403,22 @@ def test_encode_ids_consistency(spark):
         assert len(ids) == r["n_tokens"]
         assert all(0 <= i <= 100 for i in ids)
         assert sum(1 for i in ids if i == 0) == r["n_oov"]
+
+
+def test_hll_rolling_estimate_tracks_exact(spark):
+    """The sketch-rollup twin must estimate within HLL accuracy (±5%
+    floor at lgConfigK=12, typically <2%) of the exact 7-day rolling
+    distinct count, on every window day."""
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+
+    exact = {
+        r["day"]: r["active_7d"]
+        for r in QUERIES["rolling_7d_active_users"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        r["day"]: r["active_7d_approx"]
+        for r in QUERIES["rolling_7d_active_hll"](spark, SF_SMALL).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, n, approx[day])
