@@ -466,3 +466,68 @@ def dedup_chunk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty scoring: per document, the fraction of its distinct
+# 5-gram shingles whose global first owner (min doc_id over the corpus)
+# is the document itself — the standard "how much new text does this doc
+# add" curation signal (near-copies score ~0, originals ~1). Fraction is
+# 1e6 fixed-point integer arithmetic so both engines agree bit-exactly.
+#
+# Scale: shingles shuffle as xxhash64 codes, never strings; the
+# ownership groupBy and the join back are both keyed on the same code,
+# so AQE reuses one exchange; final per-doc agg is the only other
+# shuffle. No all-pairs anything.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle="WITH "
+    + _NEAR_CORPUS_SQL.strip().rstrip()
+    + f""",
+sh AS (
+  SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle FROM corpus
+),
+own AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       (1000000 * CAST(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                       AS BIGINT)) // CAST(count(*) AS BIGINT) AS novelty_q
+FROM sh s JOIN own o USING (shingle)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: distinct 5-gram shingles owned (first seen,
+    by min doc_id) by the doc itself over total distinct shingles, in 1e6
+    fixed point. Near-copies of earlier docs score near zero."""
+    from ..functions import text as textfn
+
+    corpus = _with_near_dups(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(textfn.shingles("text", 5))).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("g"))
+    owner = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(1000000 * n_novel) DIV n_shingles").alias("novelty_q"),
+        )
+        .orderBy("doc_id")
+    )

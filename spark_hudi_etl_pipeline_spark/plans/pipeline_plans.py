@@ -1320,3 +1320,64 @@ def wap_publish_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension build from an event/CDC log — the classic warehouse
+# op a Hudi ETL user reaches for right after upsert (reference README.md
+# pitches the pipeline as the ingest layer for exactly this): collapse a
+# change log into versioned dimension rows with effective_from /
+# effective_to validity intervals and an is_current flag.
+#
+# Scale: two window passes over the SAME (user_id) partitioning — Spark
+# plans one Exchange and reuses it for both windows (change detection and
+# interval close), so the whole build is a single shuffle keyed by the
+# dimension's natural key. No global window, no driver state.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scd2_user_status",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       event_type AS status,
+       ts AS effective_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+         AS is_current
+FROM chg
+ORDER BY user_id, effective_from
+""",
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension from the event log: per user, keep only rows where
+    event_type changed vs the previous event (change-point detection via
+    lag), then close each version's validity interval with the next
+    change's timestamp (lead); the open interval is the current row.
+    Tie-break on event_id makes same-timestamp ordering deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    ).orderBy("user_id", "effective_from")

@@ -484,3 +484,78 @@ def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Model-based quality filtering: a linear "fastText-style" quality
+# classifier scoring each document from cheap engineered features — the
+# second stage of the standard curation funnel (heuristic filters →
+# learned quality model). Weights are fixed (a stand-in for trained
+# coefficients); the whole scorer is integer fixed-point arithmetic
+# (score scaled 1e6) so Spark and DuckDB agree bit-exactly — no float
+# accumulation anywhere. Map-only codegen'd expressions; at 100 TB this
+# is a pure scan with zero shuffles.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quality_model_filter",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len({_TOKS}) AS n_tok,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+         {_STOP_HITS['en']} AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(2000000
+            + 1500 * least(n_bpe, 1000)
+            + (3000000 * stop_hits) // greatest(n_tok, 1)
+            - (5000000 * n_punct) // greatest(n_chars, 1)
+            - 400 * least(n_chars, 2000) AS BIGINT) AS score_q,
+       (2000000
+            + 1500 * least(n_bpe, 1000)
+            + (3000000 * stop_hits) // greatest(n_tok, 1)
+            - (5000000 * n_punct) // greatest(n_chars, 1)
+            - 400 * least(n_chars, 2000)) >= 2500000 AS keep
+FROM feat
+ORDER BY doc_id
+""",
+)
+def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier filter: integer-feature dot product with
+    fixed weights (bias 2.0; +0.0015/BPE-token capped at 1000; +3.0 ×
+    stopword ratio; −5.0 × punctuation ratio; −0.0004/char capped at
+    2000), score in 1e6 fixed point, keep ⇔ score ≥ 2.5. Every term is
+    integer arithmetic with floor division on non-negative operands, so
+    the oracle matches bit-exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in text.STOPWORDS["en"]])
+    low_toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    feats = d.select(
+        "doc_id",
+        text.char_count("text").alias("n_chars"),
+        text.token_count("text").alias("n_tok"),
+        F.size(text.bpe_tokens("text")).alias("n_bpe"),
+        F.length(F.regexp_replace(F.col("text"), r"[\w\s]", "")).alias("n_punct"),
+        F.size(F.filter(low_toks, lambda t: F.array_contains(stop, t))).alias(
+            "stop_hits"
+        ),
+    )
+    # integer floor-div via expr DIV (both operands non-negative here, so
+    # DIV's truncation == DuckDB //'s floor)
+    score_q = (
+        F.lit(2000000).cast("long")
+        + F.lit(1500) * F.least(F.col("n_bpe"), F.lit(1000)).cast("long")
+        + F.expr("(3000000 * stop_hits) DIV greatest(n_tok, 1)")
+        - F.expr("(5000000 * n_punct) DIV greatest(n_chars, 1)")
+        - F.lit(400) * F.least(F.col("n_chars"), F.lit(2000)).cast("long")
+    )
+    return feats.select(
+        "doc_id",
+        score_q.alias("score_q"),
+        (score_q >= F.lit(2500000)).alias("keep"),
+    ).orderBy("doc_id")
