@@ -559,3 +559,109 @@ def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_q.alias("score_q"),
         (score_q >= F.lit(2500000)).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval ranking for a fixed query — the standard lexical
+# retrieval scorer (Robertson k1/b form, +1 idf so scores stay
+# positive). Cross-engine safety: the per-(doc,term) contribution is ONE
+# double expression written textually identically in both engines
+# (IEEE ops in the same order; ln is correctly rounded in both, the same
+# contract text_tfidf_top_terms already relies on), then floor-quantized
+# to a 1e4 fixed-point BIGINT **before** the per-doc sum — integer sums
+# are accumulation-order-independent, so Spark's parallel partials can
+# never drift from DuckDB's serial fold.
+#
+# Scale: the corpus side reduces to (doc_id, dl) — one tokenize
+# aggregate; the query-term tf relation is filtered to |query| terms
+# before any shuffle; df and the global length stats are metadata-scale
+# broadcasts. Nothing all-pairs, nothing driver-side.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("stream", "window", "merge")
+
+#: One shared contribution expression — keep this string IDENTICAL in
+#: Spark and DuckDB (only the integer-cast spellings differ via format).
+_BM25_CONTRIB = (
+    "CAST(floor(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)"
+    " * (tf * 2.2)"
+    " / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)"
+    " / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    " * 10000) AS BIGINT)"
+)
+
+
+@query(
+    "bm25_rank_docs",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+lens AS (SELECT doc_id, count(*) AS dl FROM nz GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM nz) AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM nz WHERE term IN ('stream', 'window', 'merge')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), stats
+),
+scored AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_q,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, score_q, n_terms, rnk FROM ranked
+WHERE rnk <= 20 ORDER BY rnk
+""",
+)
+def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 (k1=1.2, b=0.75, ln((N-df+0.5)/(df+0.5)+1)
+    idf) for the fixed query {stream, window, merge}. Per-term
+    contributions are 1e4 fixed-point quantized before the per-doc sum so
+    the score is integer-exact regardless of aggregation order."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # n_docs counts ALL documents (mirror the oracle exactly — a doc
+    # tokenizing to nothing must still count toward N and avgdl)
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_CONTRIB).alias("c"))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("score_q"), F.count(F.lit(1)).alias("n_terms")
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("score_q"), F.asc("doc_id"))),
+    )
+    return ranked.filter(F.col("rnk") <= 20).orderBy("rnk")

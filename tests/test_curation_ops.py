@@ -88,3 +88,16 @@ def test_doc_ngram_novelty_originals_high_copies_low(spark):
             # the appended 3-word tail adds at most a handful of new
             # shingles — novelty stays far below the original's
             assert rows[orig + 10000]["novelty_q"] < 200_000
+
+
+def test_bm25_ranking_invariants(spark):
+    """Ranks are 1..20 without gaps, ordered by (score desc, doc_id);
+    scores positive; docs matching more query terms never score zero."""
+    rows = QUERIES["bm25_rank_docs"](spark, SF_SMALL).collect()
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert 0 < len(rows) <= 20
+    for a, b in zip(rows, rows[1:]):
+        assert (a["score_q"], -a["doc_id"]) >= (b["score_q"], -b["doc_id"])
+    for r in rows:
+        assert r["score_q"] > 0
+        assert 1 <= r["n_terms"] <= 3
