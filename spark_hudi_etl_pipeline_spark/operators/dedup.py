@@ -683,3 +683,38 @@ def connected_components(
             "iterations; raise max_iterations (labels would be wrong)"
         )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-document n-gram novelty: of the doc's distinct word-k-shingles,
+    the fraction first owned by the doc itself (ownership = min id over
+    the corpus), as a 1e6 fixed-point integer. Near-copies of earlier
+    docs score ~0; originals score 1e6.
+
+    Scale: shingles shuffle as xxhash64 codes, never strings; the
+    ownership groupBy and the join back share one hash partitioning on
+    the code, and the per-doc count is the only other shuffle — nothing
+    all-pairs, state O(distinct shingles)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(text.shingles(text_col, k))).alias("shingle"),
+    ).select(F.col(id_col), F.xxhash64("shingle").alias("g"))
+    owner = sh.groupBy("g").agg(F.min(id_col).alias("first_doc"))
+    return (
+        sh.join(owner, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col(id_col)).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_novel",
+            F.expr("(1000000 * n_novel) DIV n_shingles").alias("novelty_q"),
+        )
+    )

@@ -506,28 +506,5 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: distinct 5-gram shingles owned (first seen,
     by min doc_id) by the doc itself over total distinct shingles, in 1e6
     fixed point. Near-copies of earlier docs score near zero."""
-    from ..functions import text as textfn
-
     corpus = _with_near_dups(spark, sf_dir)
-    sh = corpus.select(
-        "doc_id",
-        F.explode(F.array_distinct(textfn.shingles("text", 5))).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("g"))
-    owner = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        sh.join(owner, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
-                "n_novel"
-            ),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_novel",
-            F.expr("(1000000 * n_novel) DIV n_shingles").alias("novelty_q"),
-        )
-        .orderBy("doc_id")
-    )
+    return dedup.ngram_novelty(corpus, "doc_id", "text", k=5).orderBy("doc_id")

@@ -108,6 +108,65 @@ def probe_repetition_64x(base: str) -> None:
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+
+def probe_novelty(base: str) -> None:
+    """Focused probe: ngram_novelty (shingle-ownership novelty scoring)
+    at 1×/4×/16×. The op's state is O(distinct shingles) and replicas
+    share zero shingles (per-replica token suffixes), so distinct-shingle
+    count grows linearly with the corpus — the probe verifies wall time
+    does too. Appends/replaces a dedicated section in SCALE.md.
+    Usage: python tools/scale_probe.py --novelty
+    """
+    import re
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.dedup import ngram_novelty
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("scale-probe-novelty")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()  # warm JVM
+
+    factors = (1, 4, 16)
+    ts: dict[int, float] = {}
+    nrows: dict[int, int] = {}
+    for factor in factors:
+        docs = replicate(spark, base, "documents", factor, ["doc_id"], "text")
+        d = spark.read.parquet(docs)
+        nrows[factor] = d.count()
+        for _ in range(2):  # keep the warm second run
+            t0 = _time.perf_counter()
+            ngram_novelty(d).write.mode("overwrite").format("noop").save()
+            ts[factor] = _time.perf_counter() - t0
+
+    section = [
+        "## ngram_novelty probe (1×/4×/16×, warm second-run times)",
+        "",
+        "Shingle-ownership novelty: shingles shuffle as xxhash64 codes; the",
+        "ownership groupBy and the join back share one partitioning. Distinct",
+        "shingles grow linearly across replicas, so wall time must too.",
+        "",
+        "| rows @1×/4×/16× | t(1×) s | t(4×) s | t(16×) s | t16/t1 | linear ⇒ |",
+        "|---|---|---|---|---|---|",
+        f"| {nrows[1]}/{nrows[4]}/{nrows[16]} | {ts[1]:.2f} | {ts[4]:.2f} "
+        f"| {ts[16]:.2f} | {ts[16] / ts[1]:.1f}× | ≤ 16× |",
+        "",
+    ]
+    with open("/root/repo/SCALE.md") as f:
+        content = f.read()
+    content = re.sub(
+        r"## ngram_novelty probe.*?(?=^## |\Z)",
+        "",
+        content,
+        flags=re.S | re.M,
+    ).rstrip() + "\n\n" + "\n".join(section) + "\n"
+    with open("/root/repo/SCALE.md", "w") as f:
+        f.write(content)
+    print("appended ngram_novelty section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -270,7 +329,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--repetition64" in sys.argv:
+    if "--novelty" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        probe_novelty(base_dir)
+    elif "--repetition64" in sys.argv:
         base_dir = next(
             (a for a in sys.argv[1:] if not a.startswith("--")),
             "/root/testdata/sf0.1",
