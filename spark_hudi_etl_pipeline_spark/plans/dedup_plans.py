@@ -508,3 +508,98 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed point. Near-copies of earlier docs score near zero."""
     corpus = _with_near_dups(spark, sf_dir)
     return dedup.ngram_novelty(corpus, "doc_id", "text", k=5).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Quality-aware dedup resolution: same near-dup clustering as
+# dedup_resolve_canonical, but the kept representative is the BEST doc
+# in the cluster (longest text, tie-break min doc_id) instead of the
+# smallest id — the "keep the longest copy" policy real curation
+# pipelines use, where a near-copy with more content beats the original.
+# One extra broadcast-scale window over the cluster assignment; the
+# clustering cost structure is unchanged.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_canonical_by_quality",
+    oracle="WITH RECURSIVE "
+    + _NEAR_CORPUS_SQL.strip().rstrip()
+    + f""",
+sh AS (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM corpus),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.3
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT s.src, r.label FROM sym s JOIN reach r ON s.dst = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+),
+q AS (
+  SELECT c.doc_id, c.cluster_id, length(corpus.text) AS n_chars
+  FROM clusters c JOIN corpus ON corpus.doc_id = c.doc_id
+),
+best AS (
+  SELECT cluster_id, doc_id AS canonical_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (
+             PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+    FROM q) WHERE rn = 1
+)
+SELECT q.doc_id, best.canonical_id, (q.doc_id = best.canonical_id) AS keep
+FROM q JOIN best USING (cluster_id)
+ORDER BY q.doc_id
+""",
+)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters (exact 5-gram Jaccard >= 0.3 -> connected
+    components) resolved to the highest-quality representative: longest
+    text wins, ties break to the smallest doc_id. The appended-tail
+    near-copies in the fixture are LONGER than their originals, so the
+    kept doc differs from min-id resolution — exercising the policy."""
+    from pyspark.sql import Window
+
+    corpus = _with_near_dups(spark, sf_dir)
+    edges = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.3, k=5)
+    comp = dedup.connected_components(
+        corpus.select("doc_id"), edges.select("id_a", "id_b"), id_col="doc_id"
+    ).withColumnRenamed("canonical_id", "cluster_id")
+    q = comp.join(
+        corpus.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    best = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_id"))
+    )
+    return (
+        q.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -101,3 +101,37 @@ def test_bm25_ranking_invariants(spark):
     for r in rows:
         assert r["score_q"] > 0
         assert 1 <= r["n_terms"] <= 3
+
+
+def test_quality_canonical_prefers_longest(spark):
+    """The appended-tail near-copies are longer than their originals, so
+    quality resolution keeps the copy and drops the original — the
+    opposite keep-set of min-id resolution; singleton docs keep."""
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_canonical_by_quality"](spark, SF_SMALL).collect()
+    }
+    for orig in range(5):
+        copy = orig + 10000
+        assert rows[copy]["canonical_id"] == copy
+        assert rows[copy]["keep"] is True
+        assert rows[orig]["canonical_id"] == copy
+        assert rows[orig]["keep"] is False
+    # Per cluster: exactly one keeper, and it is the cluster's canonical;
+    # the keeper maximizes (text length, -doc_id) over the cluster. The
+    # fixture also contains NATURAL near-dup pairs (random-token texts),
+    # so clusters beyond the injected ones are expected.
+    from spark_hudi_etl_pipeline_spark.plans.dedup_plans import _with_near_dups
+
+    lengths = {
+        r["doc_id"]: len(r["text"])
+        for r in _with_near_dups(spark, SF_SMALL).collect()
+    }
+    clusters = defaultdict(list)
+    for r in rows.values():
+        clusters[r["canonical_id"]].append(r)
+    for canon, members in clusters.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == canon
+        best = min(members, key=lambda m: (-lengths[m["doc_id"]], m["doc_id"]))
+        assert best["doc_id"] == canon
