@@ -1,0 +1,235 @@
+"""Hudi write-operation types beyond ``upsert`` — the rest of the
+``hoodie.datasource.write.operation`` surface a reference user has
+available on their keyed tables (pipeline_architecture.py:183-192 sets
+``operation=upsert``; Hudi's writer accepts ``insert_overwrite``,
+``insert_overwrite_table``, ``delete_partition`` and ``bulk_insert``
+with the same table layout), re-expressed on hive-layout parquet with
+Spark-native partition handling.
+
+Scale notes (100 TB table, incremental batch):
+
+- ``insert_overwrite`` replaces ONLY the partitions the batch lands in
+  (dynamic partition overwrite — Catalyst plans a per-partition commit,
+  untouched partitions keep their bytes); no read of the existing table
+  at all, which is precisely why the operation exists: a
+  recompute-and-replace of recent partitions is O(batch), never
+  O(table), and needs no index lookup the way ``upsert`` does.
+- ``delete_partitions`` is metadata-scale: directory drops, no data
+  read or shuffle (Hudi records replacecommit instants for this).
+- ``bulk_insert`` is the initial-load path: no merge, no index — just
+  layout control. GLOBAL_SORT range-partitions + sorts so parquet
+  footers carry disjoint key ranges (what makes the SIMPLE file index
+  of ``merge.upsert_parquet_indexed`` prune later); PARTITION_SORT
+  sorts within existing partitions (no shuffle); NONE writes as-is.
+- the GLOBAL-index upsert reads (key, partition) column-pruned from the
+  table to locate each batch key's current partition — Hudi's
+  GLOBAL_SIMPLE index does exactly this scan; GLOBAL_BLOOM replaces it
+  with per-file bloom probes (see ``merge.upsert_parquet_bloom_indexed``
+  for that machinery on flat tables). The merge itself then touches only
+  the partitions involved on either side.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .clustering import cluster_linear
+from .merge import merge_upsert
+
+
+def _dynamic_overwrite(spark, df: DataFrame, path: str, partition_col: str) -> None:
+    """Write ``df`` replacing only the hive partitions it contains rows
+    for (``partitionOverwriteMode=dynamic``), restoring the session's
+    prior mode afterwards."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def insert_overwrite(
+    spark, batch: DataFrame, path: str, partition_col: str
+) -> int:
+    """Hudi ``insert_overwrite``: atomically replace the partitions the
+    batch covers with exactly the batch's rows; every other partition is
+    untouched (file-level — bytes and mtimes preserved, asserted in
+    tests). No merge, no key semantics: the batch IS the new content of
+    its partitions — the operation for recompute-and-replace pipelines
+    (e.g. restating the last N days from source-of-truth).
+
+    O(batch): the existing table is never read. Returns rows written.
+    """
+    if batch.filter(F.col(partition_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"null partition value in batch column {partition_col!r}"
+        )
+    if not os.path.isdir(path):
+        batch.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return batch.count()
+    _dynamic_overwrite(spark, batch, path, partition_col)
+    return batch.count()
+
+
+def insert_overwrite_table(
+    spark, batch: DataFrame, path: str, partition_col: str | None = None
+) -> int:
+    """Hudi ``insert_overwrite_table``: replace the WHOLE table with the
+    batch (static overwrite) — the full-restatement twin of
+    :func:`insert_overwrite`. Returns rows written."""
+    w = batch.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.parquet(path)
+    return batch.count()
+
+
+def delete_partitions(
+    spark, path: str, partition_col: str, values: list
+) -> list:
+    """Hudi ``delete_partition``: drop whole partitions by value —
+    metadata-scale (directory removal; Hudi publishes a replacecommit),
+    no data read, the retention-enforcement operation for hive-layout
+    tables (e.g. dropping expired date partitions). Unknown values are
+    ignored (idempotent, like re-running a retention job). Returns the
+    partition values actually dropped."""
+    dropped = []
+    for v in values:
+        if v is None:
+            raise ValueError("cannot delete the null partition")
+        d = f"{path}/{partition_col}={v}"
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            dropped.append(v)
+    return dropped
+
+
+#: bulk_insert sort modes (Hudi ``hoodie.bulkinsert.sort.mode``).
+BULK_SORT_MODES = ("NONE", "PARTITION_SORT", "GLOBAL_SORT")
+
+
+def bulk_insert(
+    spark,
+    df: DataFrame,
+    path: str,
+    *,
+    sort_cols: list[str] | None = None,
+    mode: str = "GLOBAL_SORT",
+    n_files: int = 16,
+) -> int:
+    """Hudi ``bulk_insert``: the initial-load write — no merge, no
+    index maintenance, just layout control via ``mode``:
+
+    - ``GLOBAL_SORT`` (Hudi's default): range-partition + sort by
+      ``sort_cols`` so each output file covers a disjoint key range —
+      parquet footer min/max become a usable file index (the layout
+      ``merge.upsert_parquet_indexed`` prunes on) and later range scans
+      skip files. One shuffle, the right trade for a load that will be
+      upserted against forever after.
+    - ``PARTITION_SORT``: sort within existing partitions only — no
+      shuffle; footers are locally tight but ranges overlap across
+      files.
+    - ``NONE``: write as planned — cheapest, no layout guarantee.
+
+    Returns rows written."""
+    if mode not in BULK_SORT_MODES:
+        raise ValueError(f"mode must be one of {BULK_SORT_MODES}, got {mode!r}")
+    if mode != "NONE" and not sort_cols:
+        raise ValueError(f"sort_cols is required for mode={mode!r}")
+    if mode == "GLOBAL_SORT":
+        out = cluster_linear(df, sort_cols, n_files)
+    elif mode == "PARTITION_SORT":
+        out = df.sortWithinPartitions(*sort_cols)
+    else:
+        out = df
+    out.write.mode("overwrite").parquet(path)
+    return out.count()
+
+
+def upsert_parquet_partitioned_global(
+    spark,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    precombine: str,
+    partition_col: str,
+    *,
+    delete_col: str | None = None,
+) -> int:
+    """GLOBAL-index upsert on a partitioned table (Hudi
+    ``hoodie.index.type=GLOBAL_SIMPLE`` with
+    ``hoodie.simple.index.update.partition.path=true``): record keys are
+    unique across the WHOLE table, and an update whose partition value
+    changed MOVES the record — the old partition loses the row, the new
+    partition gains it. Contrast ``merge.upsert_parquet_partitioned``
+    (non-global index): there the merge key includes the partition, so
+    the same batch would duplicate the key into the new partition.
+
+    Execution shape:
+
+    1. *Global index lookup*: a column-pruned scan of
+       ``(keys, partition)`` over the table, semi-joined against the
+       batch's (broadcast) distinct keys, yields the partitions
+       currently holding batch keys — GLOBAL_SIMPLE's exact plan; only
+       the key/partition columns are read, never full rows.
+    2. *Pruned read*: the union of those partitions and the batch's own
+       target partitions — the only partitions whose contents can
+       change.
+    3. :func:`~.merge.merge_upsert` on ``keys`` alone (global identity);
+       the winning row's ``partition_col`` value decides where it lives,
+       which is precisely how the move happens — no special-case code.
+    4. *Pruned commit*: dynamic partition overwrite of the merge output;
+       a touched partition left EMPTY (its only rows moved out or were
+       deleted) is dropped explicitly, since dynamic overwrite never
+       visits partitions with no output rows.
+
+    Returns rows written into the touched partitions.
+    """
+    first_write = not os.path.isdir(path)
+    if first_write:
+        merged = merge_upsert(
+            None, batch, keys, precombine, delete_col=delete_col
+        )
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return merged.count()
+
+    batch_keys = batch.select(*keys).distinct()
+    table = spark.read.parquet(path)
+    old_parts = {
+        r[0]
+        for r in (
+            table.select(*keys, partition_col)
+            .join(F.broadcast(batch_keys), on=keys, how="left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        )
+    }
+    new_parts = {
+        r[0] for r in batch.select(partition_col).distinct().collect()
+    }
+    if None in new_parts:
+        raise ValueError(
+            f"null partition value in batch column {partition_col!r}"
+        )
+    touched = sorted(old_parts | new_parts)
+    existing_sub = table.filter(F.col(partition_col).isin(touched))
+    merged = merge_upsert(
+        existing_sub, batch, keys, precombine, delete_col=delete_col
+    )
+    # The commit overwrites files the merge read — materialize first.
+    merged = merged.localCheckpoint(eager=True)
+    _dynamic_overwrite(spark, merged, path, partition_col)
+    # Partitions emptied by moves/deletes produce no output rows, so the
+    # dynamic overwrite never visits them — drop them as the commit step.
+    remaining = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
+    for value in set(touched) - remaining:
+        shutil.rmtree(f"{path}/{partition_col}={value}", ignore_errors=True)
+    return merged.count()

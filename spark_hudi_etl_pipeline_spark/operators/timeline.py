@@ -258,6 +258,147 @@ def read_optimized(spark, path: str) -> DataFrame:
     )
 
 
+_SAVEPOINTS_DIR = "_savepoints"
+
+
+def savepoints(path: str) -> list[int]:
+    """Sorted savepointed instants (``_savepoints/`` markers — metadata
+    only, like :func:`compaction_instants`)."""
+    d = os.path.join(path, _SAVEPOINTS_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(int(f) for f in os.listdir(d) if f.isdigit())
+
+
+def savepoint(spark, path: str, instant: int) -> None:
+    """Pin commit ``instant`` as a savepoint (Hudi ``savepoint`` action):
+    the cleaner will never collapse history past it, so
+    :func:`restore_to` / :func:`read_as_of` at this instant stay possible
+    for as long as the marker exists. Metadata-only (one empty file)."""
+    if instant not in commit_instants(spark, path):
+        raise ValueError(
+            f"cannot savepoint instant {instant}: not a commit on the "
+            f"timeline at {path!r}"
+        )
+    d = os.path.join(path, _SAVEPOINTS_DIR)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, str(instant)), "w"):
+        pass
+
+
+def delete_savepoint(path: str, instant: int) -> None:
+    """Release a savepoint so the cleaner may reclaim its history."""
+    try:
+        os.remove(os.path.join(path, _SAVEPOINTS_DIR, str(instant)))
+    except FileNotFoundError:
+        pass
+
+
+def restore_to(spark, path: str, instant: int) -> list[int]:
+    """Hudi ``restore``: rewind the table to its state as of commit
+    ``instant`` by DELETING every later commit partition (plus their
+    compaction/savepoint markers). Afterwards :func:`read_realtime`
+    equals what :func:`read_as_of` (``as_of=instant``) returned before
+    the restore. Destructive and O(#dropped commits) in metadata — data
+    files of dropped commits are removed, earlier commits untouched.
+
+    Restore cannot rewind past collapsed history: if a compaction (or
+    cleaner run) published a base commit AFTER ``instant``, the
+    pre-``instant`` deltas no longer exist and the restore raises — the
+    reason savepoints exist (Hudi enforces the identical rule: restore
+    targets must be savepointed before the cleaner reclaims them).
+    Returns the dropped instants."""
+    instants = commit_instants(spark, path)
+    # Compaction check first: a collapsed instant is also absent from
+    # the timeline, and "already collapsed" is the actionable error.
+    bases = compaction_instants(path)
+    if bases and bases[-1] > instant:
+        raise ValueError(
+            f"cannot restore to instant {instant}: compaction at "
+            f"{bases[-1]} already collapsed the deltas needed to "
+            "reconstruct it (savepoint instants you may need to restore)"
+        )
+    if instant not in instants:
+        raise ValueError(
+            f"cannot restore to instant {instant}: not a commit on the "
+            f"timeline at {path!r}"
+        )
+    dropped = [t for t in instants if t > instant]
+    for t in dropped:
+        shutil.rmtree(f"{path}/{COMMIT_COL}={t}", ignore_errors=True)
+    for marker_dir in (_COMPACTIONS_DIR, _SAVEPOINTS_DIR):
+        d = os.path.join(path, marker_dir)
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.isdigit() and int(f) > instant:
+                    os.remove(os.path.join(d, f))
+    return dropped
+
+
+def rollback_last(spark, path: str) -> int:
+    """Hudi ``rollback``: undo the single latest commit (the failed- or
+    bad-batch escape hatch). Refuses to roll back a compacted base — that
+    instant holds the collapsed history of every commit before it, so
+    removing it would destroy state, not rewind it. Returns the
+    rolled-back instant."""
+    instants = commit_instants(spark, path)
+    if not instants:
+        raise ValueError(f"empty timeline at {path!r}: nothing to roll back")
+    last = instants[-1]
+    bases = compaction_instants(path)
+    if bases and bases[-1] == last:
+        raise ValueError(
+            f"latest instant {last} is a compacted base commit — rolling "
+            "it back would drop collapsed history; restore_to an earlier "
+            "savepointed instant instead"
+        )
+    shutil.rmtree(f"{path}/{COMMIT_COL}={last}", ignore_errors=False)
+    return last
+
+
+def clean_timeline(
+    spark,
+    path: str,
+    keys: list[str],
+    precombine: str,
+    *,
+    retain_last: int,
+    delete_col: str | None = None,
+) -> int | None:
+    """Hudi's cleaner (``hoodie.cleaner.commits.retained`` /
+    KEEP_LATEST_COMMITS): bound the timeline's storage and read
+    amplification by collapsing every commit OLDER than the
+    ``retain_last``-newest into a single base at the retention horizon.
+    Current state and every as-of read at or after the horizon are
+    unchanged (the base at the horizon IS state-as-of-horizon); time
+    travel before the horizon is deliberately given up — that is what a
+    cleaner does.
+
+    Savepoints are honored exactly as in Hudi: the horizon never passes
+    the oldest savepointed instant, so a pinned instant stays
+    restorable no matter how aggressive the retention. Returns the
+    horizon instant a base was published at, or None when retention
+    required no work (timeline already short enough, or the savepoint
+    clamp left nothing to collapse)."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    instants = commit_instants(spark, path)
+    if len(instants) <= retain_last:
+        return None
+    horizon = instants[-retain_last]
+    pins = savepoints(path)
+    if pins:
+        horizon = min(horizon, pins[0])
+    # Nothing older than the horizon ⇒ the clamp (or prior cleans) left
+    # no deltas to collapse.
+    if not any(t < horizon for t in instants):
+        return None
+    compact_timeline(
+        spark, path, keys, precombine, horizon, delete_col=delete_col
+    )
+    return horizon
+
+
 def read_realtime(
     spark,
     path: str,

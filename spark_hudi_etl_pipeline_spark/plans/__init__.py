@@ -16,5 +16,6 @@ from . import text_plans  # noqa: E402,F401
 from . import training_plans  # noqa: E402,F401
 from . import quality_plans  # noqa: E402,F401
 from . import graph_plans  # noqa: E402,F401
+from . import lifecycle_plans  # noqa: E402,F401
 
 __all__ = ["ORACLES", "PRIORITY_WINDOW", "QUERIES", "ordered_queries", "query"]

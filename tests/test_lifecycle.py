@@ -1,0 +1,278 @@
+"""Table-lifecycle operators: savepoint/restore/rollback, the cleaner,
+the Hudi write-operation types (insert_overwrite, delete_partition,
+bulk_insert sort modes), and the GLOBAL-index upsert's partition-move
+semantics (operators/tableops.py, operators/timeline.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_hudi_etl_pipeline_spark.operators.clustering import file_column_bounds
+from spark_hudi_etl_pipeline_spark.operators.tableops import (
+    bulk_insert,
+    delete_partitions,
+    insert_overwrite,
+    insert_overwrite_table,
+    upsert_parquet_partitioned_global,
+)
+from spark_hudi_etl_pipeline_spark.operators.merge import (
+    upsert_parquet_partitioned,
+)
+from spark_hudi_etl_pipeline_spark.operators.timeline import (
+    clean_timeline,
+    commit_append,
+    commit_instants,
+    compaction_instants,
+    delete_savepoint,
+    read_as_of,
+    read_realtime,
+    restore_to,
+    rollback_last,
+    savepoint,
+    savepoints,
+)
+
+KEYS = ["k"]
+PRE = "v"
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select("k", "v", "p").collect()}
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k int, v int, p string")
+
+
+# ---------------------------------------------------------------- timeline
+
+
+def _build_timeline(spark, path):
+    commit_append(spark, _mk(spark, [(1, 10, "a"), (2, 10, "a"), (3, 10, "b")]), path, 1)
+    commit_append(spark, _mk(spark, [(1, 20, "a"), (4, 20, "b")]), path, 2)
+    commit_append(spark, _mk(spark, [(2, 30, "b"), (5, 30, "a")]), path, 3)
+
+
+def test_savepoint_requires_commit(spark, tmp_table):
+    _build_timeline(spark, tmp_table)
+    with pytest.raises(ValueError, match="not a commit"):
+        savepoint(spark, tmp_table, 99)
+    savepoint(spark, tmp_table, 2)
+    assert savepoints(tmp_table) == [2]
+    delete_savepoint(tmp_table, 2)
+    assert savepoints(tmp_table) == []
+
+
+def test_restore_rewinds_to_instant(spark, tmp_table):
+    _build_timeline(spark, tmp_table)
+    before = _rows(read_as_of(spark, tmp_table, KEYS, PRE, 2))
+    dropped = restore_to(spark, tmp_table, 2)
+    assert dropped == [3]
+    assert commit_instants(spark, tmp_table) == [1, 2]
+    assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == before
+
+
+def test_restore_refuses_past_compaction(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import compact_timeline
+
+    _build_timeline(spark, tmp_table)
+    compact_timeline(spark, tmp_table, KEYS, PRE, 2)
+    with pytest.raises(ValueError, match="collapsed"):
+        restore_to(spark, tmp_table, 1)
+    # Restoring to the base itself is fine.
+    restore_to(spark, tmp_table, 2)
+    assert commit_instants(spark, tmp_table) == [2]
+
+
+def test_rollback_last_commit(spark, tmp_table):
+    _build_timeline(spark, tmp_table)
+    assert rollback_last(spark, tmp_table) == 3
+    assert commit_instants(spark, tmp_table) == [1, 2]
+    assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == {
+        (1, 20, "a"), (2, 10, "a"), (3, 10, "b"), (4, 20, "b"),
+    }
+
+
+def test_rollback_refuses_compacted_base(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import compact_timeline
+
+    _build_timeline(spark, tmp_table)
+    compact_timeline(spark, tmp_table, KEYS, PRE, 3)
+    with pytest.raises(ValueError, match="compacted base"):
+        rollback_last(spark, tmp_table)
+
+
+def test_cleaner_preserves_current_state(spark, tmp_table):
+    _build_timeline(spark, tmp_table)
+    before = _rows(read_realtime(spark, tmp_table, KEYS, PRE))
+    horizon = clean_timeline(spark, tmp_table, KEYS, PRE, retain_last=2)
+    assert horizon == 2
+    assert commit_instants(spark, tmp_table) == [2, 3]
+    assert compaction_instants(tmp_table) == [2]
+    assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == before
+    # As-of at/after the horizon still works; before it is gone.
+    assert _rows(read_as_of(spark, tmp_table, KEYS, PRE, 2)) == {
+        (1, 20, "a"), (2, 10, "a"), (3, 10, "b"), (4, 20, "b"),
+    }
+
+
+def test_cleaner_noop_when_short(spark, tmp_table):
+    _build_timeline(spark, tmp_table)
+    assert clean_timeline(spark, tmp_table, KEYS, PRE, retain_last=3) is None
+    assert commit_instants(spark, tmp_table) == [1, 2, 3]
+
+
+def test_cleaner_respects_savepoint(spark, tmp_table):
+    _build_timeline(spark, tmp_table)
+    savepoint(spark, tmp_table, 1)
+    # retain_last=1 would collapse up to instant 3, but the savepoint at
+    # 1 clamps the horizon to 1 — nothing older than 1 exists, so no-op.
+    assert clean_timeline(spark, tmp_table, KEYS, PRE, retain_last=1) is None
+    assert commit_instants(spark, tmp_table) == [1, 2, 3]
+    # Release the pin: the cleaner may now collapse to the horizon.
+    delete_savepoint(tmp_table, 1)
+    assert clean_timeline(spark, tmp_table, KEYS, PRE, retain_last=1) == 3
+    assert commit_instants(spark, tmp_table) == [3]
+
+
+# ---------------------------------------------------------- operation types
+
+
+def test_insert_overwrite_replaces_only_batch_partitions(spark, tmp_table):
+    base = _mk(spark, [(1, 1, "a"), (2, 2, "a"), (3, 3, "b"), (4, 4, "c")])
+    base.write.mode("overwrite").partitionBy("p").parquet(tmp_table)
+    untouched = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{tmp_table}/p=b/*.parquet")
+        + glob.glob(f"{tmp_table}/p=c/*.parquet")
+    }
+    n = insert_overwrite(
+        spark, _mk(spark, [(9, 9, "a")]).select("k", "v", "p"), tmp_table, "p"
+    )
+    assert n == 1
+    got = _rows(spark.read.parquet(tmp_table))
+    assert got == {(9, 9, "a"), (3, 3, "b"), (4, 4, "c")}
+    # Untouched partitions keep their exact files.
+    assert untouched == {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{tmp_table}/p=b/*.parquet")
+        + glob.glob(f"{tmp_table}/p=c/*.parquet")
+    }
+
+
+def test_insert_overwrite_table_full_restate(spark, tmp_table):
+    base = _mk(spark, [(1, 1, "a"), (2, 2, "b")])
+    base.write.mode("overwrite").partitionBy("p").parquet(tmp_table)
+    insert_overwrite_table(
+        spark, _mk(spark, [(7, 7, "z")]), tmp_table, partition_col="p"
+    )
+    assert _rows(spark.read.parquet(tmp_table)) == {(7, 7, "z")}
+
+
+def test_delete_partitions_idempotent(spark, tmp_table):
+    base = _mk(spark, [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")])
+    base.write.mode("overwrite").partitionBy("p").parquet(tmp_table)
+    assert delete_partitions(spark, tmp_table, "p", ["b", "nope"]) == ["b"]
+    assert delete_partitions(spark, tmp_table, "p", ["b"]) == []
+    assert _rows(spark.read.parquet(tmp_table)) == {(1, 1, "a"), (3, 3, "c")}
+    with pytest.raises(ValueError, match="null partition"):
+        delete_partitions(spark, tmp_table, "p", [None])
+
+
+def test_bulk_insert_global_sort_disjoint_ranges(spark, tmp_table):
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    bulk_insert(spark, df, tmp_table, sort_cols=["k"], mode="GLOBAL_SORT", n_files=8)
+    bounds = sorted(
+        (b["k"][0], b["k"][1])
+        for b in file_column_bounds(tmp_table, ["k"])
+        if b["k"][0] is not None
+    )
+    assert len(bounds) >= 2
+    for (lo1, hi1), (lo2, _) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {hi1} >= {lo2}"
+    assert spark.read.parquet(tmp_table).count() == 10000
+
+
+def test_bulk_insert_none_keeps_content(spark, tmp_table):
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    n = bulk_insert(spark, df, tmp_table, mode="NONE")
+    assert n == 1000
+    with pytest.raises(ValueError, match="sort_cols"):
+        bulk_insert(spark, df, tmp_table, mode="GLOBAL_SORT")
+    with pytest.raises(ValueError, match="mode"):
+        bulk_insert(spark, df, tmp_table, mode="ZORDER")
+
+
+# ------------------------------------------------------- global-index upsert
+
+
+def test_global_upsert_moves_record_across_partitions(spark, tmp_table):
+    base = _mk(spark, [(1, 10, "a"), (2, 10, "a"), (3, 10, "b")])
+    upsert_parquet_partitioned_global(spark, base, tmp_table, KEYS, PRE, "p")
+    # Key 1 moves a → b (newer precombine); key 4 inserts into c.
+    batch = _mk(spark, [(1, 20, "b"), (4, 20, "c")])
+    upsert_parquet_partitioned_global(spark, batch, tmp_table, KEYS, PRE, "p")
+    got = _rows(spark.read.parquet(tmp_table))
+    assert got == {(1, 20, "b"), (2, 10, "a"), (3, 10, "b"), (4, 20, "c")}
+    # ONE row for key 1 — the non-global writer would have kept both.
+    nonglobal = str(tmp_table) + "_ng"
+    upsert_parquet_partitioned(spark, base, nonglobal, KEYS, PRE, "p")
+    upsert_parquet_partitioned(spark, batch, nonglobal, KEYS, PRE, "p")
+    assert (1, 10, "a") in _rows(spark.read.parquet(nonglobal))  # the dup
+
+
+def test_global_upsert_drops_emptied_partition(spark, tmp_table):
+    base = _mk(spark, [(1, 10, "a"), (2, 10, "b")])
+    upsert_parquet_partitioned_global(spark, base, tmp_table, KEYS, PRE, "p")
+    # Partition a's only row moves out — its directory must be dropped.
+    upsert_parquet_partitioned_global(
+        spark, _mk(spark, [(1, 20, "b")]), tmp_table, KEYS, PRE, "p"
+    )
+    assert not os.path.isdir(f"{tmp_table}/p=a")
+    assert _rows(spark.read.parquet(tmp_table)) == {(1, 20, "b"), (2, 10, "b")}
+
+
+def test_global_upsert_stale_update_loses(spark, tmp_table):
+    base = _mk(spark, [(1, 10, "a")])
+    upsert_parquet_partitioned_global(spark, base, tmp_table, KEYS, PRE, "p")
+    # Stale move (older precombine) must NOT move or change the record.
+    upsert_parquet_partitioned_global(
+        spark, _mk(spark, [(1, 5, "b")]), tmp_table, KEYS, PRE, "p"
+    )
+    assert _rows(spark.read.parquet(tmp_table)) == {(1, 10, "a")}
+    assert not os.path.isdir(f"{tmp_table}/p=b")
+
+
+def test_global_upsert_delete_records(spark, tmp_table):
+    base = _mk(spark, [(1, 10, "a"), (2, 10, "b")])
+    upsert_parquet_partitioned_global(spark, base, tmp_table, KEYS, PRE, "p")
+    batch = spark.createDataFrame(
+        [(1, 20, "a", True)], "k int, v int, p string, deleted boolean"
+    )
+    upsert_parquet_partitioned_global(
+        spark, batch, tmp_table, KEYS, PRE, "p", delete_col="deleted"
+    )
+    assert _rows(spark.read.parquet(tmp_table)) == {(2, 10, "b")}
+    assert not os.path.isdir(f"{tmp_table}/p=a")
+
+
+def test_global_upsert_untouched_partition_files_kept(spark, tmp_table):
+    base = _mk(
+        spark, [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")]
+    )
+    upsert_parquet_partitioned_global(spark, base, tmp_table, KEYS, PRE, "p")
+    untouched = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{tmp_table}/p=c/*.parquet")
+    }
+    upsert_parquet_partitioned_global(
+        spark, _mk(spark, [(1, 20, "b")]), tmp_table, KEYS, PRE, "p"
+    )
+    assert untouched == {
+        f: os.path.getmtime(f) for f in glob.glob(f"{tmp_table}/p=c/*.parquet")
+    }
