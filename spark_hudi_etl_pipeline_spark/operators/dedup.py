@@ -685,6 +685,72 @@ def connected_components(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, find cosine
+    near-duplicate pairs ONLY within each cluster, and keep one
+    representative per duplicate group (the minimum id of its connected
+    component — the repo-wide canonical convention).
+
+    Composition of existing primitives, each already scale-shaped:
+
+    1. :func:`~.similarity.ivf_centroids` + ``ivf_assign`` — the
+       deterministic seed-free clustering (centroids broadcast, corpus
+       assignment is map-only, no shuffle of the vectors);
+    2. :func:`embedding_neardup_pairs` blocked on the cluster id — the
+       per-cluster dense-GEMM candidate step bounds pair count to
+       Σ n_cluster², never corpus²  (exactly the SemDeDup trick: the
+       paper dedups within k-means clusters for the same reason);
+    3. :func:`connected_components` — pairs → canonical representative.
+
+    Returns (id, cluster_id, canonical_id, keep): ``keep`` marks the
+    component representative; filtering on it yields the deduplicated
+    corpus. Fully deterministic — value-checkable against a SQL oracle
+    (no random seeds anywhere).
+    """
+    from .similarity import ivf_assign, ivf_centroids
+
+    centroids = ivf_centroids(
+        df, corpus_id=id_col, vec_col=vec_col, n_centroids=n_clusters
+    )
+    assigned = ivf_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col, out_vec="__v", nprobe=1
+    ).select(
+        F.col(id_col), "__v", F.col("centroid_id").alias("cluster_id")
+    )
+    # Assignment feeds three consumers (pairs, the node list, the final
+    # join); it is one narrow map over the corpus but each replay would
+    # re-run the centroid window — materialize once.
+    assigned = assigned.localCheckpoint(eager=True)
+    pairs = embedding_neardup_pairs(
+        assigned, id_col, "__v", threshold=threshold, block_col="cluster_id"
+    )
+    comp = connected_components(
+        assigned.select(id_col),
+        pairs.select("id_a", "id_b"),
+        id_col=id_col,
+        max_iterations=max_iterations,
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(comp, on=id_col)
+        .select(
+            id_col,
+            "cluster_id",
+            "canonical_id",
+            (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+        )
+    )
+
+
 def ngram_novelty(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:

@@ -556,3 +556,68 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return similarity.pq_adc_topk(coded, qrows, cb, k=5)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup semantic dedup (Abbas et al. 2023): cluster the embedding
+# space (seed-free IVF centroids — deterministic), cosine near-dup pairs
+# WITHIN clusters only (the paper's trick for bounding the pair count),
+# connected components → keep the min-id representative per duplicate
+# group. Every stage is deterministic, so unlike the LSH dedup tiers the
+# whole pipeline — clustering, pair graph, transitive closure — is
+# value-checked against a recursive-CTE oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "semantic_dedup_semdedup",
+    oracle=f"""
+WITH RECURSIVE cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+ca AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_u DESC, centroid_id) AS pr
+  FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           {_cos_u('e.embedding', 'c.cv')} AS cos_u
+    FROM embeddings e CROSS JOIN cent c)
+),
+members AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+            FROM ca WHERE pr = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM members a JOIN members b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round({_cos_u('a.embedding', 'b.embedding')}, 4) >= 0.2
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM members
+  UNION
+  SELECT s.src, r.label FROM sym s JOIN reach r ON s.dst = r.node
+)
+SELECT m.vec_id, m.cluster_id,
+       c.canonical_id, (m.vec_id = c.canonical_id) AS keep
+FROM members m
+JOIN (SELECT node, min(label) AS canonical_id FROM reach GROUP BY node) c
+  ON c.node = m.vec_id
+ORDER BY m.vec_id
+""",
+)
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus: 16 seed-free clusters,
+    within-cluster cosine ≥ 0.2 pair graph, min-id canonical per
+    component (operators/dedup.py::semantic_dedup)."""
+    from ..operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=16, threshold=0.2
+    ).orderBy("vec_id")

@@ -210,3 +210,59 @@ def test_chunk_apply_consistent_with_stats(spark):
         assert a["n_kept_chunks"] == s["n_chunks"] - s["n_dup_chunks"]
         if doc_id >= 10000:
             assert a["kept_text"] == "" and a["n_kept_chunks"] == 0
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup keeps one representative per group of near-identical
+    vectors and never drops singletons: two planted duplicate groups
+    (exact copies + a tiny perturbation) collapse to their min id;
+    orthogonal singletons all survive."""
+    import math
+
+    from spark_hudi_etl_pipeline_spark.operators.dedup import semantic_dedup
+
+    def unit(i, dim=8):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    rows = [
+        # ids 1-4: orthogonal anchors — the 4 seed-free centroids
+        (1, unit(0)),
+        (2, unit(1)),
+        (3, unit(2)),
+        (4, unit(3)),
+        # group A: ids 10,11,12 — identical direction (cosine 1.0),
+        # lands in one cluster (ties break on centroid id)
+        (10, [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (11, [2.0, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (12, [1.0, 1.0, 1e-6, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        # group B: ids 20, 21 — identical direction
+        (20, [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0]),
+        (21, [0.0, 0.0, 3.0, 3.0, 0.0, 0.0, 0.0, 0.0]),
+        # singletons: orthogonal axes untouched by anchors or groups
+        (30, unit(5)),
+        (31, unit(6)),
+        (32, unit(7)),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    out = {
+        r["id"]: r
+        for r in semantic_dedup(
+            df, "id", "v", n_clusters=4, threshold=0.95
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 10, 11, 12, 20, 21, 30, 31, 32}
+    assert {i for i, r in out.items() if r["keep"]} == {
+        1, 2, 3, 4, 10, 20, 30, 31, 32,
+    }
+    assert out[11]["canonical_id"] == 10 and out[12]["canonical_id"] == 10
+    assert out[21]["canonical_id"] == 20
+    # Deduplicated corpus = keep=True rows; idempotent on re-run.
+    kept = df.join(
+        semantic_dedup(df, "id", "v", n_clusters=4, threshold=0.95)
+        .filter("keep").select("id"),
+        on="id",
+    )
+    again = semantic_dedup(kept, "id", "v", n_clusters=4, threshold=0.95)
+    assert again.filter("NOT keep").count() == 0
