@@ -605,6 +605,109 @@ def _table_bloom_words(spark, path: str, key: str, files: list[str] | None = Non
     return _bloom_words(keyed, key).unionByName(markers)
 
 
+def _bloom_probe_files(words: DataFrame, probe_keys: DataFrame, key: str) -> list[str]:
+    """Files whose bloom bitset MIGHT contain a probe key: broadcast the
+    tiny word relation against the distinct keys, a file matches a key
+    when all BLOOM_HASHES bits are set. Returns file basenames (the only
+    thing that reaches the driver — Hudi's index lookup contract)."""
+    probe = (
+        probe_keys.select(F.col(key).alias("__bk"))
+        .distinct()
+        .select(
+            "__bk", F.posexplode(_bloom_positions(F.col("__bk"))).alias("seed", "pos")
+        )
+        .select(
+            "__bk",
+            "seed",
+            F.expr("pos div 64").cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+    )
+    return [
+        r["file"]
+        for r in (
+            probe.join(F.broadcast(words), on="word_idx")
+            .filter(F.col("word").bitwiseAND(F.col("mask")) != 0)
+            .groupBy("file", "__bk")
+            .agg(F.countDistinct("seed").alias("nbits"))
+            .filter(F.col("nbits") == BLOOM_HASHES)
+            .select("file")
+            .distinct()
+            .collect()
+        )
+    ]
+
+
+def _valid_sidecar_words(spark, path: str, live_files: list[str]) -> DataFrame | None:
+    """The bloom sidecar relation if present AND consistent with the
+    manifest's live file set (see the crash-recovery rationale in
+    :func:`upsert_parquet_bloom_indexed`), else None."""
+    import os
+
+    sidecar = os.path.join(path, _BLOOM_DIR)
+    if not os.path.isdir(sidecar):
+        return None
+    candidate = spark.read.parquet(sidecar)
+    sidecar_files = {
+        r["file"] for r in candidate.select("file").distinct().collect()
+    }
+    return candidate if sidecar_files == set(live_files) else None
+
+
+def read_point_lookup(spark, path: str, key: str, values: list) -> DataFrame:
+    """Index-accelerated point read of a keyed COW table: scan ONLY the
+    files that can contain the requested key values — the read-path twin
+    of the write-side index pruning (Hudi serves point lookups through
+    the same bloom/column-stats metadata). Pruning source, best first:
+
+    1. the ``_bloom`` sidecar (when present and manifest-consistent) —
+       per-key membership, survives hash-scattered layouts;
+    2. parquet footer min/max ranges — effective on a
+       ``cluster_linear``-by-key layout;
+    3. no index ⇒ the full manifest-consistent file set (correct,
+       unpruned).
+
+    The residual ``key IN (values)`` filter always applies (bloom false
+    positives, range overlap), so results are exact regardless of which
+    index pruned. Returns an empty-but-typed frame when pruning
+    eliminates every file."""
+    import os
+
+    from .clustering import file_column_bounds
+
+    _, live_files = table_live_files(path)
+    if not live_files:
+        raise FileNotFoundError(f"no data files at {path!r}")
+    probe_df = spark.createDataFrame(
+        [(v,) for v in values],
+        spark.read.parquet(os.path.join(path, live_files[0])).select(key).schema,
+    )
+    words = _valid_sidecar_words(spark, path, live_files)
+    if words is not None:
+        candidates = _bloom_probe_files(words, probe_df, key)
+    else:
+        bounds = [
+            b
+            for b in file_column_bounds(path, [key], files=live_files)
+            if b[key][0] is not None
+        ]
+        if bounds:
+            candidates = [
+                b["file"]
+                for b in bounds
+                if any(b[key][0] <= v <= b[key][1] for v in values)
+            ]
+        else:
+            candidates = list(live_files)
+    reader = spark.read.parquet(
+        *[os.path.join(path, f) for f in (candidates or [live_files[0]])]
+    )
+    out = reader.filter(F.col(key).isin(values))
+    # Empty candidate set: the filter on one real file yields the right
+    # (empty) result with the table's schema.
+    return out.limit(0) if not candidates else out
+
+
 def upsert_parquet_bloom_indexed(
     spark,
     batch: DataFrame,
@@ -662,45 +765,13 @@ def upsert_parquet_bloom_indexed(
     # would skip those files and write duplicate keys. On any mismatch,
     # fall back to the cold rebuild (one column-pruned key scan over the
     # manifest-listed files; orphaned pre-crash files are ignored).
-    words = None
-    if os.path.isdir(sidecar):
-        candidate = spark.read.parquet(sidecar)
-        sidecar_files = {
-            r["file"] for r in candidate.select("file").distinct().collect()
-        }
-        if sidecar_files == set(live_files):
-            words = candidate
+    words = _valid_sidecar_words(spark, path, live_files)
     if words is None:
         words = _table_bloom_words(spark, path, key, live_files)  # cold (re)build
     # Materialize now (metadata-scale): the commit below deletes data
     # files and overwrites the sidecar this lazy plan reads from.
     words = words.localCheckpoint(eager=True)
-    probe = (
-        batch.select(F.col(key).alias("__bk"))
-        .distinct()
-        .select(
-            "__bk", F.posexplode(_bloom_positions(F.col("__bk"))).alias("seed", "pos")
-        )
-        .select(
-            "__bk",
-            "seed",
-            F.expr("pos div 64").cast("int").alias("word_idx"),
-            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
-        )
-    )
-    affected = [
-        r["file"]
-        for r in (
-            probe.join(F.broadcast(words), on="word_idx")
-            .filter(F.col("word").bitwiseAND(F.col("mask")) != 0)
-            .groupBy("file", "__bk")
-            .agg(F.countDistinct("seed").alias("nbits"))
-            .filter(F.col("nbits") == BLOOM_HASHES)
-            .select("file")
-            .distinct()
-            .collect()
-        )
-    ]
+    affected = _bloom_probe_files(words, batch, key)
     if affected:
         existing_sub = spark.read.parquet(*[os.path.join(path, f) for f in affected])
         merged = merge_upsert(existing_sub, batch, [key], precombine, delete_col=delete_col)

@@ -320,3 +320,223 @@ def bulk_insert_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, orders, path, sort_cols=["o_orderkey"], mode="GLOBAL_SORT"
     )
     return _final_select(spark.read.parquet(path))
+
+
+# --------------------------------------------------------------------------
+# Timeline-native CDC (Hudi's incremental query in cdc format): change
+# rows between state-as-of-1 and the latest state, computed from the
+# delta commits with touched-key semi-join pruning — never by diffing
+# two materialized snapshots. Commit 2 updates %3 (+30d, ×2); commit 3
+# updates %7 (+90d, ×3) and deletes %10 (delete records, +60d). A key in
+# both %7 and %10 keeps its update (the in-commit delete loses the
+# precombine race) — the oracle replays the same fold.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "timeline_cdc_incremental",
+    oracle="""
+WITH c2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, FALSE AS deleted, 2 AS c
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+c3 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 3.0,
+         o_orderdate + INTERVAL 90 DAY, FALSE, 3
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         o_orderdate + INTERVAL 60 DAY, TRUE, 3
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+         FALSE AS deleted, 1 AS c
+  FROM orders
+  UNION ALL SELECT * FROM c2
+  UNION ALL SELECT * FROM c3
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY o_orderdate DESC, c DESC) AS rn
+  FROM unioned
+),
+after AS (SELECT * FROM ranked WHERE rn = 1 AND NOT deleted),
+before AS (SELECT * FROM orders)
+SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+            WHEN a.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type
+FROM before b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+   OR b.o_orderstatus <> a.o_orderstatus
+   OR b.o_totalprice <> a.o_totalprice
+   OR b.o_orderdate <> a.o_orderdate
+ORDER BY o_orderkey
+""",
+)
+def timeline_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeline import timeline_cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    path = _scratch(sf_dir, "timeline_cdc")
+    base = orders.withColumn("deleted", F.lit(False))
+    commit_append(spark, base, path, 1)
+    c2 = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .withColumn("deleted", F.lit(False))
+    )
+    commit_append(spark, c2, path, 2)
+    c3 = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .withColumn("deleted", F.lit(False))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn(
+                "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .withColumn("deleted", F.lit(True))
+        )
+    )
+    commit_append(spark, c3, path, 3)
+    return (
+        timeline_cdc(
+            spark, path, ["o_orderkey"], "o_orderdate", since=1,
+            delete_col="deleted",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Index-accelerated point lookup (the read-path twin of the bloom-index
+# writer): the orders table is written hash-scattered with its _bloom
+# sidecar, then a fixed key set is read back scanning only the files the
+# blooms admit (file-count pruning evidence in tests/test_lifecycle.py).
+# Results must be exactly the plain filter — the residual predicate
+# absorbs bloom false positives.
+# --------------------------------------------------------------------------
+
+_LOOKUP_KEYS = [1, 2, 3, 7, 32, 33, 1000, 4999, 999999999]
+
+
+@query(
+    "indexed_point_lookup",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM orders WHERE o_orderkey IN ({", ".join(str(k) for k in _LOOKUP_KEYS)})
+ORDER BY o_orderkey
+""",
+)
+def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import (
+        read_point_lookup,
+        upsert_parquet_bloom_indexed,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    path = _scratch(sf_dir, "point_lookup")
+    # First write through the bloom writer: data + manifest + sidecar.
+    upsert_parquet_bloom_indexed(
+        spark,
+        orders.repartition(16, F.col("o_orderkey")),
+        path,
+        "o_orderkey",
+        "o_orderdate",
+    )
+    return (
+        read_point_lookup(spark, path, "o_orderkey", _LOOKUP_KEYS)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming ingest into the MOR timeline (Hudi deltastreamer shape): a
+# file-source stream drains through foreachBatch commit_append — each
+# micro-batch is an immutable O(batch) delta commit — and the realtime
+# read folds the result. Updates carry strictly newer event times, so
+# the fold is batch-assignment-invariant (latest precombine wins no
+# matter how files were grouped into micro-batches); the oracle is the
+# same window fold over base ∪ updates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_timeline_ingest",
+    oracle="""
+WITH upd AS (
+  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+         value + 100.0 AS value, 1 AS b
+  FROM events WHERE event_id % 3 = 0
+),
+unioned AS (
+  SELECT event_id, ts, user_id, event_type, value, 0 AS b FROM events
+  UNION ALL SELECT * FROM upd
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_id ORDER BY ts DESC, b DESC) AS rn
+  FROM unioned
+)
+SELECT event_id, user_id, event_type, round(value, 2) AS value_r,
+       CAST(ts AS TIMESTAMP) AS ts
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+""",
+)
+def streaming_timeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeline import read_realtime
+    from ..streaming.windows import foreach_batch_timeline_commit
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    upd = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 100.0)
+    )
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_tl_in_{tag}"
+    target = f"/root/repo/.scratch/stream_tl_out_{tag}"
+    chk = f"/root/repo/.scratch/stream_tl_chk_{tag}"
+    for p in (stage, target, chk):
+        shutil.rmtree(p, ignore_errors=True)
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    upd.repartition(2).write.mode("append").parquet(stage)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)  # force several micro-batches
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_timeline_commit(target))
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_realtime(spark, target, ["event_id"], "ts")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value_r"),
+            "ts",
+        )
+        .orderBy("event_id")
+    )

@@ -243,3 +243,30 @@ def foreach_batch_upsert(
         )
 
     return apply
+
+
+def foreach_batch_timeline_commit(target_path: str, *, base_instant: int = 0):
+    """foreachBatch sink that appends each micro-batch as an immutable
+    commit on the MOR timeline (operators/timeline.py) — streaming
+    lakehouse ingest: O(batch) appends, no read-modify-write per batch,
+    with time travel / incremental pull / compaction available on the
+    result (Hudi's deltastreamer → deltacommit path).
+
+    Commit instant = ``base_instant + batch_id + 1`` — monotone because
+    Structured Streaming assigns batch ids monotonically. Exactly-once
+    under retries: a REPLAYED batch (failure after the commit landed but
+    before the streaming checkpoint advanced) finds its instant already
+    on the timeline and skips — the same instant-exists check Hudi's
+    streaming writer does.
+    """
+    from ..operators.timeline import commit_append, commit_instants
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        instant = base_instant + batch_id + 1
+        if instant in commit_instants(batch_df.sparkSession, target_path):
+            return  # replayed batch: its commit already landed
+        commit_append(batch_df.sparkSession, batch_df, target_path, instant)
+
+    return apply

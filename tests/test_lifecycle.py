@@ -276,3 +276,149 @@ def test_global_upsert_untouched_partition_files_kept(spark, tmp_table):
     assert untouched == {
         f: os.path.getmtime(f) for f in glob.glob(f"{tmp_table}/p=c/*.parquet")
     }
+
+
+# ------------------------------------------------------ timeline CDC
+
+
+def test_timeline_cdc_change_classification(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import timeline_cdc
+
+    commit_append(
+        spark,
+        spark.createDataFrame(
+            [(1, 10, "a", False), (2, 10, "a", False), (3, 10, "b", False)],
+            "k int, v int, p string, deleted boolean",
+        ),
+        tmp_table,
+        1,
+    )
+    commit_append(
+        spark,
+        spark.createDataFrame(
+            [
+                (1, 20, "a", False),   # update
+                (2, 20, "a", True),    # delete
+                (4, 20, "c", False),   # insert
+                (3, 20, "b", True),    # delete beaten in-commit...
+                (3, 30, "b", False),   # ...by a newer update
+            ],
+            "k int, v int, p string, deleted boolean",
+        ),
+        tmp_table,
+        2,
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in timeline_cdc(
+            spark, tmp_table, ["k"], "v", since=1, delete_col="deleted"
+        ).collect()
+    }
+    assert got == {1: "update", 2: "delete", 3: "update", 4: "insert"}
+
+
+def test_timeline_cdc_unchanged_reupsert_silent(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import timeline_cdc
+
+    commit_append(
+        spark,
+        spark.createDataFrame([(1, 10, "a")], "k int, v int, p string"),
+        tmp_table,
+        1,
+    )
+    # Same key, same values, same precombine — re-upserted verbatim.
+    commit_append(
+        spark,
+        spark.createDataFrame([(1, 10, "a")], "k int, v int, p string"),
+        tmp_table,
+        2,
+    )
+    assert timeline_cdc(spark, tmp_table, ["k"], "v", since=1).count() == 0
+
+
+def test_timeline_cdc_bounded_window(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import timeline_cdc
+
+    _build_timeline(spark, tmp_table)  # commits 1..3
+    got = {
+        r["k"]: r["change_type"]
+        for r in timeline_cdc(spark, tmp_table, ["k"], "v", since=1, as_of=2).collect()
+    }
+    # Window (1,2]: key 1 updated (10→20), key 4 inserted; commit 3 invisible.
+    assert got == {1: "update", 4: "insert"}
+
+
+# ------------------------------------------------- indexed point lookup
+
+
+def test_point_lookup_bloom_prunes_files(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        read_point_lookup,
+        upsert_parquet_bloom_indexed,
+    )
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    upsert_parquet_bloom_indexed(
+        spark, df.repartition(16, "k"), tmp_table, "k", "v"
+    )
+    out = read_point_lookup(spark, tmp_table, "k", [5, 7777])
+    assert {tuple(r) for r in out.collect()} == {(5, 10), (7777, 15554)}
+    n_total = len(glob.glob(f"{tmp_table}/*.parquet"))
+    assert n_total >= 8
+    # Bloom pruning: the lookup scanned a strict subset of the files.
+    assert 0 < len(out.inputFiles()) < n_total
+
+
+def test_point_lookup_range_prunes_on_clustered_layout(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.clustering import (
+        cluster_linear,
+        write_clustered,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.merge import read_point_lookup
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    write_clustered(cluster_linear(df, ["k"], 16), tmp_table)
+    out = read_point_lookup(spark, tmp_table, "k", [42])
+    assert [tuple(r) for r in out.collect()] == [(42, 126)]
+    # No bloom sidecar here — footer ranges prune on the linear layout.
+    assert len(out.inputFiles()) < len(glob.glob(f"{tmp_table}/*.parquet"))
+
+
+def test_point_lookup_missing_key_empty(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        read_point_lookup,
+        upsert_parquet_bloom_indexed,
+    )
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    upsert_parquet_bloom_indexed(spark, df, tmp_table, "k", "v")
+    out = read_point_lookup(spark, tmp_table, "k", [999999])
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]
+
+
+# -------------------------------------------- streaming timeline ingest
+
+
+def test_streaming_timeline_commit_replay_skips(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import (
+        read_realtime,
+    )
+    from spark_hudi_etl_pipeline_spark.streaming.windows import (
+        foreach_batch_timeline_commit,
+    )
+
+    sink = foreach_batch_timeline_commit(tmp_table)
+    b0 = spark.createDataFrame([(1, 10, "a")], "k int, v int, p string")
+    b1 = spark.createDataFrame([(1, 20, "a"), (2, 20, "b")], "k int, v int, p string")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replayed micro-batch: must be a no-op, not a failure
+    assert commit_instants(spark, tmp_table) == [1, 2]
+    assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == {
+        (1, 20, "a"), (2, 20, "b"),
+    }
