@@ -100,6 +100,7 @@ def merge_upsert(
     *,
     delete_col: str | None = None,
     evolve_schema: bool = False,
+    partial_update: bool = False,
 ) -> DataFrame:
     """Pure-DataFrame upsert: returns the post-merge table contents.
 
@@ -117,6 +118,18 @@ def merge_upsert(
     ``evolve_schema=True`` reproduces Hudi's schema-on-read evolution
     (:func:`align_schemas`): batches may add or omit non-key columns;
     without it, a batch must match the table schema exactly.
+
+    ``partial_update=True`` is Hudi's ``PartialUpdateAvroPayload``
+    (partial-column upsert): a WINNING batch row's NULL non-key fields
+    keep the existing row's values instead of nulling them — the
+    sparse-update pattern where each source system owns a column subset.
+    The fill is one extra join of the (small) winning-batch rows against
+    the table slice holding their keys — semi-join pruned, the table is
+    never shuffled. Within a batch, precombine still picks ONE row per
+    key first (field-level in-batch combining is not Hudi's default
+    either). A NULL written on purpose is indistinguishable from
+    "absent" — the payload's documented semantic; use a sentinel or
+    schema evolution to genuinely null a field.
     """
     # Key/precombine columns are the record identity — a batch without
     # them cannot be upserted. Hudi rejects key-less records loudly;
@@ -168,6 +181,29 @@ def merge_upsert(
         .select(*keys)
     )
     batch_keep = deduped.join(F.broadcast(beaten_keys), on=keys, how="left_anti")
+    if partial_update:
+        non_keys = [
+            c for c in existing.columns if c not in keys and c != precombine
+        ]
+        # Old values for exactly the winning batch keys: the semi join
+        # prunes the table scan to those keys (broadcast batch side — the
+        # table is never shuffled); the fill join then runs small × small.
+        old_vals = existing.join(
+            F.broadcast(batch_keep.select(*keys)), on=keys, how="left_semi"
+        ).select(*keys, *[F.col(c).alias(f"__old_{c}") for c in non_keys])
+        batch_keep = (
+            batch_keep.join(F.broadcast(old_vals), on=keys, how="left")
+            .select(
+                *keys,
+                F.col(precombine),
+                *[
+                    F.coalesce(F.col(c), F.col(f"__old_{c}")).alias(c)
+                    for c in non_keys
+                ],
+                *([F.col(delete_col)] if delete_col is not None else []),
+            )
+            .select(*batch_cols)  # restore the table's column order
+        )
     if delete_col is not None:
         # Winning delete records remove their key: the existing row is
         # already excluded above (batch won), and the delete record itself
@@ -187,6 +223,7 @@ def upsert_parquet(
     *,
     delete_col: str | None = None,
     evolve_schema: bool = False,
+    partial_update: bool = False,
 ) -> int:
     """Materializing upsert sink (reference R7 write_hudi_table,
     :238-260, re-expressed): merge ``batch`` into the parquet table at
@@ -206,6 +243,7 @@ def upsert_parquet(
     merged = merge_upsert(
         existing, batch, keys, precombine,
         delete_col=delete_col, evolve_schema=evolve_schema,
+        partial_update=partial_update,
     )
     if existing is not None:
         # Materialize the merge before overwriting the files we read.
@@ -332,6 +370,15 @@ def upsert_parquet_partitioned(
 _MANIFEST_DIR = "_manifest"  # underscore prefix: invisible to table scans
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published the manifest version this commit was
+    about to claim (optimistic concurrency, Hudi
+    ``hoodie.write.concurrency.mode=optimistic_concurrency_control``):
+    the caller must re-read the latest manifest and retry the whole
+    merge against it — its file-affectedness decisions were computed
+    from a stale table version."""
+
+
 def _manifest_latest(path: str) -> tuple[int, list[str]] | None:
     """Latest committed (version, live data files) at ``path``, or None
     for pre-manifest tables. Metadata-scale: one small JSON read."""
@@ -354,10 +401,19 @@ def _manifest_latest(path: str) -> tuple[int, list[str]] | None:
 
 
 def _manifest_publish(path: str, files: list[str], version: int) -> None:
-    """Atomically publish manifest ``version`` referencing ``files``:
-    write-temp + rename (POSIX-atomic; single fresh-key PUT on an object
-    store). This is the commit point — everything before it is invisible
-    to readers, everything after it is cleanup."""
+    """Atomically publish manifest ``version`` referencing ``files`` —
+    the commit point: everything before it is invisible to readers,
+    everything after it is cleanup.
+
+    The publish is a CREATE-IF-ABSENT, not a blind rename: ``os.link``
+    fails with EEXIST when another writer already claimed this version,
+    which is exactly optimistic concurrency control — each manifest
+    version can be won by ONE writer, the loser gets
+    :class:`ConcurrentCommitError` and must retry its merge from the new
+    latest manifest (its affected-file analysis is stale). On an object
+    store the same CAS is a conditional PUT (`If-None-Match: *`); Hudi's
+    OCC takes a lock around its instant-file creation for stores without
+    one."""
     import json
     import os
     import uuid
@@ -367,7 +423,16 @@ def _manifest_publish(path: str, files: list[str], version: int) -> None:
     tmp = os.path.join(mdir, f".v{version}-{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
         json.dump({"version": version, "files": sorted(files)}, fh)
-    os.rename(tmp, os.path.join(mdir, f"v{version}.json"))
+    try:
+        os.link(tmp, os.path.join(mdir, f"v{version}.json"))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"manifest v{version} at {path!r} was published by a "
+            "concurrent writer; re-read the latest manifest and retry "
+            "the merge"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def table_live_files(path: str) -> tuple[int, list[str]]:

@@ -1381,3 +1381,51 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("effective_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     ).orderBy("user_id", "effective_from")
+
+
+# --------------------------------------------------------------------------
+# Partial-column upsert (Hudi PartialUpdateAvroPayload): the batch
+# updates keys %4 carrying a NEW custkey (+5) and a newer orderdate
+# (+30d, the precombine) but a NULL totalprice — the winning row keeps
+# the table's price instead of nulling it (the sparse-update pattern
+# where a source system owns a column subset). Oracle: a left join with
+# per-field CASE — price never changes, custkey/date change on matched
+# keys only.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "upsert_partial_update",
+    oracle="""
+SELECT o.o_orderkey,
+       CASE WHEN b.o_orderkey IS NOT NULL THEN o.o_custkey + 5
+            ELSE o.o_custkey END AS o_custkey,
+       round(o.o_totalprice, 2) AS total_price,
+       CASE WHEN b.o_orderkey IS NOT NULL
+            THEN o.o_orderdate + INTERVAL 30 DAY
+            ELSE o.o_orderdate END AS o_orderdate
+FROM orders o
+LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0) b
+  USING (o_orderkey)
+ORDER BY o_orderkey
+""",
+)
+def upsert_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    existing = load_table(spark, sf_dir, "orders").select(*cols)
+    batch = existing.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 5).alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("o_orderdate"),
+    )
+    merged = merge_upsert(
+        existing, batch, keys=["o_orderkey"], precombine="o_orderdate",
+        partial_update=True,
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderdate",
+    ).orderBy("o_orderkey")

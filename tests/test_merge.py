@@ -148,3 +148,78 @@ def test_upsert_parquet_delete_col(spark, tmp_path):
     b2 = spark.createDataFrame([(1, "-", 20, True)], "k int, v string, pc int, del boolean")
     n = upsert_parquet(spark, b2, path, ["k"], "pc", delete_col="del")
     assert n == 0
+
+
+def test_partial_update_fills_nulls_from_existing(spark):
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, 1, 100.0, "x"), (2, 1, 200.0, "y")],
+        "k int, v int, price double, tag string",
+    )
+    batch = spark.createDataFrame(
+        [(1, 2, None, "z"),      # update: price absent -> keep 100.0
+         (3, 2, 300.0, None)],   # insert: tag absent -> stays null
+        "k int, v int, price double, tag string",
+    )
+    got = {
+        r["k"]: (r["v"], r["price"], r["tag"])
+        for r in merge_upsert(
+            existing, batch, ["k"], "v", partial_update=True
+        ).collect()
+    }
+    assert got == {1: (2, 100.0, "z"), 2: (1, 200.0, "y"), 3: (2, 300.0, None)}
+
+
+def test_partial_update_stale_batch_ignored(spark):
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, 5, 100.0)], "k int, v int, price double"
+    )
+    batch = spark.createDataFrame(
+        [(1, 3, None)], "k int, v int, price double"  # older precombine
+    )
+    got = merge_upsert(existing, batch, ["k"], "v", partial_update=True).collect()
+    assert [(r["k"], r["v"], r["price"]) for r in got] == [(1, 5, 100.0)]
+
+
+def test_partial_update_with_delete_records(spark):
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, 1, 100.0), (2, 1, 200.0)], "k int, v int, price double"
+    )
+    batch = spark.createDataFrame(
+        [(1, 2, None, True), (2, 2, None, False)],
+        "k int, v int, price double, deleted boolean",
+    )
+    got = merge_upsert(
+        existing, batch, ["k"], "v", delete_col="deleted", partial_update=True
+    ).collect()
+    # Key 1 deleted; key 2's price filled from the table.
+    assert [(r["k"], r["v"], r["price"]) for r in got] == [(2, 2, 200.0)]
+
+
+def test_manifest_publish_is_compare_and_swap(spark, tmp_path):
+    """Optimistic concurrency: two writers racing for the same manifest
+    version — exactly one wins, the loser gets ConcurrentCommitError and
+    must retry from the new latest manifest."""
+    import pytest
+
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        ConcurrentCommitError,
+        _manifest_latest,
+        _manifest_publish,
+    )
+
+    path = str(tmp_path / "t")
+    import os
+
+    os.makedirs(path)
+    _manifest_publish(path, ["a.parquet"], 1)
+    _manifest_publish(path, ["a.parquet", "b.parquet"], 2)
+    with pytest.raises(ConcurrentCommitError, match="concurrent writer"):
+        _manifest_publish(path, ["a.parquet", "c.parquet"], 2)
+    # The winner's manifest is untouched by the failed publish.
+    assert _manifest_latest(path) == (2, ["a.parquet", "b.parquet"])
