@@ -865,6 +865,37 @@ def upsert_parquet_bloom_indexed(
     return n_written
 
 
+def recluster_indexed_table(
+    spark, path: str, key: str, *, n_files: int = 16
+) -> int:
+    """Clustering table service on a manifest-committed table (Hudi's
+    clustering / ``replacecommit``): rewrite the live file set into
+    ``n_files`` key-sorted files with DISJOINT footer key ranges, so the
+    SIMPLE range index prunes tightly again after a run of scattered
+    upserts degraded the layout. Data is untouched — only arrangement.
+
+    Runs through the same stage → manifest-CAS-commit → clean protocol
+    as the indexed writers: readers see the old arrangement or the new
+    one, never a mix, and a concurrent upsert racing this service loses
+    (or wins) the manifest version atomically
+    (:class:`ConcurrentCommitError`). One shuffle (range partition by
+    key) over the table — the service is scheduled, not per-commit, so
+    that cost amortizes over the upserts it re-accelerates. Returns rows
+    rewritten."""
+    import uuid
+
+    from .clustering import cluster_linear
+
+    version, live_files = table_live_files(path)
+    if not live_files:
+        raise FileNotFoundError(f"no data files at {path!r}")
+    current = read_indexed_table(spark, path)
+    staging = f"{path}/.staging-{uuid.uuid4().hex}"
+    cluster_linear(current, [key], n_files).write.mode("overwrite").parquet(staging)
+    _, n_written = _commit_staged(spark, path, staging, version + 1, kept=[])
+    return n_written
+
+
 def hudi_writer_options(
     table_name: str,
     keys: list[str],

@@ -284,6 +284,35 @@ def compact_timeline(
     return base.count()
 
 
+def maybe_compact(
+    spark,
+    path: str,
+    keys: list[str],
+    precombine: str,
+    *,
+    max_deltas: int,
+    delete_col: str | None = None,
+) -> int | None:
+    """Hudi's NUM_COMMITS compaction trigger
+    (``hoodie.compact.inline.max.delta.commits``): compact when the
+    delta tail after the newest base exceeds ``max_deltas``, else do
+    nothing — the policy wrapper that keeps MOR read amplification
+    bounded when called after every commit (inline compaction) or from a
+    table-service scheduler (async). Returns the new base instant, or
+    None when the tail is short enough."""
+    if max_deltas < 1:
+        raise ValueError("max_deltas must be >= 1")
+    instants = commit_instants(spark, path)
+    bases = compaction_instants(path)
+    tail = [t for t in instants if not bases or t > bases[-1]]
+    if len(tail) <= max_deltas:
+        return None
+    compact_timeline(
+        spark, path, keys, precombine, tail[-1], delete_col=delete_col
+    )
+    return tail[-1]
+
+
 def read_optimized(spark, path: str) -> DataFrame:
     """Hudi MOR *read-optimized* query: scan ONLY the latest compacted
     base commit — a pure partition-pruned columnar scan with no merge

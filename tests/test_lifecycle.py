@@ -422,3 +422,110 @@ def test_streaming_timeline_commit_replay_skips(spark, tmp_table):
     assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == {
         (1, 20, "a"), (2, 20, "b"),
     }
+
+
+# ----------------------------------------------------- table services
+
+
+def test_maybe_compact_trigger_policy(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import maybe_compact
+
+    _build_timeline(spark, tmp_table)  # 3 deltas, no base
+    before = _rows(read_realtime(spark, tmp_table, KEYS, PRE))
+    # Tail of 3 <= max_deltas=3: no-op.
+    assert maybe_compact(spark, tmp_table, KEYS, PRE, max_deltas=3) is None
+    # Tail of 3 > 2: compacts at the newest instant.
+    assert maybe_compact(spark, tmp_table, KEYS, PRE, max_deltas=2) == 3
+    assert compaction_instants(tmp_table) == [3]
+    assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == before
+    # Fresh deltas re-arm the trigger relative to the new base.
+    commit_append(spark, _mk(spark, [(9, 40, "a")]), tmp_table, 4)
+    assert maybe_compact(spark, tmp_table, KEYS, PRE, max_deltas=2) is None
+    commit_append(spark, _mk(spark, [(9, 50, "a")]), tmp_table, 5)
+    commit_append(spark, _mk(spark, [(9, 60, "a")]), tmp_table, 6)
+    assert maybe_compact(spark, tmp_table, KEYS, PRE, max_deltas=2) == 6
+
+
+def test_recluster_restores_disjoint_ranges(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        read_indexed_table,
+        recluster_indexed_table,
+        table_live_files,
+        upsert_parquet_bloom_indexed,
+    )
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # Hash-scattered first write: every file's key range spans the domain.
+    upsert_parquet_bloom_indexed(
+        spark, df.repartition(8, "k"), tmp_table, "k", "v"
+    )
+    v0, _ = table_live_files(tmp_table)
+    before = {tuple(r) for r in read_indexed_table(spark, tmp_table).collect()}
+    n = recluster_indexed_table(spark, tmp_table, "k", n_files=8)
+    assert n == 20000
+    v1, live = table_live_files(tmp_table)
+    assert v1 == v0 + 1
+    # Arrangement changed, data identical.
+    after = {tuple(r) for r in read_indexed_table(spark, tmp_table).collect()}
+    assert after == before
+    bounds = sorted(
+        (b["k"][0], b["k"][1])
+        for b in file_column_bounds(tmp_table, ["k"], files=live)
+        if b["k"][0] is not None
+    )
+    assert len(bounds) >= 2
+    for (_, hi1), (lo2, _) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2
+    # Replaced files were cleaned; directory holds only the live set.
+    on_disk = {os.path.basename(f) for f in glob.glob(f"{tmp_table}/*.parquet")}
+    assert on_disk == set(live)
+
+
+def test_streaming_incremental_pull_from_timeline(spark, tmp_table, tmp_path):
+    """The timeline doubles as a streaming source: a file stream over
+    the commit-partitioned directory delivers each commit's rows exactly
+    once across drains (Hudi's streaming incremental query)."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    _build_timeline(spark, tmp_table)  # commits 1..3
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("v", IntegerType()),
+            StructField("p", StringType()),
+            StructField(  # partition column surfaces in the stream
+                "commit_ts", LongType()
+            ),
+        ]
+    )
+    out = str(tmp_path / "pull_out")
+    chk = str(tmp_path / "pull_chk")
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("basePath", tmp_table)
+            .parquet(f"{tmp_table}/commit_ts=*")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    first = spark.read.parquet(out)
+    assert first.count() == 7  # 3 + 2 + 2 rows across commits 1..3
+    assert set(r["commit_ts"] for r in first.select("commit_ts").distinct().collect()) == {1, 2, 3}
+    # New commit lands; the SAME checkpoint delivers ONLY the new rows.
+    commit_append(spark, _mk(spark, [(8, 40, "c"), (9, 40, "c")]), tmp_table, 4)
+    drain()
+    second = spark.read.parquet(out)
+    assert second.count() == 9
+    assert second.filter("commit_ts = 4").count() == 2
