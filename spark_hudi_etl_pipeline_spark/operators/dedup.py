@@ -715,6 +715,12 @@ def semantic_dedup(
     component representative; filtering on it yields the deduplicated
     corpus. Fully deterministic — value-checkable against a SQL oracle
     (no random seeds anywhere).
+
+    Scaling rule (measured, SCALE.md lifecycle probe): ``n_clusters``
+    must grow with the corpus so cluster SIZE — the unit the per-cluster
+    GEMM is quadratic in — stays bounded (the SemDeDup paper runs k ∝ n
+    for the same reason). A fixed cluster count makes pair generation
+    quadratic in corpus size by definition, not by implementation.
     """
     from .similarity import ivf_assign, ivf_centroids
 

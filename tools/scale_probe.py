@@ -167,6 +167,182 @@ def probe_novelty(base: str) -> None:
     print("appended ngram_novelty section to /root/repo/SCALE.md")
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
+def probe_lifecycle(base: str) -> None:
+    """Focused probe for the round-4 lifecycle/semantic operators:
+    timeline CDC (touched-key pruned fold), GLOBAL-index upsert
+    (column-pruned key→partition lookup), and SemDeDup (within-cluster
+    GEMM pair graph + min-label closure) at 1×/4×/16×. Appends/replaces
+    a dedicated SCALE.md section.
+    Usage: python tools/scale_probe.py --lifecycle
+    """
+    import re
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.dedup import semantic_dedup
+    from spark_hudi_etl_pipeline_spark.operators.tableops import (
+        upsert_parquet_partitioned_global,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.timeline import (
+        commit_append,
+        timeline_cdc,
+    )
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("scale-probe-lifecycle")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()  # warm JVM
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, 1024, 1, 32).select(_warm("id")).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    factors = (1, 4, 16)
+    results: dict[str, dict[int, float]] = {
+        "timeline_cdc": {}, "global_upsert": {}, "semantic_dedup": {},
+    }
+    nrows: dict[str, dict[int, int]] = {k: {} for k in results}
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    for factor in factors:
+        ords = replicate(spark, base, "orders", factor, ["o_orderkey"])
+        o = spark.read.parquet(ords).select(*cols)
+
+        # Timeline CDC: base + 2 delta commits, change rows since 1.
+        tl = f"{SCRATCH}/tl_{factor}x"
+        shutil.rmtree(tl, ignore_errors=True)
+        commit_append(spark, o, tl, 1)
+        commit_append(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+            .withColumn(
+                "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+            tl,
+            2,
+        )
+        commit_append(
+            spark,
+            o.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 3.0)
+            .withColumn(
+                "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+            tl,
+            3,
+        )
+        for _ in range(2):  # warm second run
+            t0 = _time.perf_counter()
+            n = timeline_cdc(spark, tl, ["o_orderkey"], "o_orderdate", since=1).count()
+            results["timeline_cdc"][factor] = _time.perf_counter() - t0
+        nrows["timeline_cdc"][factor] = n
+
+        # GLOBAL-index upsert: partition moves at table scale (first
+        # write outside the timer; the timed run is the incremental
+        # batch with its global key→partition lookup).
+        gt = f"{SCRATCH}/gu_{factor}x"
+        shutil.rmtree(gt, ignore_errors=True)
+        upsert_parquet_partitioned_global(
+            spark, o, gt, ["o_orderkey"], "o_orderdate", "o_orderstatus"
+        )
+        moves = (
+            o.filter((F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 50 == 0))
+            .withColumn("o_orderstatus", F.lit("F"))
+            .withColumn(
+                "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            )
+        )
+        t0 = _time.perf_counter()
+        n = upsert_parquet_partitioned_global(
+            spark, moves, gt, ["o_orderkey"], "o_orderdate", "o_orderstatus"
+        )
+        results["global_upsert"][factor] = _time.perf_counter() - t0
+        nrows["global_upsert"][factor] = n
+
+        # SemDeDup: clusters grow with corpus; per-cluster GEMM is the
+        # bounded-candidate step that must keep this off the n² cliff.
+        # Plain replication would clone every vector verbatim — 16
+        # bit-identical copies per vector make cross-replica pair count
+        # grow with replicas² BY CONSTRUCTION (the embedding analogue of
+        # the text-suffix rule in replicate()); rotate each replica's
+        # dimensions instead so replicas are mutually dissimilar and the
+        # true pair count grows linearly.
+        e_base = spark.read.parquet(f"{base}/embeddings.parquet")
+        e_parts = []
+        for r in range(factor):
+            d = e_base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(r * 100_000_000)
+            )
+            if r:
+                s = r % 63 + 1
+                d = d.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {s + 1}, {64 - s}), "
+                        f"slice(embedding, 1, {s}))"
+                    ),
+                )
+            e_parts.append(d)
+        e = e_parts[0]
+        for p in e_parts[1:]:
+            e = e.unionByName(p)
+        epath = f"{SCRATCH}/emb_rot_{factor}x"
+        e.write.mode("overwrite").parquet(epath)
+        e = spark.read.parquet(epath)
+        # Cluster COUNT scales with the corpus (SemDeDup's own recipe:
+        # k ∝ n) so cluster SIZE — the GEMM's quadratic unit — stays
+        # bounded; a fixed k would make within-cluster pair generation
+        # quadratic in corpus size by definition.
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            n = (
+                semantic_dedup(
+                    e, "vec_id", "embedding",
+                    n_clusters=16 * factor, threshold=0.2,
+                )
+                .filter("keep")
+                .count()
+            )
+            results["semantic_dedup"][factor] = _time.perf_counter() - t0
+        nrows["semantic_dedup"][factor] = n
+
+    section = [
+        "## lifecycle/semantic probe (1×/4×/16×, warm runs)",
+        "",
+        "Round-4 operators: timeline CDC folds only touched keys (semi-join",
+        "pruned); the GLOBAL-index upsert's key→partition lookup is a",
+        "column-pruned scan + broadcast semi join; SemDeDup runs with",
+        "cluster count ∝ corpus (k = 16·factor, the paper's own recipe) so",
+        "cluster size — the per-cluster GEMM's quadratic unit — stays",
+        "bounded; replicas are dimension-rotated so true pair count grows",
+        "linearly. A fixed k measured 12-19× here (quadratic by definition,",
+        "not implementation) — the operator docstring records the k ∝ n rule.",
+        "",
+        "| operator | out-rows @1×/4×/16× | t(1×) s | t(4×) s | t(16×) s | ratio |",
+        "|---|---|---|---|---|---|",
+    ]
+    for op, ts in results.items():
+        r = nrows[op]
+        section.append(
+            f"| {op} | {r[1]}/{r[4]}/{r[16]} | {ts[1]:.2f} | {ts[4]:.2f} | "
+            f"{ts[16]:.2f} | {ts[16] / ts[1]:.1f}× |"
+        )
+    section.append("")
+    with open("/root/repo/SCALE.md") as f:
+        content = f.read()
+    content = re.sub(
+        r"## lifecycle/semantic probe.*?(?=^## |\Z)",
+        "",
+        content,
+        flags=re.S | re.M,
+    ).rstrip() + "\n\n" + "\n".join(section) + "\n"
+    with open("/root/repo/SCALE.md", "w") as f:
+        f.write(content)
+    print("appended lifecycle/semantic section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -341,5 +517,11 @@ if __name__ == "__main__":
             "/root/testdata/sf0.1",
         )
         probe_repetition_64x(base_dir)
+    elif "--lifecycle" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        probe_lifecycle(base_dir)
     else:
         main()
