@@ -152,6 +152,71 @@ def refresh_join_parquet(
     return view
 
 
+def histogram_state(
+    df: DataFrame, col: str, *, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Fixed-bin histogram of ``col`` as a mergeable (bin, cnt) state —
+    the additive-sketch pattern for INCREMENTAL percentiles: the state
+    is O(n_bins) regardless of input size, refreshing with a batch is
+    one aggregation over the batch plus an additive merge, and
+    percentile error is bounded by bin width — deterministic (unlike GK/
+    t-digest sketches), so the whole pipeline value-checks against SQL.
+
+    Bin = clamp(floor((x - lo) / w), 0, n_bins-1): out-of-range values
+    land in the edge bins (counts stay exact; only their position
+    saturates)."""
+    w = (hi - lo) / n_bins
+    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w)).cast("int")
+    return (
+        df.select(
+            F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histogram_state(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Additive merge of two histogram states — the O(n_bins) refresh
+    step (never re-reads history)."""
+    return (
+        old.unionByName(delta)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def percentiles_from_histogram(
+    state: DataFrame, qs: list[float], *, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Percentile estimates from a histogram state: for each q, the
+    UPPER EDGE of the first bin whose cumulative count reaches
+    q × total — deterministic (max half-open-bin-width error), computed
+    with one window over the O(n_bins) state (never the data)."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / n_bins
+    cum = state.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    ).crossJoin(
+        F.broadcast(
+            state.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+        )
+    )
+    total = state.select(F.sum("cnt")).collect()[0][0]
+    hit = cum.filter(F.col("cum") >= F.col("q") * F.lit(float(total)))
+    win = Window.partitionBy("q").orderBy("bin")
+    return (
+        hit.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q",
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("value_est"),
+        )
+        .orderBy("q")
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -214,6 +214,100 @@ def merge_upsert(
     return existing_keep.unionByName(batch_keep)
 
 
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    *,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: dict[str, str] | bool = True,
+) -> DataFrame:
+    """ANSI ``MERGE INTO`` semantics as a pure DataFrame transform (the
+    SQL surface Hudi/Delta expose over their upsert machinery; Hudi
+    supports it from Spark SQL — reference users writing MERGE INTO on
+    their tables get this exact behavior):
+
+    - matched + ``when_matched_delete`` condition true → row removed;
+    - matched otherwise → ``when_matched_update`` SET expressions applied
+      (each value is a SQL expression over aliases ``t`` (target row)
+      and ``s`` (source row)); None keeps the target row unchanged;
+    - source rows matching no target → inserted; ``True`` inserts the
+      source's values for the target's columns, a dict gives per-column
+      expressions over ``s``, ``False`` drops them.
+
+    Cardinality rule enforced like Delta/Hudi: a target row matched by
+    MORE THAN ONE source row is a runtime error (``raise_error`` inside
+    the plan — fails on execution, not silently nondeterministic).
+
+    One full-outer join on the merge keys — with the source small (the
+    normal MERGE shape) Catalyst broadcasts it and the target never
+    shuffles; both-sides-big degrades to one SMJ shuffle each, the same
+    cost Hudi pays. Delete/update conditions are plain expressions, so
+    pushdown/codegen apply.
+    """
+    from pyspark.sql import Window
+
+    t_cols = target.columns
+    dup_w = Window.partitionBy(*on)
+    src = (
+        source.withColumn("__src_n", F.count(F.lit(1)).over(dup_w))
+        .withColumn("__src", F.lit(True))
+    )
+    joined = (
+        target.alias("t")
+        .withColumn("__tgt", F.lit(True))
+        .join(src.alias("s"), on=on, how="full_outer")
+    )
+    matched = F.col("__tgt").isNotNull() & F.col("__src").isNotNull()
+    # Cardinality violation: raises at execution time (the MERGE
+    # contract: nondeterministic multi-match must fail loudly, not pick
+    # a winner). assert_true yields NULL when the predicate holds;
+    # folded into the row filter so it is evaluated for every row.
+    no_multi = F.coalesce(
+        F.assert_true(
+            ~(matched & (F.col("__src_n") > 1)),
+            F.lit("MERGE INTO: a target row is matched by multiple source rows"),
+        ).cast("boolean"),
+        F.lit(True),
+    )
+
+    def tcol(c: str) -> Column:
+        return F.col(c) if c in on else F.col(f"t.{c}")
+
+    delete_cond = (
+        F.expr(when_matched_delete) if when_matched_delete is not None else F.lit(False)
+    )
+    update_exprs = {
+        c: F.expr(e) for c, e in (when_matched_update or {}).items()
+    }
+    out_cols = []
+    for c in t_cols:
+        upd = update_exprs.get(c, tcol(c))
+        if when_not_matched_insert is False:
+            ins = F.lit(None)
+        elif when_not_matched_insert is True:
+            ins = F.col(c) if c in on else F.col(f"s.{c}")
+        else:
+            ins = (
+                F.expr(when_not_matched_insert[c])
+                if c in when_not_matched_insert
+                else F.lit(None)
+            )
+        out_cols.append(
+            F.when(matched, upd)
+            .when(F.col("__tgt").isNotNull(), tcol(c))
+            .otherwise(ins)
+            .alias(c)
+        )
+    keep = (
+        F.when(matched, ~delete_cond)
+        .when(F.col("__tgt").isNotNull(), F.lit(True))  # unmatched target
+        .otherwise(F.lit(when_not_matched_insert is not False))
+    )
+    return joined.filter(keep & no_multi).select(*out_cols)
+
+
 def upsert_parquet(
     spark,
     batch: DataFrame,

@@ -540,3 +540,217 @@ def streaming_timeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# ANSI MERGE INTO (operators/merge.py::merge_into — the SQL surface Hudi
+# exposes over its upsert machinery): one statement updates matched %6
+# keys (price doubles, +30d), deletes matched %10 keys (cancel flag),
+# and inserts unmatched clones (%500 → key+1e9). Oracle = left join with
+# per-case CASE + the insert union. (%6 ∩ %10 keys are excluded from the
+# update arm: one source row per key — the MERGE cardinality rule, which
+# the operator enforces with a runtime raise.)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "merge_into_orders",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_totalprice * 2.0 AS new_price,
+         o_orderdate + INTERVAL 30 DAY AS new_date, FALSE AS cancel
+  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderdate, TRUE
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         CASE WHEN s.o_orderkey IS NOT NULL AND NOT s.cancel
+              THEN s.new_price ELSE o.o_totalprice END AS o_totalprice,
+         CASE WHEN s.o_orderkey IS NOT NULL AND NOT s.cancel
+              THEN s.new_date ELSE o.o_orderdate END AS o_orderdate
+  FROM orders o LEFT JOIN src s USING (o_orderkey)
+  WHERE s.o_orderkey IS NULL OR NOT s.cancel
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'P', o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 500 = 0
+)
+ORDER BY o_orderkey
+""",
+)
+def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_into
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    src = (
+        orders.filter(
+            (F.col("o_orderkey") % 6 == 0) & (F.col("o_orderkey") % 10 != 0)
+        )
+        .select(
+            "o_orderkey",
+            F.lit("P").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2.0).alias("o_totalprice"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("o_orderdate"),
+            F.lit(False).alias("cancel"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 0).select(
+                "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+                F.lit(True).alias("cancel"),
+            )
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 500 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                F.lit("P").alias("o_orderstatus"),
+                "o_totalprice", "o_orderdate",
+                F.lit(False).alias("cancel"),
+            )
+        )
+    )
+    merged = merge_into(
+        orders,
+        src,
+        ["o_orderkey"],
+        when_matched_update={
+            "o_totalprice": "s.o_totalprice",
+            "o_orderdate": "s.o_orderdate",
+        },
+        when_matched_delete="s.cancel",
+        when_not_matched_insert=True,
+    )
+    return _final_select(merged).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join (training-data temporal correctness): each
+# purchase event is enriched with the user's status AS OF the purchase
+# instant — the status dimension is the SCD2 change-point table built
+# from the user's NON-purchase events, and the join is the as-of
+# operator (union-window form: one shuffle, no range blowup). This is
+# the "no feature leakage" join a feature-store backfill needs: a later
+# status change must never bleed into an earlier purchase. Oracle =
+# DuckDB native ASOF LEFT JOIN against the identically-built dimension.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type AS status, ts AS effective_from
+  FROM (
+    SELECT user_id, event_type, ts,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM ev WHERE event_type <> 'purchase'
+  )
+  WHERE prev IS NULL OR prev <> event_type
+),
+p AS (SELECT event_id, ts, user_id, round(value, 2) AS purchase_value
+      FROM ev WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.purchase_value,
+       COALESCE(c.status, 'unknown') AS status_at_purchase
+FROM p ASOF LEFT JOIN chg c
+  ON p.user_id = c.user_id AND c.effective_from <= p.ts
+ORDER BY p.event_id
+""",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.latest import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("effective_from"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.round("value", 2).alias("purchase_value")
+    )
+    joined = asof_join(
+        purchases, dim, ["user_id"], "ts", "effective_from", ["status"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        F.coalesce(F.col("status"), F.lit("unknown")).alias("status_at_purchase"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Incremental percentiles from a mergeable histogram state (the additive-
+# sketch pattern): batch 1 (%2 keys) builds an O(bins) state, batch 2
+# refreshes it additively — history is never re-read — and p50/p90/p99
+# come from one window over the 200-row state. Deterministic (fixed
+# bins), so unlike GK/t-digest the whole incremental pipeline value-
+# checks: the oracle computes identical bins over the full table.
+# --------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 200
+
+
+@query(
+    "incremental_percentile_histogram",
+    oracle=f"""
+WITH binned AS (
+  SELECT least(greatest(CAST(floor((o_totalprice - {_HIST_LO}) /
+           (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})) AS INT), 0),
+         {_HIST_BINS} - 1) AS bin
+  FROM orders
+),
+state AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+         (SELECT sum(cnt) FROM state) AS total
+  FROM state
+),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+hit AS (
+  SELECT q, bin, row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+  FROM qs JOIN cum ON cum >= q * total
+)
+SELECT q, round({_HIST_LO} + (bin + 1) * (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS}), 4)
+       AS value_est
+FROM hit WHERE rn = 1 ORDER BY q
+""",
+)
+def incremental_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import (
+        histogram_state,
+        merge_histogram_state,
+        percentiles_from_histogram,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    kw = dict(lo=_HIST_LO, hi=_HIST_HI, n_bins=_HIST_BINS)
+    s1 = histogram_state(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "o_totalprice", **kw
+    )
+    s2 = histogram_state(
+        orders.filter(F.col("o_orderkey") % 2 != 0), "o_totalprice", **kw
+    )
+    state = merge_histogram_state(s1, s2)
+    return percentiles_from_histogram(state, [0.5, 0.9, 0.99], **kw).select(
+        "q", F.round("value_est", 4).alias("value_est")
+    )

@@ -52,3 +52,31 @@ def test_asof_join_preserves_left_rowcount(spark):
     assert len(rows) == 100
     matched = [r for r in rows if r["px"] is not None]
     assert len(matched) == 50  # t in [50, 99]
+
+
+def test_scd2_pit_join_no_future_leakage(spark):
+    """Point-in-time correctness: a status change AFTER the purchase
+    must never reach it, and purchases before any status read 'unknown'."""
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.latest import asof_join
+
+    dim = spark.createDataFrame(
+        [(1, "bronze", "2024-01-01 00:00:00"),
+         (1, "gold", "2024-01-05 00:00:00")],
+        "user_id long, status string, effective_from string",
+    ).withColumn("effective_from", F.col("effective_from").cast("timestamp"))
+    facts = spark.createDataFrame(
+        [(100, 1, "2023-12-25 00:00:00"),   # before any version
+         (101, 1, "2024-01-03 00:00:00"),   # bronze era
+         (102, 1, "2024-01-05 00:00:00"),   # exactly at the change: new version applies
+         (103, 1, "2024-02-01 00:00:00")],  # gold era
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_id"]: r["status"]
+        for r in asof_join(
+            facts, dim, ["user_id"], "ts", "effective_from", ["status"]
+        ).collect()
+    }
+    assert got == {100: None, 101: "bronze", 102: "gold", 103: "gold"}

@@ -166,3 +166,44 @@ def test_refresh_join_corrupt_state_raises(spark, tmp_path):
             spark, spark.createDataFrame([(2, "x2")], "k int, a string"),
             None, path, on=["k"],
         )
+
+
+def test_histogram_state_incremental_equals_full(spark):
+    """Additive state merge over two disjoint batches equals the state
+    built in one pass, and percentile estimates are within one bin width
+    of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.maintenance import (
+        histogram_state,
+        merge_histogram_state,
+        percentiles_from_histogram,
+    )
+
+    df = spark.range(0, 10000).select((F.col("id") % 1000).cast("double").alias("x"))
+    kw = dict(lo=0.0, hi=1000.0, n_bins=100)
+    full = histogram_state(df, "x", **kw)
+    a = histogram_state(df.filter(F.col("x") < 300), "x", **kw)
+    b = histogram_state(df.filter(F.col("x") >= 300), "x", **kw)
+    merged = merge_histogram_state(a, b)
+    assert {
+        (r["bin"], r["cnt"]) for r in full.collect()
+    } == {(r["bin"], r["cnt"]) for r in merged.collect()}
+    est = {
+        r["q"]: r["value_est"]
+        for r in percentiles_from_histogram(merged, [0.5, 0.9], **kw).collect()
+    }
+    # Exact p50 of uniform 0..999 is ~500; bin width 10 bounds the error.
+    assert abs(est[0.5] - 500.0) <= 10.0
+    assert abs(est[0.9] - 900.0) <= 10.0
+
+
+def test_histogram_out_of_range_saturates(spark):
+    from spark_hudi_etl_pipeline_spark.operators.maintenance import histogram_state
+
+    df = spark.createDataFrame([(-5.0,), (0.5,), (99.0,), (250.0,)], "x double")
+    got = {
+        r["bin"]: r["cnt"]
+        for r in histogram_state(df, "x", lo=0.0, hi=100.0, n_bins=10).collect()
+    }
+    assert got == {0: 2, 9: 2}  # -5 clamps to bin 0, 250 to bin 9

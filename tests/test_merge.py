@@ -223,3 +223,48 @@ def test_manifest_publish_is_compare_and_swap(spark, tmp_path):
         _manifest_publish(path, ["a.parquet", "c.parquet"], 2)
     # The winner's manifest is untouched by the failed publish.
     assert _manifest_latest(path) == (2, ["a.parquet", "b.parquet"])
+
+
+def test_merge_into_all_three_arms(spark):
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_into
+
+    t = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "k int, v int, tag string"
+    )
+    s = spark.createDataFrame(
+        [(1, 100, "upd"), (3, 0, "del"), (9, 900, "new")],
+        "k int, v int, tag string",
+    )
+    out = merge_into(
+        t, s, ["k"],
+        when_matched_update={"v": "t.v + s.v", "tag": "s.tag"},
+        when_matched_delete="s.tag = 'del'",
+        when_not_matched_insert=True,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (1, 110, "upd"), (2, 20, "b"), (9, 900, "new"),
+    ]
+
+
+def test_merge_into_no_insert_and_update_only(spark):
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_into
+
+    t = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    s = spark.createDataFrame([(2, 99), (7, 70)], "k int, v int")
+    out = merge_into(
+        t, s, ["k"],
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=False,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 10), (2, 99)]
+
+
+def test_merge_into_multi_match_raises(spark):
+    import pytest
+
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_into
+
+    t = spark.createDataFrame([(1, 10)], "k int, v int")
+    s = spark.createDataFrame([(1, 1), (1, 2)], "k int, v int")
+    with pytest.raises(Exception, match="multiple source rows"):
+        merge_into(t, s, ["k"], when_matched_update={"v": "s.v"}).collect()
