@@ -797,13 +797,15 @@ def _bloom_probe_files(words: DataFrame, probe_keys: DataFrame, key: str) -> lis
     ]
 
 
-def _valid_sidecar_words(spark, path: str, live_files: list[str]) -> DataFrame | None:
+def _valid_sidecar_words(
+    spark, path: str, live_files: list[str], *, sidecar_dir: str = _BLOOM_DIR
+) -> DataFrame | None:
     """The bloom sidecar relation if present AND consistent with the
     manifest's live file set (see the crash-recovery rationale in
     :func:`upsert_parquet_bloom_indexed`), else None."""
     import os
 
-    sidecar = os.path.join(path, _BLOOM_DIR)
+    sidecar = os.path.join(path, sidecar_dir)
     if not os.path.isdir(sidecar):
         return None
     candidate = spark.read.parquet(sidecar)
@@ -813,7 +815,36 @@ def _valid_sidecar_words(spark, path: str, live_files: list[str]) -> DataFrame |
     return candidate if sidecar_files == set(live_files) else None
 
 
-def read_point_lookup(spark, path: str, key: str, values: list) -> DataFrame:
+def build_secondary_index(spark, path: str, col: str) -> int:
+    """Secondary bloom index on a NON-key column (Hudi 1.0's secondary
+    index): per-file bloom bitsets over ``col``'s values, stored in a
+    ``_bloom_<col>`` sidecar with the same sparse word layout as the
+    record-key index. Point lookups on ``col`` then prune files through
+    :func:`read_point_lookup` even though the table is laid out (and
+    range/bloom-indexed) by its record key — the query pattern a keyed
+    layout can't serve ("orders of customer X" on a table clustered by
+    order id).
+
+    Built with one column-pruned scan of the manifest-live files
+    (O(table · 1 column)); like Hudi's async indexer this is a table
+    service, re-run (or validated-and-rebuilt on manifest mismatch —
+    the same self-heal as the primary index) after commits. Returns the
+    number of files indexed."""
+    import os
+
+    _, live_files = table_live_files(path)
+    if not live_files:
+        raise FileNotFoundError(f"no data files at {path!r}")
+    words = _table_bloom_words(spark, path, col, live_files)
+    words.write.mode("overwrite").parquet(
+        os.path.join(path, f"{_BLOOM_DIR}_{col}")
+    )
+    return len(live_files)
+
+
+def read_point_lookup(
+    spark, path: str, key: str, values: list, *, primary: bool = True
+) -> DataFrame:
     """Index-accelerated point read of a keyed COW table: scan ONLY the
     files that can contain the requested key values — the read-path twin
     of the write-side index pruning (Hudi serves point lookups through
@@ -829,7 +860,15 @@ def read_point_lookup(spark, path: str, key: str, values: list) -> DataFrame:
     The residual ``key IN (values)`` filter always applies (bloom false
     positives, range overlap), so results are exact regardless of which
     index pruned. Returns an empty-but-typed frame when pruning
-    eliminates every file."""
+    eliminates every file.
+
+    ``key`` may also be a NON-key column carrying a secondary index
+    (:func:`build_secondary_index`): pass ``primary=False`` — the
+    column-specific ``_bloom_<col>`` sidecar is used (else footer
+    ranges), and the bare ``_bloom`` sidecar is deliberately NOT
+    consulted: it holds record-key bits, and probing it with another
+    column's values would yield bloom false NEGATIVES — silently missing
+    rows, not just weaker pruning."""
     import os
 
     from .clustering import file_column_bounds
@@ -841,7 +880,11 @@ def read_point_lookup(spark, path: str, key: str, values: list) -> DataFrame:
         [(v,) for v in values],
         spark.read.parquet(os.path.join(path, live_files[0])).select(key).schema,
     )
-    words = _valid_sidecar_words(spark, path, live_files)
+    words = _valid_sidecar_words(
+        spark, path, live_files, sidecar_dir=f"{_BLOOM_DIR}_{key}"
+    )
+    if words is None and primary:
+        words = _valid_sidecar_words(spark, path, live_files)
     if words is not None:
         candidates = _bloom_probe_files(words, probe_df, key)
     else:

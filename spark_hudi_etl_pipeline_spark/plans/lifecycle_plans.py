@@ -754,3 +754,46 @@ def incremental_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFr
     return percentiles_from_histogram(state, [0.5, 0.9, 0.99], **kw).select(
         "q", F.round("value_est", 4).alias("value_est")
     )
+
+
+# --------------------------------------------------------------------------
+# Secondary-index lookup (Hudi 1.0 secondary indexes): orders is laid
+# out by ORDER KEY (bulk-insert GLOBAL_SORT — custkey is scattered
+# across every file, so neither the primary index nor footer ranges can
+# prune a customer query), then a bloom sidecar on o_custkey serves
+# "orders of these customers" with file pruning (evidence in
+# tests/test_lifecycle.py). Residual filter keeps results exact.
+# --------------------------------------------------------------------------
+
+_CUST_KEYS = [1, 7, 55, 101, 733]
+
+
+@query(
+    "secondary_index_lookup",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM orders WHERE o_custkey IN ({", ".join(str(k) for k in _CUST_KEYS)})
+ORDER BY o_orderkey
+""",
+)
+def secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import build_secondary_index, read_point_lookup
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    path = _scratch(sf_dir, "secondary_idx")
+    bulk_insert(
+        spark, orders, path, sort_cols=["o_orderkey"], mode="GLOBAL_SORT"
+    )
+    build_secondary_index(spark, path, "o_custkey")
+    return (
+        read_point_lookup(spark, path, "o_custkey", _CUST_KEYS, primary=False)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )

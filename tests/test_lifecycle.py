@@ -529,3 +529,46 @@ def test_streaming_incremental_pull_from_timeline(spark, tmp_table, tmp_path):
     second = spark.read.parquet(out)
     assert second.count() == 9
     assert second.filter("commit_ts = 4").count() == 2
+
+
+# ---------------------------------------------------- secondary index
+
+
+def test_secondary_index_prunes_on_nonkey_column(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        build_secondary_index,
+        read_point_lookup,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.tableops import bulk_insert
+
+    # Layout by k; c is localized (c = k div 1250) so a secondary bloom
+    # on c can prune hard while k-footer ranges say nothing about c.
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") / F.lit(1250)).cast("int").alias("c"),
+        (F.col("id") * 2).alias("v"),
+    )
+    bulk_insert(spark, df, tmp_table, sort_cols=["k"], mode="GLOBAL_SORT", n_files=16)
+    n_files = build_secondary_index(spark, tmp_table, "c")
+    assert n_files == len(glob.glob(f"{tmp_table}/*.parquet"))
+    out = read_point_lookup(spark, tmp_table, "c", [3], primary=False)
+    rows = out.collect()
+    assert len(rows) == 1250 and all(r["c"] == 3 for r in rows)
+    assert 0 < len(out.inputFiles()) < n_files  # pruning evidence
+
+
+def test_secondary_lookup_never_probes_key_bloom(spark, tmp_table):
+    """Without a column-specific sidecar, a secondary lookup must fall
+    back to footer ranges / full scan — NEVER the record-key bloom
+    (whose bits would produce false negatives for another column)."""
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        read_point_lookup,
+        upsert_parquet_bloom_indexed,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("c")
+    )
+    upsert_parquet_bloom_indexed(spark, df.repartition(8, "k"), tmp_table, "k", "c")
+    out = read_point_lookup(spark, tmp_table, "c", [3], primary=False)
+    assert out.count() == df.filter("c = 3").count()  # exact despite no index
