@@ -87,16 +87,92 @@ def commit_append(
     )
 
 
+_BOOTSTRAP_FILE = "_bootstrap.json"
+
+
+def _bootstrap_info(path: str) -> tuple[str, int] | None:
+    """(source path, instant) of a metadata-only bootstrap base, or None."""
+    import json
+
+    p = os.path.join(path, _BOOTSTRAP_FILE)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        d = json.load(fh)
+    return d["source"], int(d["commit_ts"])
+
+
+def bootstrap_timeline(
+    spark, source_path: str, path: str, *, commit_ts: int = 1
+) -> int:
+    """Hudi METADATA_ONLY bootstrap: adopt an EXISTING plain parquet
+    table as the timeline's base commit WITHOUT copying or rewriting a
+    single data file — only a marker referencing the source lands on the
+    timeline (Hudi's bootstrap operation exists precisely because
+    rewriting a 100 TB legacy table to onboard it is a non-starter).
+    Readers union the referenced base (tagged with ``commit_ts``) under
+    every fold; the first compaction at or past the bootstrap instant
+    collapses it into a real base commit and retires the marker.
+    Returns the bootstrap instant."""
+    import json
+
+    if not os.path.isdir(source_path):
+        raise FileNotFoundError(f"bootstrap source {source_path!r} not found")
+    existing = commit_instants(spark, path)
+    if existing:
+        raise ValueError(
+            f"timeline at {path!r} already has commits {existing}; "
+            "bootstrap must be the first instant"
+        )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _BOOTSTRAP_FILE), "w") as fh:
+        json.dump({"source": source_path, "commit_ts": commit_ts}, fh)
+    return commit_ts
+
+
 def commit_instants(spark, path: str) -> list[int]:
     """The timeline: sorted commit instants present at ``path`` (from the
-    partition directory names — no data files are read)."""
+    partition directory names plus the bootstrap marker — no data files
+    are read)."""
     if not os.path.isdir(path):
         return []
     out = []
     for d in os.listdir(path):
         if d.startswith(f"{COMMIT_COL}="):
             out.append(int(d.split("=", 1)[1]))
+    boot = _bootstrap_info(path)
+    if boot is not None:
+        out.append(boot[1])
     return sorted(out)
+
+
+def _read_log(spark, path: str) -> DataFrame:
+    """The full commit log at ``path`` as one DataFrame carrying
+    ``commit_ts`` — delta commit partitions unioned with the
+    metadata-only bootstrap base (if any), whose constant instant column
+    lets Catalyst constant-fold instant predicates to an empty relation,
+    so time-travel before the bootstrap never scans the source."""
+    boot = _bootstrap_info(path)
+    has_deltas = any(
+        d.startswith(f"{COMMIT_COL}=") for d in os.listdir(path)
+    )
+    # NOTE: no cast on the delta side — commit_ts must stay the raw
+    # partition column so instant predicates remain PartitionFilters
+    # (asserted in tests/test_timeline.py); the union's set-operation
+    # type widening reconciles int-inferred partition values with the
+    # base's long literal.
+    deltas = spark.read.parquet(path) if has_deltas else None
+    if boot is None:
+        if deltas is None:
+            raise FileNotFoundError(f"empty timeline at {path!r}")
+        return deltas
+    src, ts = boot
+    base = spark.read.parquet(src).withColumn(
+        COMMIT_COL, F.lit(ts).cast("long")
+    )
+    if deltas is None:
+        return base
+    return deltas.unionByName(base)
 
 
 def fold_commits(
@@ -161,7 +237,7 @@ def read_as_of(
     (inclusive). The instant predicate is a PARTITION filter — commits
     after ``as_of`` are never scanned (asserted in
     ``tests/test_timeline.py``)."""
-    log = spark.read.parquet(path).filter(F.col(COMMIT_COL) <= as_of)
+    log = _read_log(spark, path).filter(F.col(COMMIT_COL) <= as_of)
     return fold_commits(log, keys, precombine, delete_col=delete_col)
 
 
@@ -171,7 +247,7 @@ def read_incremental(
     """Hudi-style incremental query: the raw change records committed in
     ``(since, as_of]`` — the CDC feed a downstream incremental consumer
     reads instead of diffing snapshots. Partition-pruned on both bounds."""
-    log = spark.read.parquet(path).filter(F.col(COMMIT_COL) > since)
+    log = _read_log(spark, path).filter(F.col(COMMIT_COL) > since)
     if as_of is not None:
         log = log.filter(F.col(COMMIT_COL) <= as_of)
     return log
@@ -186,6 +262,7 @@ def timeline_cdc(
     as_of: int | None = None,
     *,
     delete_col: str | None = None,
+    images: bool = False,
 ) -> DataFrame:
     """Hudi CDC-format incremental query
     (``hoodie.datasource.query.incremental.format=cdc``): key-level
@@ -205,10 +282,17 @@ def timeline_cdc(
     key the semi join pushes no shuffle onto the log side. A key
     re-upserted with UNCHANGED values emits nothing (null-safe struct
     comparison), matching Hudi's cdc payload semantics.
+
+    ``images=True`` adds the full BEFORE and AFTER row images —
+    ``before_<col>`` / ``after_<col>`` for every non-key column — the
+    payload downstream CDC consumers (audit trails, cache invalidation,
+    reverse ETL) actually apply; NULL on the missing side of
+    inserts/deletes, exactly Hudi's cdc ``before``/``after`` fields.
+    Same plan shape: one extra projection, no extra joins.
     """
     changes = read_incremental(spark, path, since, as_of)
     touched = changes.select(*keys).distinct()
-    log = spark.read.parquet(path)
+    log = _read_log(spark, path)
     before = fold_commits(
         log.filter(F.col(COMMIT_COL) <= since).join(
             F.broadcast(touched), on=keys, how="left_semi"
@@ -226,7 +310,38 @@ def timeline_cdc(
     )
     from .maintenance import snapshot_diff
 
-    return snapshot_diff(before, after, keys)
+    if not images:
+        return snapshot_diff(before, after, keys)
+    non_keys = [c for c in before.columns if c not in keys]
+    b = before.select(
+        *keys,
+        *[F.col(c).alias(f"before_{c}") for c in non_keys],
+        F.lit(True).alias("__in_old"),
+    )
+    a = after.select(
+        *keys,
+        *[F.col(c).alias(f"after_{c}") for c in non_keys],
+        F.lit(True).alias("__in_new"),
+    )
+    joined = b.join(a, on=keys, how="full_outer")
+    changed = ~F.struct(
+        *[F.col(f"before_{c}") for c in non_keys]
+    ).eqNullSafe(F.struct(*[F.col(f"after_{c}") for c in non_keys]))
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(F.col("__in_old").isNull(), "insert")
+            .when(F.col("__in_new").isNull(), "delete")
+            .when(changed, "update"),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[f"before_{c}" for c in non_keys],
+            *[f"after_{c}" for c in non_keys],
+        )
+    )
 
 
 _COMPACTIONS_DIR = "_compactions"
@@ -281,6 +396,12 @@ def compact_timeline(
     os.makedirs(marker_dir, exist_ok=True)
     with open(os.path.join(marker_dir, str(up_to)), "w"):
         pass
+    # A bootstrap base at or before the compaction horizon is now
+    # collapsed into the real base commit — retire the marker so reads
+    # stop consulting the external source.
+    boot = _bootstrap_info(path)
+    if boot is not None and boot[1] <= up_to:
+        os.remove(os.path.join(path, _BOOTSTRAP_FILE))
     return base.count()
 
 
@@ -426,6 +547,12 @@ def rollback_last(spark, path: str) -> int:
     if not instants:
         raise ValueError(f"empty timeline at {path!r}: nothing to roll back")
     last = instants[-1]
+    boot = _bootstrap_info(path)
+    if boot is not None and boot[1] == last:
+        raise ValueError(
+            f"latest instant {last} is the metadata-only bootstrap base — "
+            "it cannot be rolled back (drop the timeline instead)"
+        )
     bases = compaction_instants(path)
     if bases and bases[-1] == last:
         raise ValueError(
@@ -495,7 +622,7 @@ def read_realtime(
     by compaction frequency. Falls back to folding the whole timeline
     when no compaction has run."""
     bases = compaction_instants(path)
-    log = spark.read.parquet(path)
+    log = _read_log(spark, path)
     if bases:
         # Partition filter: everything at or after the newest base
         # (older delta partitions were removed by the compactor; the

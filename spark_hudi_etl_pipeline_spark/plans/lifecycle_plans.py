@@ -797,3 +797,154 @@ def secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Metadata-only bootstrap (Hudi bootstrap operation): an existing plain
+# parquet orders table is adopted as the timeline's base WITHOUT copying
+# a file (only a marker lands), then a delta commit updates %3 keys and
+# the realtime read folds marker-base + delta. The no-copy property and
+# marker retirement on compaction are asserted file-level in
+# tests/test_lifecycle.py; the oracle is the usual window fold.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "timeline_bootstrap_read",
+    oracle="""
+WITH batch AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 1 AS is_batch
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, 0 AS is_batch
+  FROM orders
+  UNION ALL
+  SELECT * FROM batch
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey, o_orderstatus
+""",
+)
+def timeline_bootstrap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeline import bootstrap_timeline
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    legacy = _scratch(sf_dir, "legacy_orders")
+    orders.write.mode("overwrite").parquet(legacy)
+    path = _scratch(sf_dir, "bootstrap_tl")
+    bootstrap_timeline(spark, legacy, path, commit_ts=1)
+    upd = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    commit_append(spark, upd, path, 2)
+    return _final_select(
+        read_realtime(spark, path, ["o_orderkey"], "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC with before/after images (Hudi cdc-format payload): the same
+# timeline as timeline_cdc_incremental, but each change row carries the
+# full before and after images — what an audit/reverse-ETL consumer
+# applies. Same single full-outer join; images are one extra projection.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "timeline_cdc_images",
+    oracle="""
+WITH c2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, FALSE AS deleted, 2 AS c
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+c3 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 3.0,
+         o_orderdate + INTERVAL 90 DAY, FALSE, 3
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         o_orderdate + INTERVAL 60 DAY, TRUE, 3
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+         FALSE AS deleted, 1 AS c
+  FROM orders
+  UNION ALL SELECT * FROM c2
+  UNION ALL SELECT * FROM c3
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY o_orderdate DESC, c DESC) AS rn
+  FROM unioned
+),
+after AS (SELECT * FROM ranked WHERE rn = 1 AND NOT deleted),
+before AS (SELECT * FROM orders)
+SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+            WHEN a.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       round(b.o_totalprice, 2) AS before_price,
+       round(a.o_totalprice, 2) AS after_price,
+       b.o_orderdate AS before_date,
+       a.o_orderdate AS after_date
+FROM before b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+   OR b.o_orderstatus <> a.o_orderstatus
+   OR b.o_totalprice <> a.o_totalprice
+   OR b.o_orderdate <> a.o_orderdate
+ORDER BY o_orderkey
+""",
+)
+def timeline_cdc_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeline import timeline_cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    path = _scratch(sf_dir, "timeline_cdc_img")
+    commit_append(spark, orders.withColumn("deleted", F.lit(False)), path, 1)
+    c2 = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .withColumn("deleted", F.lit(False))
+    )
+    commit_append(spark, c2, path, 2)
+    c3 = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .withColumn("deleted", F.lit(False))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn(
+                "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .withColumn("deleted", F.lit(True))
+        )
+    )
+    commit_append(spark, c3, path, 3)
+    cdc = timeline_cdc(
+        spark, path, ["o_orderkey"], "o_orderdate", since=1,
+        delete_col="deleted", images=True,
+    )
+    return cdc.select(
+        "o_orderkey",
+        "change_type",
+        F.round("before_o_totalprice", 2).alias("before_price"),
+        F.round("after_o_totalprice", 2).alias("after_price"),
+        F.col("before_o_orderdate").alias("before_date"),
+        F.col("after_o_orderdate").alias("after_date"),
+    ).orderBy("o_orderkey")

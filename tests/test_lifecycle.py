@@ -572,3 +572,73 @@ def test_secondary_lookup_never_probes_key_bloom(spark, tmp_table):
     upsert_parquet_bloom_indexed(spark, df.repartition(8, "k"), tmp_table, "k", "c")
     out = read_point_lookup(spark, tmp_table, "c", [3], primary=False)
     assert out.count() == df.filter("c = 3").count()  # exact despite no index
+
+
+# ------------------------------------------------- metadata-only bootstrap
+
+
+def test_bootstrap_reads_without_copying(spark, tmp_table, tmp_path):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import (
+        bootstrap_timeline,
+        read_as_of,
+    )
+
+    src = str(tmp_path / "legacy")
+    _mk(spark, [(1, 10, "a"), (2, 10, "b")]).write.parquet(src)
+    src_files = {f: os.path.getmtime(f) for f in glob.glob(f"{src}/*.parquet")}
+    assert bootstrap_timeline(spark, src, tmp_table, commit_ts=1) == 1
+    assert commit_instants(spark, tmp_table) == [1]
+    # No data copied: the timeline dir holds only the marker.
+    assert glob.glob(f"{tmp_table}/commit_ts=*") == []
+    commit_append(spark, _mk(spark, [(1, 20, "a"), (3, 20, "c")]), tmp_table, 2)
+    assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == {
+        (1, 20, "a"), (2, 10, "b"), (3, 20, "c"),
+    }
+    # Time travel to the bootstrap instant = the legacy table verbatim.
+    assert _rows(read_as_of(spark, tmp_table, KEYS, PRE, 1)) == {
+        (1, 10, "a"), (2, 10, "b"),
+    }
+    # The legacy source was never touched.
+    assert src_files == {
+        f: os.path.getmtime(f) for f in glob.glob(f"{src}/*.parquet")
+    }
+
+
+def test_bootstrap_compaction_retires_marker(spark, tmp_table, tmp_path):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import (
+        _bootstrap_info,
+        bootstrap_timeline,
+        compact_timeline,
+    )
+
+    src = str(tmp_path / "legacy")
+    _mk(spark, [(1, 10, "a"), (2, 10, "b")]).write.parquet(src)
+    bootstrap_timeline(spark, src, tmp_table, commit_ts=1)
+    commit_append(spark, _mk(spark, [(1, 20, "a")]), tmp_table, 2)
+    before = _rows(read_realtime(spark, tmp_table, KEYS, PRE))
+    compact_timeline(spark, tmp_table, KEYS, PRE, 2)
+    assert _bootstrap_info(tmp_table) is None  # marker retired
+    # Reads no longer depend on the source at all.
+    import shutil
+
+    shutil.rmtree(src)
+    assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == before
+
+
+def test_bootstrap_guards(spark, tmp_table, tmp_path):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import (
+        bootstrap_timeline,
+    )
+
+    src = str(tmp_path / "legacy")
+    _mk(spark, [(1, 10, "a")]).write.parquet(src)
+    _build_timeline(spark, tmp_table)
+    with pytest.raises(ValueError, match="already has commits"):
+        bootstrap_timeline(spark, src, tmp_table)
+    t2 = str(tmp_path / "t2")
+    bootstrap_timeline(spark, src, t2, commit_ts=5)
+    with pytest.raises(ValueError, match="bootstrap base"):
+        rollback_last(spark, t2)
+    # Appends must come after the bootstrap instant.
+    with pytest.raises(ValueError, match="monotone"):
+        commit_append(spark, _mk(spark, [(9, 1, "z")]), t2, 5)
