@@ -1003,7 +1003,7 @@ def upsert_parquet_bloom_indexed(
 
 
 def recluster_indexed_table(
-    spark, path: str, key: str, *, n_files: int = 16
+    spark, path: str, key: str, *, n_files: int = 16, zorder_with: str | None = None
 ) -> int:
     """Clustering table service on a manifest-committed table (Hudi's
     clustering / ``replacecommit``): rewrite the live file set into
@@ -1018,17 +1018,29 @@ def recluster_indexed_table(
     (:class:`ConcurrentCommitError`). One shuffle (range partition by
     key) over the table — the service is scheduled, not per-commit, so
     that cost amortizes over the upserts it re-accelerates. Returns rows
-    rewritten."""
+    rewritten.
+
+    ``zorder_with`` switches to 2-D z-order clustering on
+    (``key``, ``zorder_with``) — Hudi's ``hoodie.clustering.plan.
+    strategy.sort.columns`` with z-ordering: both columns' footer
+    ranges tighten simultaneously, so skipping works for predicates on
+    EITHER column, at the cost of looser single-column ranges than the
+    linear layout."""
     import uuid
 
-    from .clustering import cluster_linear
+    from .clustering import cluster_linear, cluster_zorder
 
     version, live_files = table_live_files(path)
     if not live_files:
         raise FileNotFoundError(f"no data files at {path!r}")
     current = read_indexed_table(spark, path)
     staging = f"{path}/.staging-{uuid.uuid4().hex}"
-    cluster_linear(current, [key], n_files).write.mode("overwrite").parquet(staging)
+    clustered = (
+        cluster_zorder(current, key, zorder_with, n_files)
+        if zorder_with is not None
+        else cluster_linear(current, [key], n_files)
+    )
+    clustered.write.mode("overwrite").parquet(staging)
     _, n_written = _commit_staged(spark, path, staging, version + 1, kept=[])
     return n_written
 

@@ -181,21 +181,28 @@ def fold_commits(
     precombine: str,
     *,
     delete_col: str | None = None,
+    meta_col: str | None = None,
 ) -> DataFrame:
     """Collapse a commit log (rows carrying ``commit_ts``) to current
     table state with ONE window: per key, the row with the largest
     ``(precombine, commit_ts)`` wins; a winning delete record removes the
     key. See the module docstring for the delete+non-monotone-precombine
     precondition; :func:`replay_commits` is the unconditional form.
+
+    ``meta_col`` names an output column carrying the WINNING row's
+    commit instant — Hudi's ``_hoodie_commit_time`` record-level
+    metadata, the per-row lineage an incremental consumer or audit
+    reader keys on. Free: the instant is already on the winning row.
     """
     w = Window.partitionBy(*keys).orderBy(
         F.desc(precombine), F.desc(COMMIT_COL)
     )
-    folded = (
-        log.withColumn(_FOLD_RN, F.row_number().over(w))
-        .filter(F.col(_FOLD_RN) == 1)
-        .drop(_FOLD_RN, COMMIT_COL)
+    folded = log.withColumn(_FOLD_RN, F.row_number().over(w)).filter(
+        F.col(_FOLD_RN) == 1
     )
+    if meta_col is not None:
+        folded = folded.withColumn(meta_col, F.col(COMMIT_COL))
+    folded = folded.drop(_FOLD_RN, COMMIT_COL)
     if delete_col is not None:
         folded = folded.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))
@@ -614,13 +621,19 @@ def read_realtime(
     precombine: str,
     *,
     delete_col: str | None = None,
+    meta_col: str | None = None,
 ) -> DataFrame:
     """Hudi MOR *snapshot* (realtime) query: current state = the latest
     compacted base merged with the delta commits after it. The fold
     window only spans base + tail — commits already collapsed into the
     base were deleted by the compactor, so read amplification is bounded
     by compaction frequency. Falls back to folding the whole timeline
-    when no compaction has run."""
+    when no compaction has run.
+
+    ``meta_col`` surfaces each row's winning commit instant (Hudi's
+    ``_hoodie_commit_time`` meta column; note a compaction rewrites its
+    rows' instants to the base instant, exactly as Hudi's compactor
+    does)."""
     bases = compaction_instants(path)
     log = _read_log(spark, path)
     if bases:
@@ -628,4 +641,6 @@ def read_realtime(
         # (older delta partitions were removed by the compactor; the
         # predicate guards against replaced-but-unremoved stragglers).
         log = log.filter(F.col(COMMIT_COL) >= bases[-1])
-    return fold_commits(log, keys, precombine, delete_col=delete_col)
+    return fold_commits(
+        log, keys, precombine, delete_col=delete_col, meta_col=meta_col
+    )

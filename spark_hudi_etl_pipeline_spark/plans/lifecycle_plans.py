@@ -948,3 +948,67 @@ def timeline_cdc_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("before_o_orderdate").alias("before_date"),
         F.col("after_o_orderdate").alias("after_date"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Record-level commit metadata (Hudi's _hoodie_commit_time): the
+# realtime read surfaces each row's winning commit instant — per-row
+# lineage for audits and incremental consumers. The oracle's window fold
+# carries the winning batch tag through.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "timeline_read_with_meta",
+    oracle="""
+WITH c2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 2 AS c
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+c3 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 3.0,
+         o_orderdate + INTERVAL 60 DAY, 3
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, 1 AS c
+  FROM orders
+  UNION ALL SELECT * FROM c2
+  UNION ALL SELECT * FROM c3
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY o_orderdate DESC, c DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price,
+       CAST(c AS BIGINT) AS wrote_at
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def timeline_read_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    path = _scratch(sf_dir, "tl_meta")
+    commit_append(spark, orders, path, 1)
+    for mod, mult, days, ts in ((3, 2.0, 30, 2), (5, 3.0, 60, 3)):
+        batch = (
+            orders.filter(F.col("o_orderkey") % mod == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * mult)
+            .withColumn(
+                "o_orderdate", F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAYS")
+            )
+        )
+        commit_append(spark, batch, path, ts)
+    return (
+        read_realtime(
+            spark, path, ["o_orderkey"], "o_orderdate", meta_col="wrote_at"
+        )
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.col("wrote_at").cast("long").alias("wrote_at"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -642,3 +642,58 @@ def test_bootstrap_guards(spark, tmp_table, tmp_path):
     # Appends must come after the bootstrap instant.
     with pytest.raises(ValueError, match="monotone"):
         commit_append(spark, _mk(spark, [(9, 1, "z")]), t2, 5)
+
+
+def test_read_realtime_meta_column(spark, tmp_table):
+    """fold meta_col = Hudi _hoodie_commit_time: each row carries its
+    winning commit instant; compaction rewrites it to the base instant."""
+    from spark_hudi_etl_pipeline_spark.operators.timeline import compact_timeline
+
+    _build_timeline(spark, tmp_table)  # c1: k1,k2,k3; c2: k1,k4; c3: k2,k5
+    got = {
+        r["k"]: r["wrote_at"]
+        for r in read_realtime(
+            spark, tmp_table, KEYS, PRE, meta_col="wrote_at"
+        ).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 1, 4: 2, 5: 3}
+    compact_timeline(spark, tmp_table, KEYS, PRE, 2)
+    got2 = {
+        r["k"]: r["wrote_at"]
+        for r in read_realtime(
+            spark, tmp_table, KEYS, PRE, meta_col="wrote_at"
+        ).collect()
+    }
+    # Rows collapsed into the base read the base instant (Hudi semantics).
+    assert got2 == {1: 2, 2: 3, 3: 2, 4: 2, 5: 3}
+
+
+def test_recluster_zorder_tightens_both_columns(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        read_indexed_table,
+        recluster_indexed_table,
+        table_live_files,
+        upsert_parquet_bloom_indexed,
+    )
+
+    # Two independent uniform columns: z-order should localize both.
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 10000).alias("y"),
+        F.col("id").alias("v"),
+    )
+    upsert_parquet_bloom_indexed(spark, df.repartition(8, "k"), tmp_table, "k", "v")
+    before = {tuple(r) for r in read_indexed_table(spark, tmp_table).collect()}
+    n = recluster_indexed_table(spark, tmp_table, "k", n_files=16, zorder_with="y")
+    assert n == 20000
+    assert {tuple(r) for r in read_indexed_table(spark, tmp_table).collect()} == before
+    _, live = table_live_files(tmp_table)
+    bounds = file_column_bounds(tmp_table, ["k", "y"], files=live)
+    n_files = len(bounds)
+    assert n_files >= 8
+    # Each column's per-file span should be a fraction of its domain for
+    # most files — the z-curve localizes both dimensions at once.
+    k_tight = sum(1 for b in bounds if b["k"][1] - b["k"][0] < 20000 * 0.6)
+    y_tight = sum(1 for b in bounds if b["y"][1] - b["y"][0] < 10000 * 0.6)
+    assert k_tight >= n_files * 0.5, f"k spans too wide: {bounds}"
+    assert y_tight >= n_files * 0.5, f"y spans too wide: {bounds}"
