@@ -115,3 +115,59 @@ def test_merge_idempotent_rerun(spark, existing, batch):
     once = merge_upsert(e_df, b_df, keys=["k"], precombine="v")
     again = merge_upsert(once, b_df, keys=["k"], precombine="v")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, again.collect()))
+
+
+# ---------------------------------------------------------------- MERGE INTO
+
+
+def _expected_merge_into(target, source):
+    """Driver-side ANSI MERGE model: matched+negative-source-v deletes,
+    matched otherwise updates v/payload from source, unmatched target
+    rows keep, unmatched source rows insert (negative-v sources insert
+    too — the delete arm only applies to MATCHED rows, per the
+    standard)."""
+    src = {k: (v, p) for k, v, p in source}
+    out = {}
+    for k, v, p in target:
+        if k in src:
+            sv, sp = src[k]
+            if sv < 0:
+                continue  # matched delete
+            out[k] = (sv, sp)  # matched update
+        else:
+            out[k] = (v, p)
+    for k, (sv, sp) in src.items():
+        if not any(tk == k for tk, _, _ in target):
+            out[k] = (sv, sp)  # not-matched insert
+    return {(k, v, p) for k, (v, p) in out.items()}
+
+
+@given(
+    target=st.lists(ROW, min_size=0, max_size=15),
+    source=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=-5, max_value=99),  # negatives → delete arm
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@_SETTINGS
+def test_merge_into_matches_model(spark, target, source):
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_into
+
+    target = _unique_per_key(target)
+    # MERGE cardinality rule: one source row per key.
+    source = list({k: (k, v, p) for k, v, p in source}.values())
+    out = merge_into(
+        _df(spark, target),
+        _df(spark, source),
+        ["k"],
+        when_matched_update={"v": "s.v", "payload": "s.payload"},
+        when_matched_delete="s.v < 0",
+        when_not_matched_insert=True,
+    )
+    got = {(r["k"], r["v"], r["payload"]) for r in out.collect()}
+    assert got == _expected_merge_into(target, source)
