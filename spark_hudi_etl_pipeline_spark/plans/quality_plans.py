@@ -174,3 +174,93 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def quarantine_split(df: DataFrame, rules) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: ``rules`` maps rule name → boolean Column a
+    VALID row satisfies. Returns (good, quarantined); quarantined rows
+    carry ``violations`` — the comma-joined sorted names of every rule
+    they break (a row can break several). One map-only pass, no shuffle:
+    the standard quarantine pattern in front of a keyed-table write
+    (bad rows go to the dead-letter sink instead of poisoning the
+    table; the WAP audit gate is the all-or-nothing sibling).
+
+    A rule evaluating NULL (e.g. a comparison against a NULL field)
+    counts as a violation — expectations fail closed."""
+    flags = [
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+        for name, cond in rules.items()
+    ]
+    tagged = df.withColumn("__viol", F.array_compact(F.array(*flags)))
+    good = tagged.filter(F.size("__viol") == 0).drop("__viol")
+    bad = (
+        tagged.filter(F.size("__viol") > 0)
+        .withColumn("violations", F.array_join(F.array_sort("__viol"), ","))
+        .drop("__viol")
+    )
+    return good, bad
+
+
+# --------------------------------------------------------------------------
+# Quarantine / dead-letter split: a deterministically-dirtied orders
+# copy (%7 bad status, %11 negative price, %13 null custkey — %77-class
+# keys break two rules at once) routes invalid rows to the quarantine
+# with their violation list while clean rows pass through untouched
+# (good-side parity in tests/test_quality.py). Rules failing on NULL
+# fail closed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quarantine_split_orders",
+    oracle="""
+WITH dirty AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders
+),
+v AS (
+  SELECT o_orderkey,
+         list_filter([
+           CASE WHEN o_custkey IS NULL THEN 'custkey_not_null' END,
+           CASE WHEN NOT COALESCE(o_totalprice >= 0, FALSE)
+                THEN 'price_positive' END,
+           CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                THEN 'status_accepted' END
+         ], x -> x IS NOT NULL) AS viol
+  FROM dirty
+)
+SELECT o_orderkey, array_to_string(list_sort(viol), ',') AS violations
+FROM v WHERE len(viol) > 0
+ORDER BY o_orderkey
+""",
+)
+def quarantine_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    dirty = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None)).otherwise(
+            F.col("o_custkey")
+        ).alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 11 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ).alias("o_orderstatus"),
+    )
+    _, bad = quarantine_split(
+        dirty,
+        {
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "price_positive": F.col("o_totalprice") >= 0,
+            "status_accepted": F.col("o_orderstatus").isin("F", "O", "P"),
+        },
+    )
+    return bad.select("o_orderkey", "violations").orderBy("o_orderkey")

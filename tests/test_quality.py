@@ -88,3 +88,32 @@ def test_embedding_dim_stats_shape(spark):
     for r in rows:
         assert r["dim_min"] <= r["mean_q"] <= r["dim_max"]
         assert r["std_q"] >= 0
+
+
+def test_quarantine_split_partition(spark):
+    """good ∪ bad = input; good breaks no rule; multi-violation rows
+    list every rule; NULL rule results fail closed."""
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.plans.quality_plans import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, 10, "F"), (2, -5, "F"), (3, 10, "X"), (4, -1, "X"), (5, None, "O")],
+        "k int, price int, status string",
+    )
+    good, bad = quarantine_split(
+        df,
+        {
+            "price_positive": F.col("price") >= 0,
+            "status_accepted": F.col("status").isin("F", "O", "P"),
+        },
+    )
+    assert [r["k"] for r in good.collect()] == [1]
+    got = {r["k"]: r["violations"] for r in bad.collect()}
+    assert got == {
+        2: "price_positive",
+        3: "status_accepted",
+        4: "price_positive,status_accepted",
+        5: "price_positive",  # NULL comparison fails closed
+    }
+    assert good.count() + bad.count() == df.count()
