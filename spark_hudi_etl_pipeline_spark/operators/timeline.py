@@ -160,8 +160,16 @@ def _read_log(spark, path: str) -> DataFrame:
     # partition column so instant predicates remain PartitionFilters
     # (asserted in tests/test_timeline.py); the union's set-operation
     # type widening reconciles int-inferred partition values with the
-    # base's long literal.
-    deltas = spark.read.parquet(path) if has_deltas else None
+    # base's long literal. mergeSchema: a later commit may ADD columns
+    # (schema evolution on the log — Hudi's schema.on.read for MOR);
+    # without it parquet picks ONE file's schema and silently DROPS the
+    # new column from every read. Footer-merge cost is per-file
+    # metadata, amortized by compaction.
+    deltas = (
+        spark.read.option("mergeSchema", "true").parquet(path)
+        if has_deltas
+        else None
+    )
     if boot is None:
         if deltas is None:
             raise FileNotFoundError(f"empty timeline at {path!r}")
@@ -172,7 +180,9 @@ def _read_log(spark, path: str) -> DataFrame:
     )
     if deltas is None:
         return base
-    return deltas.unionByName(base)
+    # allowMissingColumns: post-bootstrap commits may have widened the
+    # schema; the legacy base reads the added columns as NULL.
+    return deltas.unionByName(base, allowMissingColumns=True)
 
 
 def fold_commits(

@@ -697,3 +697,24 @@ def test_recluster_zorder_tightens_both_columns(spark, tmp_table):
     y_tight = sum(1 for b in bounds if b["y"][1] - b["y"][0] < 10000 * 0.6)
     assert k_tight >= n_files * 0.5, f"k spans too wide: {bounds}"
     assert y_tight >= n_files * 0.5, f"y spans too wide: {bounds}"
+
+
+def test_timeline_schema_evolution_on_read(spark, tmp_table):
+    """A later commit may ADD columns: the log read schema-merges, so
+    the fold surfaces the new column (NULL for rows written before it)
+    instead of silently dropping it."""
+    commit_append(spark, _mk(spark, [(1, 10, "a"), (2, 10, "b")]), tmp_table, 1)
+    widened = spark.createDataFrame(
+        [(1, 20, "a", "web"), (3, 20, "c", "app")],
+        "k int, v int, p string, channel string",
+    )
+    commit_append(spark, widened, tmp_table, 2)
+    got = {
+        r["k"]: (r["v"], r["p"], r["channel"])
+        for r in read_realtime(spark, tmp_table, KEYS, PRE).collect()
+    }
+    assert got == {
+        1: (20, "a", "web"),
+        2: (10, "b", None),  # pre-widening row: new column reads NULL
+        3: (20, "c", "app"),
+    }
