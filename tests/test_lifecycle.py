@@ -718,3 +718,32 @@ def test_timeline_schema_evolution_on_read(spark, tmp_table):
         2: (10, "b", None),  # pre-widening row: new column reads NULL
         3: (20, "c", "app"),
     }
+
+
+def test_stale_secondary_sidecar_safe_after_recluster(spark, tmp_table):
+    """Reclustering rewrites the file set, so BOTH sidecars go stale;
+    the manifest-mismatch validation must force lookups onto safe
+    fallbacks (exact results), and a rebuild restores pruning."""
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        build_secondary_index,
+        read_point_lookup,
+        recluster_indexed_table,
+        upsert_parquet_bloom_indexed,
+    )
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        (F.col("id") / F.lit(625)).cast("int").alias("c"),
+        F.col("id").alias("v"),
+    )
+    upsert_parquet_bloom_indexed(spark, df.repartition(8, "k"), tmp_table, "k", "v")
+    build_secondary_index(spark, tmp_table, "c")
+    recluster_indexed_table(spark, tmp_table, "k", n_files=8)
+    # Stale sidecar must NOT be consulted: result stays exact.
+    out = read_point_lookup(spark, tmp_table, "c", [3], primary=False)
+    assert out.count() == 625
+    # Rebuild → pruning again.
+    build_secondary_index(spark, tmp_table, "c")
+    out2 = read_point_lookup(spark, tmp_table, "c", [3], primary=False)
+    assert out2.count() == 625
+    assert len(out2.inputFiles()) < 8
