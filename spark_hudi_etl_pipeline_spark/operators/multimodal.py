@@ -287,6 +287,114 @@ def image_decoder_or_fallback(payload: bytes, meta: dict[str, Any]) -> dict[str,
     return deterministic_fake_decoder(payload, meta)
 
 
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE writer for 16-bit PCM test fixtures: ``samples``
+    is int16, shape (n,) mono or (n, channels)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    data = s.tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse a RIFF/WAVE container (16-bit PCM only — the one audio
+    format a pure-numpy decoder can own): chunk walk for ``fmt `` and
+    ``data``, then a zero-copy int16 view. Returns
+    (sample_rate, n_channels, samples[n, ch])."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only 16-bit PCM WAV is supported")
+    s = np.frombuffer(data[: len(data) - (len(data) % (2 * n_ch))], dtype="<i2")
+    return sample_rate, n_ch, s.reshape(-1, n_ch)
+
+
+def probe_audio_header(payload: bytes) -> tuple[str, int, int] | None:
+    """(codec, sample_rate, duration_ms) from the WAV header alone, or
+    None — the metadata-probe twin of ``probe_image_header``."""
+    import struct
+
+    try:
+        sample_rate, n_ch, samples = decode_wav(payload)
+    except (ValueError, struct.error):
+        return None
+    if sample_rate <= 0:
+        return None
+    return "pcm_s16le", sample_rate, samples.shape[0] * 1000 // sample_rate
+
+
+def audio_decoder(payload: bytes, meta: dict[str, Any]) -> dict[str, Any]:
+    """REAL audio decoder for 16-bit PCM WAV: header parse → sample
+    decode → exact integer features. Feature vector = 64-segment energy
+    profile (floor(1000 · mean|amplitude| / 32768) per segment over the
+    channel-mixed signal) — pure integer arithmetic on int64 sums, so
+    like the image grid it is bit-reproducible everywhere. Raises
+    ValueError on non-PCM payloads; pair with
+    ``audio_decoder_or_fallback`` for mixed corpora."""
+    import numpy as np
+
+    sample_rate, n_ch, samples = decode_wav(payload)
+    mono = samples.astype("int64").sum(axis=1)  # channel mix (×n_ch scale)
+    n = mono.shape[0]
+    if n == 0:
+        raise ValueError("empty PCM data chunk")
+    mags = np.abs(mono)
+    features: list[int] = []
+    for g in range(FEATURE_GRID * FEATURE_GRID):
+        lo, hi = g * n // 64, (g + 1) * n // 64
+        hi = max(hi, lo + 1) if lo < n else n
+        seg = mags[min(lo, n - 1) : hi]
+        features.append(int(seg.sum()) * 1000 // (int(seg.size) * n_ch * 32768))
+    return {
+        "feature_dim": len(features),
+        "feature_checksum": _feature_checksum(features),
+        "codec": "pcm_s16le",
+        "width": None,
+        "height": None,
+        "features": features,
+    }
+
+
+def audio_decoder_or_fallback(payload: bytes, meta: dict[str, Any]) -> dict[str, Any]:
+    """Route PCM WAV through the real decoder; compressed audio
+    (MP3/AAC/OGG need ffmpeg) through the checksum fallback."""
+    if payload[:4] == b"RIFF":
+        try:
+            return audio_decoder(payload, meta)
+        except ValueError:
+            pass
+    return deterministic_fake_decoder(payload, meta)
+
+
 def deterministic_fake_decoder(payload: bytes, meta: dict[str, Any]) -> dict[str, Any]:
     """FALLBACK decoder for codecs without a pure-Python decode path
     (JPEG/PNG/video need PIL/ffmpeg, absent here): derives a
@@ -372,11 +480,10 @@ def decode_features(
             for _, row in pdf.iterrows():
                 meta = row["meta"]
                 mtype = meta["media_type"] if isinstance(meta, dict) else meta.media_type
-                default = (
-                    image_decoder_or_fallback
-                    if mtype == "image"
-                    else deterministic_fake_decoder
-                )
+                default = {
+                    "image": image_decoder_or_fallback,
+                    "audio": audio_decoder_or_fallback,
+                }.get(mtype, deterministic_fake_decoder)
                 decoder = _DECODERS.get(mtype, default)
                 feats = decoder(bytes(row["payload"]), dict(meta) if isinstance(meta, dict) else meta._asdict())
                 rec = {"media_id": row["media_id"]}

@@ -1429,3 +1429,46 @@ def upsert_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("total_price"),
         "o_orderdate",
     ).orderBy("o_orderkey")
+
+
+@query("multimodal_audio_features")  # rows-only: PCM decode has no SQL twin
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of multimodal_decode_features, through the REAL WAV
+    decoder: each document's bytes become the PCM data chunk of a valid
+    16-bit mono WAV (fixed 1024-sample data section ⇒ the 44-byte RIFF
+    header is a constant, prepended JVM-side with binary concat — no
+    Python in the framing), so decode_features runs an actual chunk walk
+    + sample decode + exact 64-segment energy profile per row."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_wav
+
+    header = bytes(
+        encode_wav(np.zeros(1024, dtype=np.int16), 8000)[:44]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    raster = F.rpad(
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 2048),
+        2048,
+        F.lit(b"\x00"),
+    )
+    m = attach_metadata(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(F.lit(header), raster).alias("payload"),
+        ),
+        media_type="audio",
+    )
+    return (
+        decode_features(m)
+        .select(
+            "media_id",
+            "feature_dim",
+            "feature_checksum",
+            "codec",
+            F.array_join(F.transform("features", lambda x: x.cast("string")), ",").alias(
+                "energy_profile"
+            ),
+        )
+        .orderBy("media_id")
+    )

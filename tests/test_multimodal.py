@@ -241,3 +241,74 @@ def test_resize_images_real_path(spark):
     expected = px[(np.arange(4) * 16) // 4][:, (np.arange(4) * 16) // 4]
     assert np.array_equal(got, expected)
     assert out[2] == b"opaque-bytes"[:16].ljust(16, b"\0")
+
+
+def test_wav_roundtrip_and_features():
+    """encode_wav → decode_wav round-trips samples exactly; the feature
+    profile derives from real amplitudes (silent vs loud segments)."""
+    import numpy as np
+
+    from spark_hudi_etl_pipeline_spark.operators.multimodal import (
+        audio_decoder,
+        decode_wav,
+        encode_wav,
+        probe_audio_header,
+    )
+
+    # 1 second @ 8 kHz stereo: first half silence, second half full-scale.
+    n = 8000
+    s = np.zeros((n, 2), dtype=np.int16)
+    s[n // 2 :, :] = 20000
+    payload = encode_wav(s, 8000)
+    rate, ch, back = decode_wav(payload)
+    assert (rate, ch) == (8000, 2)
+    assert np.array_equal(back, s)
+    assert probe_audio_header(payload) == ("pcm_s16le", 8000, 1000)
+    feats = audio_decoder(payload, {})
+    assert feats["codec"] == "pcm_s16le" and feats["feature_dim"] == 64
+    prof = feats["features"]
+    # Silent first half → zero energy; loud second half → ~610 (20000/32768).
+    assert all(v == 0 for v in prof[:32])
+    assert all(580 <= v <= 640 for v in prof[32:])
+
+
+def test_audio_decoder_fallback_and_probe_reject():
+    from spark_hudi_etl_pipeline_spark.operators.multimodal import (
+        audio_decoder_or_fallback,
+        probe_audio_header,
+    )
+
+    junk = b"ID3\x03" + b"\x00" * 100  # an MP3-ish payload
+    assert probe_audio_header(junk) is None
+    out = audio_decoder_or_fallback(junk, {})
+    assert out["codec"] is None and out["features"] is None  # explicit non-decode
+
+
+def test_decode_features_routes_audio(spark):
+    """End-to-end mapInPandas: audio rows decode through the real WAV
+    path, with exact feature checksums reproduced locally."""
+    import numpy as np
+
+    from spark_hudi_etl_pipeline_spark.operators.multimodal import (
+        attach_metadata,
+        audio_decoder,
+        decode_features,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    payloads = [
+        encode_wav((rng.rand(4000) * 20000 - 10000).astype(np.int16), 4000)
+        for _ in range(3)
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    media = attach_metadata(df, media_type="audio")
+    got = {
+        r["media_id"]: (r["codec"], r["feature_checksum"])
+        for r in decode_features(media).collect()
+    }
+    for i, p in enumerate(payloads):
+        want = audio_decoder(p, {})
+        assert got[i] == ("pcm_s16le", want["feature_checksum"])
