@@ -439,10 +439,13 @@ def attach_metadata(df: DataFrame, *, media_type: str, payload_col: str = "paylo
 
 
 def probe_metadata(media: DataFrame) -> DataFrame:
-    """Fill ``meta.codec/width/height`` by REAL header parsing (BMP /
-    PPM / PGM) — raster bytes are never touched, so the probe is cheap
-    even for huge payloads; unrecognized payloads keep NULLs. Same
-    Arrow-batched iterator→iterator shape as decode_features."""
+    """Fill ``meta.codec/width/height/duration_ms`` by REAL header
+    parsing across all three modalities — images (BMP/PPM/PGM
+    dimensions), audio (WAV sample-rate → duration), video (Y4M
+    geometry + frame count → duration) — payload bodies are never
+    interpreted beyond the headers/length arithmetic, so the probe is
+    cheap even for huge payloads; unrecognized payloads keep NULLs.
+    Same Arrow-batched iterator→iterator shape as decode_features."""
     schema = media.schema
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -451,9 +454,23 @@ def probe_metadata(media: DataFrame) -> DataFrame:
             for _, row in pdf.iterrows():
                 meta = row["meta"]
                 d = dict(meta) if isinstance(meta, dict) else meta._asdict()
-                probed = probe_image_header(bytes(row["payload"]))
-                if probed is not None:
-                    d["codec"], d["width"], d["height"] = probed
+                payload = bytes(row["payload"])
+                img = probe_image_header(payload)
+                if img is not None:
+                    d["codec"], d["width"], d["height"] = img
+                else:
+                    aud = probe_audio_header(payload)
+                    if aud is not None:
+                        d["codec"], _, d["duration_ms"] = aud
+                    else:
+                        vid = probe_video_header(payload)
+                        if vid is not None:
+                            (
+                                d["codec"],
+                                d["width"],
+                                d["height"],
+                                d["duration_ms"],
+                            ) = vid
                 metas.append(d)
             out = pdf.copy()
             out["meta"] = metas
@@ -526,18 +543,114 @@ def fake_frame_sampler(payload: bytes, n_frames: int) -> list[bytes]:
     return [payload[i * step : i * step + step] for i in range(min(n_frames, len(payload)))]
 
 
+def encode_y4m(frames: "np.ndarray", *, fps: int = 25) -> bytes:
+    """Minimal YUV4MPEG2 (Y4M) writer for test fixtures: ``frames`` is
+    uint8, shape (n_frames, h, w) — the LUMA planes; chroma planes are
+    written neutral (128). h and w must be even (C420)."""
+    import numpy as np
+
+    f = np.asarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()]
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(f[i].tobytes())
+        out.append(chroma)  # U
+        out.append(chroma)  # V
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, int, list["np.ndarray"]]:
+    """REAL video decode for the YUV4MPEG2 container (the one video
+    format a pure-Python decoder can own — raw 4:2:0 frames behind a
+    text header, no entropy coding). Returns
+    (width, height, fps, [luma planes as uint8 (h, w)])."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    for tok in payload[:nl].split()[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = int(num) // max(1, int(den))
+        elif tok[:1] == b"C" and tok not in (b"C420", b"C420jpeg", b"C420mpeg2"):
+            raise ValueError("only C420 chroma is supported")
+    if not w or not h or h % 2 or w % 2:
+        raise ValueError("missing/odd Y4M geometry")
+    frame_bytes = h * w + 2 * (h // 2) * (w // 2)
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fe = payload.find(b"\n", pos)
+        if fe < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        start = fe + 1
+        if start + frame_bytes > len(payload):
+            raise ValueError("truncated frame payload")
+        y = np.frombuffer(payload[start : start + h * w], dtype=np.uint8)
+        frames.append(y.reshape(h, w))
+        pos = start + frame_bytes
+    return w, h, fps or 25, frames
+
+
+def probe_video_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """(codec, width, height, duration_ms) from a Y4M payload, or None.
+    Frame count comes from the byte length arithmetic — no pixel data is
+    interpreted."""
+    try:
+        w, h, fps, frames = decode_y4m(payload)
+    except ValueError:
+        return None
+    return "y4m_c420", w, h, len(frames) * 1000 // max(1, fps)
+
+
+def y4m_frame_sampler(payload: bytes, n_frames: int) -> list[bytes]:
+    """REAL frame sampler for Y4M video: decode, pick ``n_frames``
+    evenly-spaced frames (⌊i·n/k⌋ indices — deterministic), and re-encode
+    each luma plane as a binary PGM (P5) payload — so sampled frames feed
+    straight into the REAL image decode path (``image_decoder`` handles
+    P5), composing video → frames → pixel features end-to-end with no
+    media libraries."""
+    w, h, _, frames = decode_y4m(payload)
+    k = min(n_frames, len(frames))
+    out = []
+    for i in range(k):
+        y = frames[i * len(frames) // k]
+        out.append(f"P5\n{w} {h}\n255\n".encode() + y.tobytes())
+    return out
+
+
+def frame_sampler_or_fallback(payload: bytes, n_frames: int) -> list[bytes]:
+    """Route Y4M through the real sampler; compressed containers
+    (MP4/WebM need ffmpeg) through the deterministic byte-slice stub."""
+    if payload.startswith(b"YUV4MPEG2"):
+        try:
+            return y4m_frame_sampler(payload, n_frames)
+        except ValueError:
+            pass
+    return fake_frame_sampler(payload, n_frames)
+
+
 def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
     """Sample ``n_frames`` frames per media row via mapInPandas — the
     1→N row expansion decode shape (each input row yields multiple
     output rows, streamed batch-by-batch so a long video never
-    materializes whole in memory)."""
+    materializes whole in memory). Y4M payloads get REAL frame
+    extraction (each output frame is a decodable PGM image); compressed
+    containers fall back to the deterministic stub."""
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict[str, Any]] = []
             for _, row in pdf.iterrows():
                 for i, frame in enumerate(
-                    fake_frame_sampler(bytes(row["payload"]), n_frames)
+                    frame_sampler_or_fallback(bytes(row["payload"]), n_frames)
                 ):
                     out.append(
                         {"media_id": row["media_id"], "frame_idx": i,

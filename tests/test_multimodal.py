@@ -312,3 +312,92 @@ def test_decode_features_routes_audio(spark):
     for i, p in enumerate(payloads):
         want = audio_decoder(p, {})
         assert got[i] == ("pcm_s16le", want["feature_checksum"])
+
+
+def test_y4m_roundtrip_and_real_frame_sampling(spark):
+    """Y4M encode → decode round-trips luma exactly; sample_frames
+    extracts REAL evenly-spaced frames as decodable PGM images whose
+    pixel features match the source planes."""
+    import numpy as np
+
+    from spark_hudi_etl_pipeline_spark.operators.multimodal import (
+        attach_metadata,
+        decode_y4m,
+        encode_y4m,
+        image_decoder,
+        probe_video_header,
+        sample_frames,
+        y4m_frame_sampler,
+    )
+
+    # 10 frames of 16x16: frame i is constant luma 10*i.
+    frames = np.stack(
+        [np.full((16, 16), 10 * i, dtype=np.uint8) for i in range(10)]
+    )
+    payload = encode_y4m(frames, fps=5)
+    w, h, fps, back = decode_y4m(payload)
+    assert (w, h, fps, len(back)) == (16, 16, 5, 10)
+    assert all(np.array_equal(a, b) for a, b in zip(back, frames))
+    assert probe_video_header(payload) == ("y4m_c420", 16, 16, 2000)
+    # Even sampling: 4 of 10 -> source frames 0, 2, 5, 7.
+    sampled = y4m_frame_sampler(payload, 4)
+    assert len(sampled) == 4
+    for pgm, src_idx in zip(sampled, [0, 2, 5, 7]):
+        feats = image_decoder(pgm, {})
+        assert feats["codec"] == "pgm" and feats["width"] == 16
+        # Constant-luma frame: every grid cell = floor(1000*v/255)... the
+        # P5 path scales gray to r=g=b=v, so cell = v*1000//255... verify
+        # against a direct decode of the same plane instead of arithmetic.
+        direct = image_decoder(
+            f"P5\n16 16\n255\n".encode() + frames[src_idx].tobytes(), {}
+        )
+        assert feats["feature_checksum"] == direct["feature_checksum"]
+    # End-to-end 1→N expansion through mapInPandas.
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    rows = sample_frames(
+        attach_metadata(df, media_type="video"), n_frames=3
+    ).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    got0 = image_decoder(bytes(rows[0]["frame_payload"]), {})
+    assert got0["codec"] == "pgm" and got0["height"] == 16
+
+
+def test_compressed_video_falls_back(spark):
+    from spark_hudi_etl_pipeline_spark.operators.multimodal import (
+        frame_sampler_or_fallback,
+    )
+
+    junk = b"\x00\x00\x00\x18ftypmp42" + b"\x01" * 200  # MP4-ish
+    out = frame_sampler_or_fallback(junk, 4)
+    assert len(out) == 4  # deterministic byte-slice stub
+    assert not out[0].startswith(b"P5")
+
+
+def test_probe_metadata_all_modalities(spark):
+    import numpy as np
+
+    from spark_hudi_etl_pipeline_spark.operators.multimodal import (
+        attach_metadata,
+        encode_wav,
+        encode_y4m,
+        probe_metadata,
+    )
+
+    wav = encode_wav(np.zeros(4000, dtype=np.int16), 8000)        # 500 ms
+    y4m = encode_y4m(
+        np.zeros((5, 8, 8), dtype=np.uint8), fps=5
+    )                                                             # 1000 ms
+    pgm = b"P5\n4 4\n255\n" + b"\x00" * 16
+    df = spark.createDataFrame(
+        [(1, wav), (2, y4m), (3, pgm), (4, b"junkpayload")],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: r["meta"].asDict()
+        for r in probe_metadata(attach_metadata(df, media_type="video")).collect()
+    }
+    assert got[1]["codec"] == "pcm_s16le" and got[1]["duration_ms"] == 500
+    assert got[2]["codec"] == "y4m_c420" and got[2]["duration_ms"] == 1000
+    assert (got[2]["width"], got[2]["height"]) == (8, 8)
+    assert got[3]["codec"] == "pgm" and got[3]["width"] == 4
+    assert got[4]["codec"] is None
