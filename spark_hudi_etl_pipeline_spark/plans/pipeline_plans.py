@@ -1472,3 +1472,41 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query("multimodal_video_frames")  # rows-only: frame decode has no SQL twin
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video tier end-to-end through the REAL Y4M path: each document's
+    bytes become the luma planes of a 2-frame 16×16 Y4M container
+    (constant header + FRAME markers concatenated JVM-side),
+    sample_frames extracts REAL frames re-encoded as PGM, and
+    decode_features runs the REAL raster decoder on every sampled frame
+    — video → frames → pixel features, no media libraries anywhere."""
+    from ..operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    header = F.encode(F.lit("YUV4MPEG2 W16 H16 F25:1 Ip A1:1 C420\n"), "UTF-8")
+    fmark = F.encode(F.lit("FRAME\n"), "UTF-8")
+    body = F.rpad(F.substring(F.encode(F.col("text"), "UTF-8"), 1, 768), 768, F.lit(b"\x00"))
+    frame1 = F.substring(body, 1, 384)
+    frame2 = F.substring(body, 385, 384)
+    m = attach_metadata(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(header, fmark, frame1, fmark, frame2).alias("payload"),
+        ),
+        media_type="video",
+    )
+    frames = sample_frames(m, n_frames=2)
+    imgs = attach_metadata(
+        frames.select(
+            (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+            F.col("frame_payload").alias("payload"),
+        ),
+        media_type="image",
+    )
+    return (
+        decode_features(imgs)
+        .select("media_id", "codec", "width", "height", "feature_checksum")
+        .orderBy("media_id")
+    )
