@@ -422,6 +422,30 @@ def compact_timeline(
     return base.count()
 
 
+def timeline_history(spark, path: str) -> DataFrame:
+    """DESCRIBE HISTORY for the timeline (Hudi's ``show commits`` /
+    Delta's table history): one row per instant with its action kind —
+    ``bootstrap`` (metadata-only base), ``commit`` (delta append), or
+    ``compaction`` (published base; replaces the delta row at the same
+    instant) — plus a ``savepointed`` flag. Metadata-only: directory
+    names and marker files, no data reads."""
+    boot = _bootstrap_info(path)
+    bases = set(compaction_instants(path))
+    pins = set(savepoints(path))
+    rows = []
+    for t in commit_instants(spark, path):
+        if boot is not None and t == boot[1]:
+            action = "bootstrap"
+        elif t in bases:
+            action = "compaction"
+        else:
+            action = "commit"
+        rows.append((t, action, t in pins))
+    return spark.createDataFrame(
+        rows, "instant long, action string, savepointed boolean"
+    )
+
+
 def maybe_compact(
     spark,
     path: str,

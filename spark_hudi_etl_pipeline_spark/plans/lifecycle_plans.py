@@ -1012,3 +1012,40 @@ def timeline_read_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# DESCRIBE HISTORY (Hudi `show commits` / Delta history): the timeline's
+# operational ledger — a metadata-only listing of instants with action
+# kinds and savepoint pins. The constructed timeline is deterministic,
+# so the oracle is the literal expected ledger.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "timeline_describe_history",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(2 AS BIGINT), 'compaction', FALSE),
+  (CAST(3 AS BIGINT), 'commit', TRUE),
+  (CAST(4 AS BIGINT), 'commit', FALSE)
+) AS t(instant, action, savepointed)
+ORDER BY instant
+""",
+)
+def timeline_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeline import (
+        compact_timeline,
+        savepoint,
+        timeline_history,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    path = _scratch(sf_dir, "tl_history")
+    commit_append(spark, orders.limit(100), path, 1)
+    commit_append(spark, orders.limit(50), path, 2)
+    compact_timeline(spark, path, ["o_orderkey"], "o_orderdate", 2)
+    commit_append(spark, orders.limit(20), path, 3)
+    savepoint(spark, path, 3)
+    commit_append(spark, orders.limit(10), path, 4)
+    return timeline_history(spark, path).orderBy("instant")
