@@ -1049,3 +1049,100 @@ def timeline_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     savepoint(spark, path, 3)
     commit_append(spark, orders.limit(10), path, 4)
     return timeline_history(spark, path).orderBy("instant")
+
+
+# --------------------------------------------------------------------------
+# STREAMING SCD2 point-in-time enrichment: the batch PIT join's
+# streaming twin — purchases arrive as a stream and each joins the
+# static SCD2 dimension on its validity interval (effective_from ≤ ts <
+# effective_to). Intervals are non-overlapping and cover each user's
+# axis past the first version, so every fact matches AT MOST one
+# version: the join is stateless on the stream side (static dim
+# broadcasts; no watermark state at all) — the cheapest possible
+# streaming enrichment shape. Oracle = the same interval join in SQL.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_scd2_enrich",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+  FROM events
+),
+chg AS (
+  SELECT user_id, status, effective_from,
+         lead(effective_from) OVER (PARTITION BY user_id
+                                    ORDER BY effective_from, eid) AS effective_to
+  FROM (
+    SELECT user_id, event_type AS status, ts AS effective_from, event_id AS eid,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM ev WHERE event_type <> 'purchase'
+  )
+  WHERE prev IS NULL OR prev <> status
+),
+p AS (SELECT event_id, ts, user_id, round(value, 2) AS purchase_value
+      FROM ev WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.purchase_value,
+       COALESCE(c.status, 'unknown') AS status_at_purchase
+FROM p LEFT JOIN chg c
+  ON p.user_id = c.user_id AND c.effective_from <= p.ts
+  AND (c.effective_to IS NULL OR p.ts < c.effective_to)
+ORDER BY p.event_id
+""",
+)
+def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("effective_from"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("effective_to"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_scd2_{tag}"
+    shutil.rmtree(stage, ignore_errors=True)
+    purchases.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(purchases.schema).parquet(stage)
+    joined = stream.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("effective_from") <= F.col("ts"))
+        & (F.col("effective_to").isNull() | (F.col("ts") < F.col("effective_to"))),
+        "left",
+    )
+    qname = f"stream_scd2_{tag}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("purchase_value"),
+            F.coalesce(F.col("status"), F.lit("unknown")).alias(
+                "status_at_purchase"
+            ),
+        )
+        .orderBy("event_id")
+    )

@@ -1289,3 +1289,52 @@ def rolling_7d_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixture plan: the step after mixture weights — given a
+# training budget B (here 20× the corpus), the per-source EPOCH count
+# that realizes the α=0.5 power-law weights: epochs_src = B·w_src /
+# tokens_src = B / (Z·√tokens_src). Small sources repeat more (the
+# standard up-sampling recipe); the whole plan is one aggregate +
+# broadcast scalar — driver never sees data. Same fixed-op double chain
+# in both engines, rounded away from the ulp boundary.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mixture_epoch_plan",
+    oracle=f"""
+WITH s AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(sqrt(n_tokens)) AS z, sum(n_tokens) AS corpus FROM s)
+SELECT s.source, s.n_tokens,
+       round(sqrt(s.n_tokens) / tot.z, 6) AS weight,
+       round(20.0 * tot.corpus / (tot.z * sqrt(s.n_tokens)), 4) AS epochs
+FROM s, tot
+ORDER BY s.source
+""",
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(_tokens()).alias("n")
+    )
+    s = d.groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    tot = s.agg(
+        F.sum(F.sqrt("n_tokens")).alias("z"),
+        F.sum("n_tokens").alias("corpus"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.sqrt("n_tokens") / F.col("z"), 6).alias("weight"),
+            F.round(
+                F.lit(20.0) * F.col("corpus") / (F.col("z") * F.sqrt("n_tokens")), 4
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
