@@ -201,6 +201,7 @@ def probe_lifecycle(base: str) -> None:
     factors = (1, 4, 16)
     results: dict[str, dict[int, float]] = {
         "timeline_cdc": {}, "global_upsert": {}, "semantic_dedup": {},
+        "bpe_train_8": {},
     }
     nrows: dict[str, dict[int, int]] = {k: {} for k in results}
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
@@ -307,6 +308,24 @@ def probe_lifecycle(base: str) -> None:
             results["semantic_dedup"][factor] = _time.perf_counter() - t0
         nrows["semantic_dedup"][factor] = n
 
+        # BPE training: the per-replica token suffixes make the word
+        # DICTIONARY grow ~linearly with the corpus — the probe verifies
+        # the per-merge iteration cost (pair agg + top-1 + fold over the
+        # dictionary) tracks dictionary size, while the corpus itself is
+        # touched exactly once (word_frequencies).
+        from spark_hudi_etl_pipeline_spark.operators.bpe import (
+            bpe_train,
+            word_frequencies,
+        )
+
+        docs = replicate(spark, base, "documents", factor, ["doc_id"], "text")
+        dd = spark.read.parquet(docs)
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            merges = bpe_train(word_frequencies(dd, "text"), 8)
+            results["bpe_train_8"][factor] = _time.perf_counter() - t0
+        nrows["bpe_train_8"][factor] = len(merges)
+
     section = [
         "## lifecycle/semantic probe (1×/4×/16×, warm runs)",
         "",
@@ -318,6 +337,8 @@ def probe_lifecycle(base: str) -> None:
         "bounded; replicas are dimension-rotated so true pair count grows",
         "linearly. A fixed k measured 12-19× here (quadratic by definition,",
         "not implementation) — the operator docstring records the k ∝ n rule.",
+        "BPE training touches the corpus once (word-frequency agg) and then",
+        "iterates on the ~linearly-growing word dictionary — flat wall time.",
         "",
         "| operator | out-rows @1×/4×/16× | t(1×) s | t(4×) s | t(16×) s | ratio |",
         "|---|---|---|---|---|---|",
