@@ -880,6 +880,25 @@ def read_point_lookup(
         [(v,) for v in values],
         spark.read.parquet(os.path.join(path, live_files[0])).select(key).schema,
     )
+    # Exact record-level index first (primary lookups only — the RLI
+    # maps the RECORD key): no false positives, minimal file set.
+    if primary:
+        rli = _valid_rli(spark, path, live_files)
+        if rli is not None:
+            candidates = [
+                r["file"]
+                for r in (
+                    rli.join(F.broadcast(probe_df), on=key, how="left_semi")
+                    .select("file")
+                    .distinct()
+                    .collect()
+                )
+            ]
+            reader = spark.read.parquet(
+                *[os.path.join(path, f) for f in (candidates or [live_files[0]])]
+            )
+            out = reader.filter(F.col(key).isin(values))
+            return out.limit(0) if not candidates else out
     words = _valid_sidecar_words(
         spark, path, live_files, sidecar_dir=f"{_BLOOM_DIR}_{key}"
     )
@@ -999,6 +1018,120 @@ def upsert_parquet_bloom_indexed(
         kept_words.unionByName(new_words) if new_words is not None else kept_words
     )
     out_words.write.mode("overwrite").parquet(sidecar)
+    return n_written
+
+
+_RLI_DIR = "_rli"  # record-level index sidecar: (key, file) rows
+
+
+def _valid_rli(spark, path: str, live_files: list[str]) -> DataFrame | None:
+    """The record-level index relation if present AND consistent with
+    the manifest's live file set (same self-heal contract as the bloom
+    sidecar), else None."""
+    import os
+
+    d = os.path.join(path, _RLI_DIR)
+    if not os.path.isdir(d):
+        return None
+    candidate = spark.read.parquet(d)
+    rli_files = {r["file"] for r in candidate.select("file").distinct().collect()}
+    return candidate if rli_files == set(live_files) else None
+
+
+def _table_rli(spark, path: str, key: str, files: list[str]) -> DataFrame:
+    """(key, file) rows for ``files`` — one column-pruned scan. Every
+    file additionally gets one NULL-key marker row so EMPTY data files
+    still appear in the sidecar (same rationale as the bloom marker:
+    the consistency check compares file sets); NULL keys can never match
+    a probe."""
+    import os
+
+    src = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    rows = src.select(
+        F.col(key),
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+    )
+    markers = spark.createDataFrame([(f,) for f in files], "file string").select(
+        F.lit(None).cast(src.schema[key].dataType).alias(key), "file"
+    )
+    return rows.unionByName(markers)
+
+
+def upsert_parquet_record_indexed(
+    spark,
+    batch: DataFrame,
+    path: str,
+    key: str,
+    precombine: str,
+    *,
+    delete_col: str | None = None,
+) -> int:
+    """Record-level-indexed COW upsert — Hudi 1.0's RECORD_INDEX
+    (``hoodie.index.type=RECORD_INDEX``): an EXACT key→file mapping in a
+    ``_rli`` sidecar decides file affectedness — no false positives
+    (bloom) and no layout dependence (range), at the cost of an index
+    whose size is O(table keys) rather than O(files). That is exactly
+    Hudi's trade: the RLI lives in its metadata table, hash-bucketed by
+    key; here it is a parquet relation joined column-pruned.
+
+    Probe shape: batch keys (small side, broadcast) semi-join the index
+    — the index scan reads two thin columns, the table reads nothing;
+    only affected file NAMES reach the driver. Inserts (keys absent from
+    the index) rewrite nothing and land as new files. Maintenance is
+    incremental per commit: replaced files' rows drop, new files' rows
+    append — O(commit), never O(table).
+
+    Same manifest-CAS commit protocol as the other indexed writers;
+    the sidecar self-heals by manifest-mismatch cold rebuild.
+    Returns rows written.
+    """
+    import os
+    import uuid
+
+    if not os.path.isdir(path):
+        merged = merge_upsert(None, batch, [key], precombine, delete_col=delete_col)
+        merged.write.mode("overwrite").parquet(path)
+        version, live = table_live_files(path)
+        _manifest_publish(path, live, version + 1)
+        _table_rli(spark, path, key, live).write.mode("overwrite").parquet(
+            os.path.join(path, _RLI_DIR)
+        )
+        return merged.count()
+
+    version, live_files = table_live_files(path)
+    rli = _valid_rli(spark, path, live_files)
+    if rli is None:
+        rli = _table_rli(spark, path, key, live_files)  # cold rebuild
+    # Materialize: the commit below deletes files this lazy plan reads.
+    rli = rli.localCheckpoint(eager=True)
+    batch_keys = batch.select(F.col(key)).distinct()
+    affected = [
+        r["file"]
+        for r in (
+            rli.join(F.broadcast(batch_keys), on=key, how="left_semi")
+            .select("file")
+            .distinct()
+            .collect()
+        )
+    ]
+    if affected:
+        existing_sub = spark.read.parquet(*[os.path.join(path, f) for f in affected])
+        merged = merge_upsert(existing_sub, batch, [key], precombine, delete_col=delete_col)
+    else:
+        merged = merge_upsert(None, batch, [key], precombine, delete_col=delete_col)
+
+    staging = f"{path}/.staging-{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(staging)
+    kept_files = [f for f in live_files if f not in set(affected)]
+    moved, n_written = _commit_staged(spark, path, staging, version + 1, kept_files)
+    # Incremental index maintenance: O(commit).
+    kept_rows = rli.filter(~F.col("file").isin(affected))
+    out_rows = (
+        kept_rows.unionByName(_table_rli(spark, path, key, moved))
+        if moved
+        else kept_rows
+    )
+    out_rows.write.mode("overwrite").parquet(os.path.join(path, _RLI_DIR))
     return n_written
 
 

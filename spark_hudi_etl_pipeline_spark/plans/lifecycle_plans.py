@@ -1146,3 +1146,183 @@ def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Record-level-indexed upsert (Hudi 1.0 RECORD_INDEX): the same
+# update/insert batch as the bloom query merges through the EXACT
+# key→file index — same canonical window-fold oracle, because an index
+# must never change the result; exactness evidence (single-file
+# rewrites) is file-level in tests/test_lifecycle.py.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "upsert_record_indexed",
+    oracle="""
+WITH batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 1 AS is_batch
+  FROM orders WHERE o_orderkey % 9 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, o_orderdate, 1
+  FROM orders WHERE o_orderkey % 333 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 0 AS is_batch
+  FROM orders
+  UNION ALL
+  SELECT * FROM batch
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def upsert_record_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import (
+        read_indexed_table,
+        upsert_parquet_record_indexed,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    path = _scratch(sf_dir, "rli_upsert")
+    upsert_parquet_record_indexed(
+        spark,
+        orders.repartition(16, F.col("o_orderkey")),
+        path,
+        "o_orderkey",
+        "o_orderdate",
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 333 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1000000000
+    )
+    upsert_parquet_record_indexed(
+        spark, updates.unionByName(inserts), path, "o_orderkey", "o_orderdate"
+    )
+    return (
+        read_indexed_table(spark, path)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollback (Hudi rollback action): a bad batch lands as commit 3 and is
+# rolled back — the realtime read equals state-as-of-2 (load + good
+# updates). Oracle replays only the surviving commits.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "timeline_rollback_read",
+    oracle="""
+WITH batch AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 1 AS is_batch
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, 0 AS is_batch
+  FROM orders
+  UNION ALL
+  SELECT * FROM batch
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey, o_orderstatus
+""",
+)
+def timeline_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeline import rollback_last
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    path = _scratch(sf_dir, "rollback_tl")
+    commit_append(spark, orders, path, 1)
+    good = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    commit_append(spark, good, path, 2)
+    bad = orders.withColumn("o_totalprice", F.lit(0.0)).withColumn(
+        "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    commit_append(spark, bad, path, 3)
+    assert rollback_last(spark, path) == 3
+    return _final_select(
+        read_realtime(spark, path, ["o_orderkey"], "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# Clustering table service (Hudi clustering/replacecommit): a scattered
+# bloom-indexed table is reclustered key-sorted; the manifest-consistent
+# read must be IDENTICAL before and after (arrangement, never data) —
+# the oracle is the plain table; layout tightness is asserted file-level
+# in tests/test_lifecycle.py.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "recluster_scan_equivalence",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def recluster_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import (
+        read_indexed_table,
+        recluster_indexed_table,
+        upsert_parquet_bloom_indexed,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    path = _scratch(sf_dir, "recluster_eq")
+    upsert_parquet_bloom_indexed(
+        spark,
+        orders.repartition(16, F.col("o_orderkey")),
+        path,
+        "o_orderkey",
+        "o_orderdate",
+    )
+    recluster_indexed_table(spark, path, "o_orderkey", n_files=8)
+    return (
+        read_indexed_table(spark, path)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -747,3 +747,80 @@ def test_stale_secondary_sidecar_safe_after_recluster(spark, tmp_table):
     out2 = read_point_lookup(spark, tmp_table, "c", [3], primary=False)
     assert out2.count() == 625
     assert len(out2.inputFiles()) < 8
+
+
+# -------------------------------------------------- record-level index
+
+
+def test_record_index_exact_pruning(spark, tmp_table):
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        read_indexed_table,
+        read_point_lookup,
+        upsert_parquet_record_indexed,
+    )
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    upsert_parquet_record_indexed(
+        spark, df.repartition(16, "k"), tmp_table, "k", "v"
+    )
+    files_before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{tmp_table}/*.parquet")
+    }
+    assert len(files_before) >= 8
+    # Update ONE key: exactly one file should be rewritten.
+    upsert_parquet_record_indexed(
+        spark,
+        spark.createDataFrame([(7777, 99999)], "k long, v long"),
+        tmp_table,
+        "k",
+        "v",
+    )
+    files_after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{tmp_table}/*.parquet")
+    }
+    untouched = [f for f in files_before if f in files_after
+                 and files_before[f] == files_after[f]]
+    assert len(untouched) == len(files_before) - 1
+    got = {tuple(r) for r in read_indexed_table(spark, tmp_table)
+           .filter("k in (7777, 7778)").collect()}
+    assert got == {(7777, 99999), (7778, 15556)}
+    # Pure insert (key outside the index): nothing rewritten, one new file.
+    n_before = len(files_after)
+    upsert_parquet_record_indexed(
+        spark,
+        spark.createDataFrame([(10**9, 10**9 * 3)], "k long, v long"),
+        tmp_table,
+        "k",
+        "v",
+    )
+    files_final = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{tmp_table}/*.parquet")
+    }
+    assert sum(1 for f in files_after
+               if f in files_final and files_after[f] == files_final[f]) == n_before
+    # Point lookups ride the exact index: minimal file set.
+    out = read_point_lookup(spark, tmp_table, "k", [5, 7777])
+    assert {tuple(r) for r in out.collect()} == {(5, 10), (7777, 99999)}
+    assert len(out.inputFiles()) <= 2
+
+
+def test_record_index_stale_sidecar_rebuilds(spark, tmp_table):
+    import shutil
+
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        read_indexed_table,
+        upsert_parquet_record_indexed,
+    )
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    upsert_parquet_record_indexed(spark, df, tmp_table, "k", "v")
+    shutil.rmtree(f"{tmp_table}/_rli")  # simulate crash-before-sidecar
+    upsert_parquet_record_indexed(
+        spark, spark.createDataFrame([(5, 99)], "k long, v long"),
+        tmp_table, "k", "v",
+    )
+    got = read_indexed_table(spark, tmp_table)
+    assert got.count() == 2000  # cold rebuild, no duplicate key 5
+    assert got.filter("k = 5").collect()[0]["v"] == 99
