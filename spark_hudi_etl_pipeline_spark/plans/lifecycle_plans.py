@@ -1326,3 +1326,110 @@ def recluster_scan_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Lakehouse end-to-end showcase: a legacy parquet table is adopted with
+# a METADATA-ONLY bootstrap (no rewrite), a stream of update batches
+# drains through the exactly-once foreachBatch timeline sink, the
+# NUM_COMMITS trigger fires an automatic compaction, and the realtime
+# (MOR) read feeds a per-status revenue rollup — bootstrap → streaming
+# ingest → table service → snapshot analytics in ONE declarative chain.
+# The oracle folds the same deterministic batches and aggregates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lakehouse_end_to_end",
+    oracle="""
+WITH c2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 2 AS c
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+c3 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 3.0,
+         o_orderdate + INTERVAL 60 DAY, 3
+  FROM orders WHERE o_orderkey % 6 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, 1 AS c
+  FROM orders
+  UNION ALL SELECT * FROM c2
+  UNION ALL SELECT * FROM c3
+),
+state AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY o_orderdate DESC, c DESC) AS rn
+    FROM unioned
+  ) WHERE rn = 1
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM state GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def lakehouse_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeline import (
+        bootstrap_timeline,
+        compaction_instants,
+        maybe_compact,
+    )
+    from ..streaming.windows import foreach_batch_timeline_commit
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    legacy = _scratch(sf_dir, "e2e_legacy")
+    orders.write.mode("overwrite").parquet(legacy)
+    tl = _scratch(sf_dir, "e2e_tl")
+    chk = _scratch(sf_dir, "e2e_chk")
+    stage = _scratch(sf_dir, "e2e_stage")
+
+    # 1. Adopt the legacy table without copying a file.
+    bootstrap_timeline(spark, legacy, tl, commit_ts=1)
+
+    # 2. Stream two update batches through the exactly-once sink
+    #    (fold is batch-assignment-invariant: precombine strictly newer).
+    c2 = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    c3 = (
+        orders.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    c2.coalesce(1).write.mode("overwrite").parquet(stage)
+    c3.coalesce(1).write.mode("append").parquet(stage)
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(
+            foreach_batch_timeline_commit(tl, base_instant=1)
+        )
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # 3. Table service: the delta tail (2) exceeds max_deltas=1 → the
+    #    trigger compacts; current state must be invariant.
+    maybe_compact(spark, tl, ["o_orderkey"], "o_orderdate", max_deltas=1)
+    assert compaction_instants(tl), "auto-compaction did not fire"
+
+    # 4. Snapshot analytics off the MOR read.
+    return (
+        read_realtime(spark, tl, ["o_orderkey"], "o_orderdate")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
