@@ -18,7 +18,6 @@ passing a session leaves its lifecycle to the caller.
 
 from __future__ import annotations
 
-from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
