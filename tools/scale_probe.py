@@ -201,7 +201,7 @@ def probe_lifecycle(base: str) -> None:
     factors = (1, 4, 16)
     results: dict[str, dict[int, float]] = {
         "timeline_cdc": {}, "global_upsert": {}, "semantic_dedup": {},
-        "bpe_train_8": {},
+        "bpe_train_8": {}, "rli_upsert": {},
     }
     nrows: dict[str, dict[int, int]] = {k: {} for k in results}
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
@@ -308,6 +308,30 @@ def probe_lifecycle(base: str) -> None:
             results["semantic_dedup"][factor] = _time.perf_counter() - t0
         nrows["semantic_dedup"][factor] = n
 
+        # Record-level-indexed upsert: a 2% batch against the RLI table —
+        # the timed run includes the index probe (O(index scan), two thin
+        # columns), the affected-file merge, and the incremental index
+        # maintenance; first write (table + index build) is untimed.
+        from spark_hudi_etl_pipeline_spark.operators.merge import (
+            upsert_parquet_record_indexed,
+        )
+
+        rt = f"{SCRATCH}/rli_{factor}x"
+        shutil.rmtree(rt, ignore_errors=True)
+        upsert_parquet_record_indexed(
+            spark, o.repartition(8 * factor, "o_orderkey"), rt,
+            "o_orderkey", "o_orderdate",
+        )
+        rbatch = o.filter(F.col("o_orderkey") % 50 == 0).withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        t0 = _time.perf_counter()
+        n = upsert_parquet_record_indexed(
+            spark, rbatch, rt, "o_orderkey", "o_orderdate"
+        )
+        results["rli_upsert"][factor] = _time.perf_counter() - t0
+        nrows["rli_upsert"][factor] = n
+
         # BPE training: the per-replica token suffixes make the word
         # DICTIONARY grow ~linearly with the corpus — the probe verifies
         # the per-merge iteration cost (pair agg + top-1 + fold over the
@@ -339,6 +363,10 @@ def probe_lifecycle(base: str) -> None:
         "not implementation) — the operator docstring records the k ∝ n rule.",
         "BPE training touches the corpus once (word-frequency agg) and then",
         "iterates on the ~linearly-growing word dictionary — flat wall time.",
+        "The RLI upsert's 2% batch is DENSE (every file holds batch keys on",
+        "this scattered layout), so the merge rewrites all files — the probe",
+        "times probe + full-affected merge + index maintenance; near-flat",
+        "ratio means none of the three grows super-linearly.",
         "",
         "| operator | out-rows @1×/4×/16× | t(1×) s | t(4×) s | t(16×) s | ratio |",
         "|---|---|---|---|---|---|",
