@@ -268,3 +268,20 @@ def test_merge_into_multi_match_raises(spark):
     s = spark.createDataFrame([(1, 1), (1, 2)], "k int, v int")
     with pytest.raises(Exception, match="multiple source rows"):
         merge_into(t, s, ["k"], when_matched_update={"v": "s.v"}).collect()
+
+
+def test_merge_into_insert_expressions(spark):
+    """when_not_matched_insert as a dict: per-column expressions over
+    the source row; unlisted target columns insert NULL."""
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_into
+
+    t = spark.createDataFrame([(1, 10, "a")], "k int, v int, tag string")
+    s = spark.createDataFrame([(9, 5)], "k int, amount int")
+    out = merge_into(
+        t, s, ["k"],
+        when_not_matched_insert={"v": "s.amount * 2"},
+    )
+    got = sorted(
+        ((r["k"], r["v"], r["tag"]) for r in out.collect()), key=lambda t: t[0]
+    )
+    assert got == [(1, 10, "a"), (9, 10, None)]
