@@ -284,10 +284,14 @@ def merge_into(
     out_cols = []
     for c in t_cols:
         upd = update_exprs.get(c, tcol(c))
-        if when_not_matched_insert is False:
+        if c in on:
+            # Key columns always come from the (coalesced) join key —
+            # an insert row's identity IS its source key.
+            ins = F.col(c)
+        elif when_not_matched_insert is False:
             ins = F.lit(None)
         elif when_not_matched_insert is True:
-            ins = F.col(c) if c in on else F.col(f"s.{c}")
+            ins = F.col(f"s.{c}")
         else:
             ins = (
                 F.expr(when_not_matched_insert[c])
