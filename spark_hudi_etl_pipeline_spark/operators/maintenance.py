@@ -165,6 +165,8 @@ def histogram_state(
     Bin = clamp(floor((x - lo) / w), 0, n_bins-1): out-of-range values
     land in the edge bins (counts stay exact; only their position
     saturates)."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("histogram_state requires hi > lo and n_bins >= 1")
     w = (hi - lo) / n_bins
     b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w)).cast("int")
     return (

@@ -187,6 +187,8 @@ def quarantine_split(df: DataFrame, rules) -> tuple[DataFrame, DataFrame]:
 
     A rule evaluating NULL (e.g. a comparison against a NULL field)
     counts as a violation — expectations fail closed."""
+    if not rules:
+        raise ValueError("quarantine_split requires at least one rule")
     flags = [
         F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
         for name, cond in rules.items()
