@@ -266,3 +266,55 @@ def quarantine_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return bad.select("o_orderkey", "violations").orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Dataset card (per-source corpus report): the one-pass rollup a
+# training-data release ships with — volume (docs/tokens), language mix,
+# and exact-duplicate rate (distinct md5 fingerprints vs docs) — each a
+# mergeable aggregate, so the card costs one shuffle on `source`
+# regardless of corpus size. Fingerprint reuses the dedup tier's md5
+# normalization (bit-identical in both engines).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dataset_card_report",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+         AS n_tokens,
+       count(CASE WHEN lang = 'en' THEN 1 END) AS n_english,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+         AS n_unique_fp,
+       count(*) - count(DISTINCT
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+         AS n_exact_dups
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (
+        d.select(
+            "source",
+            "lang",
+            F.size(toks).alias("n_tok"),
+            text.fingerprint("text").alias("fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("n_english"),
+            F.count_distinct("fp").alias("n_unique_fp"),
+            (F.count(F.lit(1)) - F.count_distinct("fp")).alias("n_exact_dups"),
+        )
+        .orderBy("source")
+    )
