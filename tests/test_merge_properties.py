@@ -171,3 +171,131 @@ def test_merge_into_matches_model(spark, target, source):
     )
     got = {(r["k"], r["v"], r["payload"]) for r in out.collect()}
     assert got == _expected_merge_into(target, source)
+
+
+# ------------------------------------------------------------ timeline CDC
+
+
+@given(
+    commits=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=7),    # key
+                st.integers(min_value=0, max_value=10**6),  # payload
+                st.booleans(),                              # delete record
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+    since_idx=st.integers(min_value=0, max_value=2),
+)
+@_SETTINGS
+def test_timeline_cdc_matches_model(spark, tmp_path, commits, since_idx):
+    """Random monotone-precombine commit sequences: timeline_cdc's
+    change rows must equal the diff of sequentially-applied states."""
+    import uuid
+
+    from spark_hudi_etl_pipeline_spark.operators.timeline import (
+        commit_append,
+        timeline_cdc,
+    )
+
+    path = str(tmp_path / f"cdc_{uuid.uuid4().hex}")
+    # Monotone precombine: v = commit index (ties within a commit are
+    # resolved identically by fold and model: delete loses to update at
+    # equal precombine within the same commit via is-delete ordering —
+    # avoid that ambiguity by deduping (key) per commit, keeping the
+    # LAST occurrence, matching one-row-per-key batches).
+    states = []  # model state after each commit: key -> (v, payload)
+    model: dict[int, tuple[int, int]] = {}
+    for i, batch in enumerate(commits):
+        rows = {}
+        for k, p, dele in batch:
+            rows[k] = (k, i + 1, p, dele)  # precombine = commit instant
+        if not rows:
+            states.append(dict(model))
+            continue
+        df = spark.createDataFrame(
+            list(rows.values()), "k int, v int, payload int, deleted boolean"
+        )
+        commit_append(spark, df, path, i + 1)
+        for k, v, p, dele in rows.values():
+            if dele:
+                model.pop(k, None)
+            else:
+                model[k] = (v, p)
+        states.append(dict(model))
+    import os
+
+    if not os.path.isdir(path):
+        return  # every batch empty: nothing to check
+    since = min(since_idx, len(states) - 1)
+    before = states[since - 1] if since > 0 else {}
+    after = states[-1]
+    want = {}
+    for k in set(before) | set(after):
+        if k not in before:
+            want[k] = "insert"
+        elif k not in after:
+            want[k] = "delete"
+        elif before[k] != after[k]:
+            want[k] = "update"
+    got = {
+        r["k"]: r["change_type"]
+        for r in timeline_cdc(
+            spark, path, ["k"], "v", since=since, delete_col="deleted"
+        ).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------------------ global-index upsert
+
+
+@given(
+    base=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),   # key (globally unique after dedup)
+            st.integers(min_value=0, max_value=50),  # precombine
+            st.sampled_from(["a", "b", "c"]),        # partition
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    batch=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=50),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@_SETTINGS
+def test_global_upsert_matches_model(spark, tmp_path, base, batch):
+    """GLOBAL-index upsert: one row per key globally; the max-precombine
+    row (batch beats table on ties) decides value AND partition."""
+    import uuid
+
+    from spark_hudi_etl_pipeline_spark.operators.tableops import (
+        upsert_parquet_partitioned_global,
+    )
+
+    path = str(tmp_path / f"gu_{uuid.uuid4().hex}")
+    base_rows = {k: (k, v, p) for k, v, p in base}           # unique keys
+    batch_rows = {k: (k, v, p) for k, v, p in batch}
+    bdf = spark.createDataFrame(list(base_rows.values()), "k int, v int, p string")
+    upsert_parquet_partitioned_global(spark, bdf, path, ["k"], "v", "p")
+    udf_ = spark.createDataFrame(list(batch_rows.values()), "k int, v int, p string")
+    upsert_parquet_partitioned_global(spark, udf_, path, ["k"], "v", "p")
+    model = dict(base_rows)
+    for k, row in batch_rows.items():
+        cur = model.get(k)
+        if cur is None or row[1] >= cur[1]:  # batch wins ties
+            model[k] = row
+    got = {tuple(r) for r in spark.read.parquet(path).select("k", "v", "p").collect()}
+    assert got == set(model.values())
