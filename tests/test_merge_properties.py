@@ -299,3 +299,45 @@ def test_global_upsert_matches_model(spark, tmp_path, base, batch):
             model[k] = row
     got = {tuple(r) for r in spark.read.parquet(path).select("k", "v", "p").collect()}
     assert got == set(model.values())
+
+
+# ------------------------------------------------------- partial update
+
+
+@given(
+    existing=st.lists(ROW, min_size=1, max_size=10),
+    batch=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=99),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=10**6)),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+@_SETTINGS
+def test_partial_update_matches_model(spark, existing, batch):
+    """PartialUpdate payload: a WINNING batch row's NULL payload keeps
+    the table's value; losing/stale rows change nothing; inserts with
+    NULL payload stay NULL."""
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_upsert
+
+    existing = _unique_per_key(existing)
+    batch = list({k: (k, v, p) for k, v, p in batch}.values())
+    out = merge_upsert(
+        spark.createDataFrame(existing, "k int, v int, payload int"),
+        spark.createDataFrame(batch, "k int, v int, payload int"),
+        ["k"],
+        "v",
+        partial_update=True,
+    )
+    model = {k: (v, p) for k, v, p in existing}
+    for k, v, p in batch:
+        cur = model.get(k)
+        if cur is None:
+            model[k] = (v, p)
+        elif v >= cur[0]:  # batch beats table on ties
+            model[k] = (v, p if p is not None else cur[1])
+    got = {r["k"]: (r["v"], r["payload"]) for r in out.collect()}
+    assert got == model
