@@ -824,3 +824,45 @@ def test_record_index_stale_sidecar_rebuilds(spark, tmp_table):
     got = read_indexed_table(spark, tmp_table)
     assert got.count() == 2000  # cold rebuild, no duplicate key 5
     assert got.filter("k = 5").collect()[0]["v"] == 99
+
+
+def test_cleaner_over_bootstrap_retires_marker(spark, tmp_table, tmp_path):
+    """Retention on an adopted table: the cleaner's compaction collapses
+    the bootstrap base into a real base and retires the marker; state is
+    invariant and the legacy source becomes droppable."""
+    import shutil
+
+    from spark_hudi_etl_pipeline_spark.operators.timeline import (
+        _bootstrap_info,
+        bootstrap_timeline,
+    )
+
+    src = str(tmp_path / "legacy")
+    _mk(spark, [(1, 10, "a"), (2, 10, "b")]).write.parquet(src)
+    bootstrap_timeline(spark, src, tmp_table, commit_ts=1)
+    commit_append(spark, _mk(spark, [(1, 20, "a")]), tmp_table, 2)
+    commit_append(spark, _mk(spark, [(3, 30, "c")]), tmp_table, 3)
+    before = _rows(read_realtime(spark, tmp_table, KEYS, PRE))
+    assert clean_timeline(spark, tmp_table, KEYS, PRE, retain_last=2) == 2
+    assert _bootstrap_info(tmp_table) is None
+    shutil.rmtree(src)
+    assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == before
+
+
+def test_maybe_compact_over_bootstrap(spark, tmp_table, tmp_path):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import (
+        _bootstrap_info,
+        bootstrap_timeline,
+        maybe_compact,
+    )
+
+    src = str(tmp_path / "legacy")
+    _mk(spark, [(1, 10, "a")]).write.parquet(src)
+    bootstrap_timeline(spark, src, tmp_table, commit_ts=1)
+    commit_append(spark, _mk(spark, [(2, 20, "b")]), tmp_table, 2)
+    # Tail = [1, 2] (no base yet): exceeds max_deltas=1 → compacts at 2.
+    assert maybe_compact(spark, tmp_table, KEYS, PRE, max_deltas=1) == 2
+    assert _bootstrap_info(tmp_table) is None
+    assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == {
+        (1, 10, "a"), (2, 20, "b"),
+    }
