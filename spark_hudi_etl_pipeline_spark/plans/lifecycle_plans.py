@@ -1433,3 +1433,72 @@ def lakehouse_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Inline-compaction trigger (hoodie.compact.inline.max.delta.commits):
+# three deltas land after the load; max_deltas=2 fires a compaction at
+# the newest instant and the realtime read is INVARIANT — the property
+# that makes inline compaction safe to run after every commit. Oracle =
+# fold of all four batches.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "timeline_auto_compact_read",
+    oracle="""
+WITH c2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 2 AS c
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+c3 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 3.0,
+         o_orderdate + INTERVAL 60 DAY, 3
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+c4 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 4.0,
+         o_orderdate + INTERVAL 90 DAY, 4
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, 1 AS c
+  FROM orders
+  UNION ALL SELECT * FROM c2
+  UNION ALL SELECT * FROM c3
+  UNION ALL SELECT * FROM c4
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY o_orderdate DESC, c DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price,
+       o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey, o_orderstatus
+""",
+)
+def timeline_auto_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeline import compaction_instants, maybe_compact
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    path = _scratch(sf_dir, "auto_compact")
+    commit_append(spark, orders, path, 1)
+    for mod, mult, days, ts in ((3, 2.0, 30, 2), (5, 3.0, 60, 3), (7, 4.0, 90, 4)):
+        batch = (
+            orders.filter(F.col("o_orderkey") % mod == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * mult)
+            .withColumn(
+                "o_orderdate", F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAYS")
+            )
+        )
+        commit_append(spark, batch, path, ts)
+    assert maybe_compact(
+        spark, path, ["o_orderkey"], "o_orderdate", max_deltas=2
+    ) == 4
+    assert compaction_instants(path) == [4]
+    return _final_select(
+        read_realtime(spark, path, ["o_orderkey"], "o_orderdate")
+    )
