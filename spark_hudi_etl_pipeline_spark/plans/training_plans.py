@@ -1338,3 +1338,90 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source contamination matrix: for every ordered source pair, the
+# fraction of the target source's distinct 8-grams that also occur in
+# the other source — the leakage diagnostic run BEFORE deciding split/
+# mixture boundaries (a high off-diagonal says two "sources" are really
+# one). Distinct (source, gram) first — one shuffle on the gram — then
+# the pair join runs on the deduplicated gram universe; with few
+# sources the output is |sources|², driver-scale. Fractions are
+# floor-quantized at 1e6 (integer counts divided per the fixed rule),
+# engine-exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_contamination_matrix",
+    oracle=f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(1, len(t) - 7),
+             i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+  FROM toks
+),
+sizes AS (SELECT source, count(*) AS n_grams FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.n_shared,
+       CAST(floor(p.n_shared * 1000000.0 / sa.n_grams) AS BIGINT) AS frac_of_a_q,
+       CAST(floor(p.n_shared * 1000000.0 / sb.n_grams) AS BIGINT) AS frac_of_b_q
+FROM pairs p
+JOIN sizes sa ON sa.source = p.src_a
+JOIN sizes sb ON sb.source = p.src_b
+ORDER BY src_a, src_b
+""",
+)
+def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", _tokens().alias("t")
+    )
+    n = F.size("t")
+    sh = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                _gram_starts(n, 8),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sh.select(F.col("source").alias("src_a"), "g")
+    b = sh.select(F.col("source").alias("src_b"), "g")
+    pairs = (
+        a.join(b, on="g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n_grams").alias("na"))),
+            on="src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("n_grams").alias("nb"))),
+            on="src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.floor(F.col("n_shared") * 1000000.0 / F.col("na"))
+            .cast("long")
+            .alias("frac_of_a_q"),
+            F.floor(F.col("n_shared") * 1000000.0 / F.col("nb"))
+            .cast("long")
+            .alias("frac_of_b_q"),
+        )
+        .orderBy("src_a", "src_b")
+    )
