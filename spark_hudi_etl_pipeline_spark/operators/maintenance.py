@@ -164,13 +164,18 @@ def histogram_state(
 
     Bin = clamp(floor((x - lo) / w), 0, n_bins-1): out-of-range values
     land in the edge bins (counts stay exact; only their position
-    saturates)."""
+    saturates). NULLs (and NaNs, whose bin expression is NULL after the
+    floor) are excluded before binning — a NULL bin group would sort
+    first in ``percentiles_from_histogram``'s cumulative sum, inflating
+    ``total`` and returning NULL estimates for low quantiles."""
     if n_bins < 1 or not hi > lo:
         raise ValueError("histogram_state requires hi > lo and n_bins >= 1")
     w = (hi - lo) / n_bins
-    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w)).cast("int")
+    x = F.col(col).cast("double")
+    b = F.floor((x - F.lit(lo)) / F.lit(w)).cast("int")
     return (
-        df.select(
+        df.filter(x.isNotNull() & ~F.isnan(x))
+        .select(
             F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).alias("bin")
         )
         .groupBy("bin")

@@ -304,8 +304,11 @@ def merge_into(
             .otherwise(ins)
             .alias(c)
         )
+    # ANSI MERGE / Delta semantics: a NULL delete condition is
+    # NOT-satisfied (the update arm applies), so coalesce to False —
+    # a bare ~NULL filter would silently drop the row instead.
     keep = (
-        F.when(matched, ~delete_cond)
+        F.when(matched, ~F.coalesce(delete_cond, F.lit(False)))
         .when(F.col("__tgt").isNotNull(), F.lit(True))  # unmatched target
         .otherwise(F.lit(when_not_matched_insert is not False))
     )

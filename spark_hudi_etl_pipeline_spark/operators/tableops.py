@@ -190,6 +190,18 @@ def upsert_parquet_partitioned_global(
 
     Returns rows written into the touched partitions.
     """
+    # NULL-partition check BEFORE the first-write branch: a first write
+    # must reject the same input later batches reject, not silently land
+    # rows in __HIVE_DEFAULT_PARTITION__ (same contract as
+    # insert_overwrite). Metadata-scale collect: distinct partition
+    # values of one batch.
+    new_parts = {
+        r[0] for r in batch.select(partition_col).distinct().collect()
+    }
+    if None in new_parts:
+        raise ValueError(
+            f"null partition value in batch column {partition_col!r}"
+        )
     first_write = not os.path.isdir(path)
     if first_write:
         merged = merge_upsert(
@@ -210,13 +222,6 @@ def upsert_parquet_partitioned_global(
             .collect()
         )
     }
-    new_parts = {
-        r[0] for r in batch.select(partition_col).distinct().collect()
-    }
-    if None in new_parts:
-        raise ValueError(
-            f"null partition value in batch column {partition_col!r}"
-        )
     touched = sorted(old_parts | new_parts)
     existing_sub = table.filter(F.col(partition_col).isin(touched))
     merged = merge_upsert(

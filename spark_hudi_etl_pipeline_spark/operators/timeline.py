@@ -241,6 +241,23 @@ def replay_commits(
     )
 
 
+def _check_reconstructable(path: str, instant: int, what: str) -> None:
+    """Refuse reads whose ``instant`` predates the compaction horizon —
+    the oldest state still reconstructable from the timeline. The
+    per-commit deltas at or before the newest published base were
+    collapsed into it, so an earlier as-of/since would silently read an
+    empty or partial log (Hudi raises for incremental/time-travel reads
+    past cleaned history rather than returning corrupt output)."""
+    bases = compaction_instants(path)
+    if bases and instant < bases[-1]:
+        raise ValueError(
+            f"{what}={instant} predates the compaction horizon "
+            f"{bases[-1]} at {path!r}: that history was collapsed "
+            "(savepoint instants you need to keep readable before "
+            "cleaning/compacting)"
+        )
+
+
 def read_as_of(
     spark,
     path: str,
@@ -253,7 +270,14 @@ def read_as_of(
     """Time-travel read: table state as of commit instant ``as_of``
     (inclusive). The instant predicate is a PARTITION filter — commits
     after ``as_of`` are never scanned (asserted in
-    ``tests/test_timeline.py``)."""
+    ``tests/test_timeline.py``).
+
+    Raises when ``as_of`` predates the compaction horizon (the newest
+    published base): the deltas needed to reconstruct that state were
+    collapsed, so the read would silently return an empty/partial table
+    otherwise. Hudi likewise refuses time travel past cleaned history;
+    savepoint an instant to keep it readable."""
+    _check_reconstructable(path, as_of, "as_of")
     log = _read_log(spark, path).filter(F.col(COMMIT_COL) <= as_of)
     return fold_commits(log, keys, precombine, delete_col=delete_col)
 
@@ -263,7 +287,14 @@ def read_incremental(
 ) -> DataFrame:
     """Hudi-style incremental query: the raw change records committed in
     ``(since, as_of]`` — the CDC feed a downstream incremental consumer
-    reads instead of diffing snapshots. Partition-pruned on both bounds."""
+    reads instead of diffing snapshots. Partition-pruned on both bounds.
+
+    Raises when ``since`` predates the compaction horizon: the per-commit
+    deltas in ``(since, horizon]`` no longer exist (collapsed into the
+    base), so the pull would treat the whole base as one giant change
+    batch — silently corrupt CDC output. Matches Hudi's behavior for
+    incremental reads past cleaned history."""
+    _check_reconstructable(path, since, "since")
     log = _read_log(spark, path).filter(F.col(COMMIT_COL) > since)
     if as_of is not None:
         log = log.filter(F.col(COMMIT_COL) <= as_of)
@@ -388,7 +419,22 @@ def compact_timeline(
     merge tail. Publishes a ``_compactions/<up_to>`` marker (Hudi's
     ``commit`` vs ``deltacommit`` instant-type distinction) so
     :func:`read_optimized` can locate the latest base without reading
-    data files. Returns rows in the compacted base."""
+    data files. Returns rows in the compacted base.
+
+    Savepoints are honored exactly as in :func:`clean_timeline`:
+    ``up_to`` is clamped to the oldest savepointed instant, so a pinned
+    instant is never collapsed past — compacting AT the pin is safe (the
+    base at the pin IS state-as-of-pin, so :func:`restore_to` /
+    :func:`read_as_of` at the pin keep working), collapsing BEYOND it
+    would irreversibly destroy the history the savepoint guarantees.
+    A clamped-or-explicit ``up_to`` at or below the newest existing base
+    is a no-op (nothing new to collapse) and returns 0."""
+    pins = savepoints(path)
+    if pins and pins[0] < up_to:
+        up_to = pins[0]
+    bases = compaction_instants(path)
+    if bases and up_to <= bases[-1]:
+        return 0
     instants = [t for t in commit_instants(spark, path) if t <= up_to]
     if not instants:
         return 0
@@ -461,7 +507,10 @@ def maybe_compact(
     nothing — the policy wrapper that keeps MOR read amplification
     bounded when called after every commit (inline compaction) or from a
     table-service scheduler (async). Returns the new base instant, or
-    None when the tail is short enough."""
+    None when the tail is short enough — or when the savepoint clamp
+    (see :func:`compact_timeline`) leaves nothing new to collapse, so an
+    inline trigger with an early savepoint pinned does not spin on
+    no-op compactions."""
     if max_deltas < 1:
         raise ValueError("max_deltas must be >= 1")
     instants = commit_instants(spark, path)
@@ -469,10 +518,16 @@ def maybe_compact(
     tail = [t for t in instants if not bases or t > bases[-1]]
     if len(tail) <= max_deltas:
         return None
+    target = tail[-1]
+    pins = savepoints(path)
+    if pins and pins[0] < target:
+        target = pins[0]
+    if bases and target <= bases[-1]:
+        return None
     compact_timeline(
-        spark, path, keys, precombine, tail[-1], delete_col=delete_col
+        spark, path, keys, precombine, target, delete_col=delete_col
     )
-    return tail[-1]
+    return target
 
 
 def read_optimized(spark, path: str) -> DataFrame:

@@ -866,3 +866,23 @@ def test_maybe_compact_over_bootstrap(spark, tmp_table, tmp_path):
     assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == {
         (1, 10, "a"), (2, 20, "b"),
     }
+
+
+def test_savepoint_survives_restore_after_maybe_compact(spark, tmp_table):
+    """Savepoint + inline-compaction interplay: maybe_compact clamps to
+    the oldest savepoint, so a pinned instant stays restorable no matter
+    how aggressive the trigger — and the trigger does not spin on no-op
+    compactions once clamped."""
+    from spark_hudi_etl_pipeline_spark.operators.timeline import maybe_compact
+
+    _build_timeline(spark, tmp_table)
+    savepoint(spark, tmp_table, 1)
+    pinned = _rows(read_as_of(spark, tmp_table, KEYS, PRE, 1))
+    # Trigger fires (3 deltas > 1) but clamps to the savepoint at 1.
+    assert maybe_compact(spark, tmp_table, KEYS, PRE, max_deltas=1) == 1
+    assert compaction_instants(tmp_table) == [1]
+    # Second fire: clamp leaves nothing new to collapse → None, no spin.
+    assert maybe_compact(spark, tmp_table, KEYS, PRE, max_deltas=1) is None
+    # The savepoint guarantee: restore_to the pinned instant still works.
+    restore_to(spark, tmp_table, 1)
+    assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == pinned

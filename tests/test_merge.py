@@ -285,3 +285,21 @@ def test_merge_into_insert_expressions(spark):
         ((r["k"], r["v"], r["tag"]) for r in out.collect()), key=lambda t: t[0]
     )
     assert got == [(1, 10, "a"), (9, 10, None)]
+
+
+def test_merge_into_null_delete_condition_updates(spark):
+    """ANSI MERGE / Delta: a delete condition that evaluates to NULL is
+    NOT satisfied — the update arm applies instead of the row being
+    silently dropped."""
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_into
+
+    t = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    # flag is NULL for k=1 → 's.flag = 1' is NULL → update, not delete.
+    s = spark.createDataFrame([(1, 100, None), (2, 200, 1)], "k int, v int, flag int")
+    out = merge_into(
+        t, s.select("k", "v", "flag"), ["k"],
+        when_matched_update={"v": "s.v"},
+        when_matched_delete="s.flag = 1",
+        when_not_matched_insert=False,
+    )
+    assert sorted(tuple(r) for r in out.select("k", "v").collect()) == [(1, 100)]

@@ -199,3 +199,61 @@ def test_read_realtime_merges_base_and_delta_tail(spark, log_path):
     assert rows_of(rt) == expected
     # The fold spans base + tail only: commit-1 partitions are gone.
     assert all(f"{COMMIT_COL}=1" not in f for f in rt.inputFiles())
+
+
+def test_read_as_of_refuses_pre_horizon_instant(spark, log_path):
+    compact_timeline(spark, log_path, ["k"], "prec", up_to=2)
+    with pytest.raises(ValueError, match="compaction horizon"):
+        read_as_of(spark, log_path, ["k"], "prec", 1)
+    # At/after the horizon still works.
+    assert rows_of(read_as_of(spark, log_path, ["k"], "prec", 2))
+
+
+def test_read_incremental_refuses_pre_horizon_since(spark, log_path):
+    compact_timeline(spark, log_path, ["k"], "prec", up_to=2)
+    with pytest.raises(ValueError, match="compaction horizon"):
+        read_incremental(spark, log_path, since=1)
+    # since == horizon: pull sees only the true delta tail.
+    inc = read_incremental(spark, log_path, since=2)
+    assert rows_of(inc.select("k", "v", "prec", COMMIT_COL)) == {
+        (1, "a3", 30, 3),
+        (4, "d1", 30, 3),
+    }
+
+
+def test_timeline_cdc_refuses_pre_horizon_since(spark, log_path):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import timeline_cdc
+
+    compact_timeline(spark, log_path, ["k"], "prec", up_to=2)
+    with pytest.raises(ValueError, match="compaction horizon"):
+        timeline_cdc(spark, log_path, ["k"], "prec", since=1).collect()
+
+
+def test_compact_timeline_clamps_to_savepoint(spark, log_path):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import (
+        compaction_instants,
+        savepoint,
+    )
+
+    savepoint(spark, log_path, 1)
+    # up_to=3 would collapse the savepointed instant 1 — clamped to 1.
+    compact_timeline(spark, log_path, ["k"], "prec", up_to=3)
+    assert compaction_instants(log_path) == [1]
+    assert commit_instants(spark, log_path) == [1, 2, 3]
+    # The savepointed state stays readable (the savepoint guarantee).
+    assert rows_of(read_as_of(spark, log_path, ["k"], "prec", 1)) == {
+        (1, "a1", 10),
+        (2, "b1", 10),
+    }
+
+
+def test_compact_timeline_noop_at_or_below_existing_base(spark, log_path):
+    from spark_hudi_etl_pipeline_spark.operators.timeline import (
+        compaction_instants,
+    )
+
+    compact_timeline(spark, log_path, ["k"], "prec", up_to=2)
+    # Re-compacting at (or below) the newest base collapses nothing new.
+    assert compact_timeline(spark, log_path, ["k"], "prec", up_to=2) == 0
+    assert compact_timeline(spark, log_path, ["k"], "prec", up_to=1) == 0
+    assert compaction_instants(log_path) == [2]
