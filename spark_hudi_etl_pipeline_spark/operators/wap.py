@@ -34,13 +34,24 @@ from .merge import (
 )
 
 
+#: Max violation rows collected to the driver on audit failure — the
+#: abort decision needs only non-emptiness; the sample is for the error
+#: message/alerting. A per-row audit over a huge dirty batch must not
+#: flood driver memory.
+AUDIT_SAMPLE_ROWS = 100
+
+
 class AuditFailure(Exception):
-    """Raised when a WAP audit rejects the staged candidate; carries the
-    violation rows so the pipeline can log/alert on them."""
+    """Raised when a WAP audit rejects the staged candidate; carries a
+    bounded SAMPLE (first :data:`AUDIT_SAMPLE_ROWS`) of the violation
+    rows so the pipeline can log/alert without an unbounded collect."""
 
     def __init__(self, violations: list):
         self.violations = violations
-        super().__init__(f"WAP audit failed: {len(violations)} violation rows")
+        super().__init__(
+            f"WAP audit failed: {len(violations)} violation rows sampled "
+            f"(cap {AUDIT_SAMPLE_ROWS})"
+        )
 
 
 def wap_upsert(
@@ -89,7 +100,7 @@ def wap_upsert(
         candidate = spark.read.parquet(
             *[os.path.join(path, m) for m in moved]
         )
-        violations = audit(candidate).collect()
+        violations = audit(candidate).limit(AUDIT_SAMPLE_ROWS).collect()
         if violations:
             for m in moved:  # abort: staged files were never referenced
                 try:

@@ -1384,6 +1384,14 @@ ORDER BY rnk
 """,
 )
 def supplier_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank + running share WITHOUT an unpartitioned window over all
+    suppliers (the two-phase prefix-sum house pattern, value-range
+    keyed): suppliers bin by a deterministic revenue range (256 equal-
+    width bins between the broadcast min/max — a pure function of the
+    row plus two exact scalars, so no sampled boundaries), rank and
+    prefix-sum locally per bin, and add the broadcast count/sum of all
+    higher-revenue bins. Exact same output as the global window; the
+    only full-relation shuffle is the one per-bin hash exchange."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1405,17 +1413,54 @@ def supplier_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_q")
     )
-    t = s.agg(F.sum("rev_q").alias("total_q"))
-    w = Window.orderBy(F.desc("rev_q"), F.asc("l_suppkey"))
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mm = s.agg(F.min("rev_q").alias("lo"), F.max("rev_q").alias("hi"))
+    qb = F.least(
+        F.floor(
+            (F.col("rev_q") - F.col("lo"))
+            * 256
+            / F.greatest(F.col("hi") - F.col("lo"), F.lit(1))
+        ),
+        F.lit(255),
+    ).cast("int")
+    binned = s.crossJoin(F.broadcast(mm)).withColumn("qb", qb)
+    wb = Window.partitionBy("qb").orderBy(
+        F.desc("rev_q"), F.asc("l_suppkey")
+    )
+    local = binned.select(
+        "qb",
+        "l_suppkey",
+        "rev_q",
+        F.row_number().over(wb).alias("rn_local"),
+        F.sum("rev_q")
+        .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_local"),
+    )
+    # Prefix count/sum over the ≤256-row bin relation only, broadcast
+    # back; the grand total rides along for the share denominator.
+    bin_stats = binned.groupBy("qb").agg(
+        F.count(F.lit(1)).alias("bn"), F.sum("rev_q").alias("bs")
+    )
+    wo = Window.orderBy(F.desc("qb")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bin_stats.select(
+        "qb",
+        F.coalesce(F.sum("bn").over(wo), F.lit(0)).alias("off_n"),
+        F.coalesce(F.sum("bs").over(wo), F.lit(0)).alias("off_s"),
+    )
+    t = bin_stats.agg(F.sum("bs").alias("total_q"))
     return (
-        s.crossJoin(F.broadcast(t))
+        local.join(F.broadcast(offsets), "qb")
+        .crossJoin(F.broadcast(t))
         .select(
             "l_suppkey",
             "rev_q",
-            F.row_number().over(w).alias("rnk"),
+            (F.col("off_n") + F.col("rn_local")).alias("rnk"),
             F.round(
-                F.sum("rev_q").over(wc) * F.lit(1.0) / F.col("total_q"), 6
+                (F.col("off_s") + F.col("cum_local"))
+                * F.lit(1.0)
+                / F.col("total_q"),
+                6,
             ).alias("cum_share"),
         )
         .orderBy("rnk")

@@ -378,16 +378,52 @@ FROM b GROUP BY bucket ORDER BY bucket
 )
 def sample_by_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep 100%/50%/25%/12.5% of quality quartiles 1-4, deterministically
-    by md5(doc_id) bucket; reports per-quartile corpus and kept counts."""
+    by md5(doc_id) bucket; reports per-quartile corpus and kept counts.
+
+    Exact ntile(4) WITHOUT a global single-partition window (the two-
+    phase prefix-sum house pattern, value-range keyed): documents group
+    by a deterministic quality bin (floor(quality*1000) — a pure
+    function of the row, so no sampled range boundaries and no
+    recompute hazard), rank locally inside each bin, and add the
+    broadcast count of all higher-quality bins; the global rank then
+    maps to ntile's bucket sizes (first N%4 buckets get the extra row)
+    in closed form. Same result, rows never leave their map-side
+    partition except for the one per-bin shuffle."""
     from pyspark.sql import Window
 
     from ..operators.sampling import hash_bucket, hex_threshold
 
     d = load_table(spark, sf_dir, "documents")
     scored = d.select("doc_id", text.quality_score("text").alias("quality"))
-    b = scored.withColumn(
-        "bucket",
-        F.ntile(4).over(Window.orderBy(F.desc("quality"), F.asc("doc_id"))),
+    binned = scored.withColumn(
+        "qb", F.floor(F.col("quality") * 1000).cast("int")
+    )
+    wb = Window.partitionBy("qb").orderBy(F.desc("quality"), F.asc("doc_id"))
+    local = binned.withColumn("rn_local", F.row_number().over(wb))
+    # Offsets over the ≤1001-row bin relation only (tiny window), then
+    # broadcast back; total rides along for the ntile arithmetic.
+    wo = Window.orderBy(F.desc("qb")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bin_counts = binned.groupBy("qb").agg(F.count(F.lit(1)).alias("bn"))
+    offsets = bin_counts.select(
+        "qb", F.coalesce(F.sum("bn").over(wo), F.lit(0)).alias("off")
+    )
+    total = bin_counts.agg(F.sum("bn").alias("n_total"))
+    rank = F.col("off") + F.col("rn_local")
+    # ntile(4): q=N div 4, r=N mod 4; buckets 1..r hold q+1 rows.
+    qsz = F.floor(F.col("n_total") / 4)
+    rem = F.col("n_total") % 4
+    big = rem * (qsz + 1)  # rows covered by the oversized buckets
+    bucket = (
+        F.when(rank <= big, F.ceil(rank / (qsz + 1)))
+        .otherwise(rem + F.ceil((rank - big) / F.greatest(qsz, F.lit(1))))
+        .cast("int")
+    )
+    b = (
+        local.join(F.broadcast(offsets), "qb")
+        .crossJoin(F.broadcast(total))
+        .withColumn("bucket", bucket)
     )
     thr = (
         F.when(F.col("bucket") == 1, hex_threshold(1.0))
@@ -660,8 +696,13 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = contrib.groupBy("doc_id").agg(
         F.sum("c").alias("score_q"), F.count(F.lit(1)).alias("n_terms")
     )
-    ranked = scored.withColumn(
+    # Top-k FIRST (TakeOrderedAndProject — per-partition heaps, never a
+    # single-partition window over all scored docs), then the rank
+    # column from a window over the 20-row result (same shape as the
+    # vocab top-k above).
+    top = scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(20)
+    ranked = top.withColumn(
         "rnk",
         F.row_number().over(Window.orderBy(F.desc("score_q"), F.asc("doc_id"))),
     )
-    return ranked.filter(F.col("rnk") <= 20).orderBy("rnk")
+    return ranked.orderBy("rnk")

@@ -84,3 +84,29 @@ def test_crash_before_publish_invisible_to_readers(spark, seeded):
     src = glob.glob(os.path.join(orphan_src, "*.parquet"))[0]
     os.replace(src, os.path.join(seeded, "part-wap-deadbeef-00000.parquet"))
     assert rows_of(read_indexed_table(spark, seeded)) == before_state
+
+
+def test_audit_collect_is_bounded(spark, tmp_path):
+    """A per-row audit over a dirty batch collects at most
+    AUDIT_SAMPLE_ROWS violation rows to the driver — the abort decision
+    needs non-emptiness plus a sample, never the full violation set."""
+    from spark_hudi_etl_pipeline_spark.operators.wap import (
+        AUDIT_SAMPLE_ROWS,
+        AuditFailure,
+        wap_upsert,
+    )
+
+    path = str(tmp_path / "wap_bounded")
+    n = AUDIT_SAMPLE_ROWS * 5
+    dirty = spark.range(n).selectExpr(
+        "id AS k", "CAST(-1 AS INT) AS v", "id AS prec"
+    )
+    with pytest.raises(AuditFailure) as ei:
+        wap_upsert(
+            spark, dirty, path, ["k"], "prec",
+            audit=lambda c: c.filter("v < 0"),
+        )
+    assert 0 < len(ei.value.violations) <= AUDIT_SAMPLE_ROWS
+    # Abort left no published manifest and no live rows.
+    import os
+    assert not os.path.isdir(os.path.join(path, "_manifest"))
