@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: join, star join, window, sessionization, JSON, keyed upsert, as-of
 #: join, event-time window, fuzzy dedup ×2, similarity, text scoring,
 #: repetition filters, sequence packing, sliding distinct, constraint
-#: validation, iterative PageRank).
+#: validation, iterative PageRank, plus the lifecycle tier: global-index
+#: upsert, timeline CDC pull, MERGE INTO).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -45,6 +46,9 @@ HEADLINE = [
     "rolling_7d_active_users",
     "validate_constraints",
     "pagerank_cust_supp_top20",
+    "upsert_global_index",
+    "timeline_cdc_incremental",
+    "merge_into_orders",
 ]
 
 
