@@ -596,32 +596,158 @@ def embedding_neardup_pairs(
 # --------------------------------------------------------------------------
 
 
+def _cc_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    max_iterations: int,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components.
+
+    One round = large-star then small-star, each a groupBy-min over the
+    symmetric edge view plus a rewired-edge projection:
+
+    - large-star: every neighbor v > u is re-pointed at
+      m = min(N(u) ∪ {u});
+    - small-star: every neighbor v < u (and u itself) is re-pointed at
+      m = min(N<(u) ∪ {u}).
+
+    The edge set strictly contracts toward per-component stars rooted at
+    the component minimum; the paper proves O(log n) rounds. Fixpoint =
+    the canonicalized edge set is unchanged (two exceptAll ∘ limit(1)
+    probes — metadata-cost on the converged star set). Returns
+    ``(labels, rounds_used)`` so scale probes can assert the round
+    count's growth law.
+    """
+    node_ids = nodes.select(F.col(id_col).alias("node"))
+    e = (
+        edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    if e.limit(1).count() > 0:
+        converged = False
+        for _ in range(max_iterations):
+            rounds += 1
+            sym = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            # large-star: m = min(N(u) ∪ {u}); emit (v, m) for v > u.
+            mins = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m"))
+            )
+            large = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            )
+            e1 = (
+                large.filter(F.col("a") != F.col("b"))
+                .select(
+                    F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # small-star: m = min(N<(u) ∪ {u}); emit (v, m) for v < u
+            # plus (u, m).
+            sym1 = e1.unionByName(
+                e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            nsmall = sym1.filter(F.col("v") < F.col("u"))
+            mins1 = nsmall.groupBy("u").agg(F.min("v").alias("m"))
+            small = nsmall.join(mins1, "u").select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            ).unionByName(
+                mins1.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            e2 = (
+                small.filter(F.col("a") != F.col("b"))
+                .select(
+                    F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            unchanged = (
+                e2.exceptAll(e).limit(1).count() == 0
+                and e.exceptAll(e2).limit(1).count() == 0
+            )
+            e = e2
+            if unchanged:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components(star) did not converge in "
+                f"{max_iterations} rounds; raise max_iterations "
+                "(labels would be wrong)"
+            )
+    # At the fixpoint every non-root node has a direct edge to its
+    # component minimum: label = min(neighbors ∪ self).
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lab = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    labels = (
+        node_ids.join(lab, node_ids.node == lab.u, "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.least(
+                F.col("node"), F.coalesce(F.col("mn"), F.col("node"))
+            ).alias("canonical_id"),
+        )
+    )
+    return labels, rounds
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     *,
     id_col: str = "id",
     max_iterations: int = 20,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Label every node with the minimum id reachable through the
     (undirected) edge set — the canonical-representative step that turns
     near-dup PAIRS into a keep/drop decision per document.
 
-    ``edges`` must have columns (id_a, id_b). Iterative min-label
-    propagation: each round every node adopts min(own label, neighbors'
-    labels); converges in O(graph diameter) rounds. Near-dup graphs are
-    overwhelmingly tiny cliques (diameter ≤ 2-3), so the loop exits
-    almost immediately on the driver-side convergence check. At larger
-    diameters a pointer-jumping step (label := label of label) after
-    each neighbor round makes convergence logarithmic in the diameter.
-    State per round is one (node, label) table — shuffle on node id,
-    AQE-coalesced; the checkpoint truncates lineage so round N's plan
-    doesn't replay rounds 1..N-1.
+    ``edges`` must have columns (id_a, id_b). Two interchangeable
+    engines (identical output — the component-minimum label):
 
-    Raises ``RuntimeError`` if the label fixpoint is not reached within
+    - ``algorithm="star"`` (default): alternating large-star/small-star
+      (Kiveris et al., "Connected Components in MapReduce and Beyond").
+      Each round rewires every node toward its neighborhood minimum, so
+      the edge relation converges to per-component stars in
+      O(log n) rounds REGARDLESS of graph diameter — the cluster-scale
+      choice when near-dup graphs chain (a path of k pairwise-similar
+      docs has diameter k).
+    - ``algorithm="label_prop"``: iterative min-label propagation with
+      pointer jumping — O(log diameter) rounds, one (node, label) state
+      table; marginally cheaper per round on the tiny-clique graphs
+      fuzzy dedup usually produces (diameter ≤ 2-3 ⇒ 2-3 rounds).
+
+    Both shuffle on node/edge ids only, AQE-coalesced, with per-round
+    checkpoints truncating lineage so round N's plan doesn't replay
+    rounds 1..N-1.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iterations`` — a silently-unconverged labeling would hand back
     WRONG canonical ids, which is worse than failing.
     """
+    if algorithm == "star":
+        labels, _rounds = _cc_star(nodes, edges, id_col, max_iterations)
+        return labels
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -685,12 +811,26 @@ def connected_components(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
 
 
+def auto_cluster_count(
+    corpus_rows: int, *, target_cluster_size: int = 512
+) -> int:
+    """The SemDeDup k ∝ n rule as code: clusters needed so the MEAN
+    cluster size stays at ``target_cluster_size`` — the unit the
+    per-cluster pair GEMM is quadratic in. Holding k constant while the
+    corpus grows makes pair generation quadratic in corpus size by
+    definition (measured in SCALE.md); sizing k from n keeps it linear."""
+    if target_cluster_size < 1:
+        raise ValueError("target_cluster_size must be >= 1")
+    return max(1, -(-corpus_rows // target_cluster_size))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     *,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
+    target_cluster_size: int = 512,
     threshold: float = 0.9,
     max_iterations: int = 20,
 ) -> DataFrame:
@@ -721,9 +861,17 @@ def semantic_dedup(
     GEMM is quadratic in — stays bounded (the SemDeDup paper runs k ∝ n
     for the same reason). A fixed cluster count makes pair generation
     quadratic in corpus size by definition, not by implementation.
+    The DEFAULT (``n_clusters=None``) therefore sizes k automatically
+    from the corpus via :func:`auto_cluster_count` (one count() job) so
+    a caller cannot hold k constant by accident; pass an explicit
+    ``n_clusters`` only when pinning k deliberately (tests, oracles).
     """
     from .similarity import ivf_assign, ivf_centroids
 
+    if n_clusters is None:
+        n_clusters = auto_cluster_count(
+            df.count(), target_cluster_size=target_cluster_size
+        )
     centroids = ivf_centroids(
         df, corpus_id=id_col, vec_col=vec_col, n_centroids=n_clusters
     )

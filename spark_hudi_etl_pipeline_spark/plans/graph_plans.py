@@ -11,9 +11,9 @@ fixed point; the undirected graph has no dangling nodes, keeping the
 recurrence exact in both engines).
 
 Connected components (operators/dedup.py) covers the other iterative
-graph primitive; at cluster scale the iteration would checkpoint every
-few rounds to truncate lineage — plan depth here is fixed (3) so chained
-lazy joins are fine.
+graph primitive. At cluster scale pass ``checkpoint_every=N`` to
+``pagerank_ranks`` to truncate lineage every N rounds — the headline
+query's depth is fixed (3) so it runs with chained lazy joins.
 """
 
 from __future__ import annotations
@@ -95,6 +95,7 @@ def pagerank_ranks(
     iters: int = _ITERS,
     *,
     broadcast_ranks: bool | None = None,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Full rank vector after ``iters`` synchronous iterations — the
     DataFrame-level core (tests check rank-mass conservation on it).
@@ -110,7 +111,15 @@ def pagerank_ranks(
     not strings: every iteration shuffles/hashes the node key, and 8-byte
     fixed-width keys shuffle fewer bytes and hash faster than ~8-char
     strings (the label form exists only in the oracle and the final
-    20-row decode)."""
+    20-row decode).
+
+    ``checkpoint_every``: materialize the rank vector every N iterations
+    to truncate lineage — at a handful of iterations chained lazy joins
+    are fine (the default, None), but a long-running cluster job grows
+    an O(iters)-deep plan whose analysis/codegen cost and failure-replay
+    chain eventually dominate; periodic checkpointing caps both. Values
+    are bit-identical either way (checkpointing only cuts the plan, not
+    the arithmetic)."""
     e0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
@@ -140,7 +149,9 @@ def pagerank_ranks(
     # 1/n and 0.15/n are single IEEE-double divisions in both engines
     # (DuckDB computes the same from its n CTE) — bit-identical.
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("r"))
-    for _ in range(iters):
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    for i in range(iters):
         rank_side = (
             F.broadcast(ranks) if broadcast_ranks else ranks.hint("shuffle_hash")
         )
@@ -155,4 +166,6 @@ def pagerank_ranks(
                 (F.lit(0.15) / F.lit(n_nodes) + F.lit(_DAMP) * F.col("s")).alias("r"),
             )
         )
+        if checkpoint_every is not None and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

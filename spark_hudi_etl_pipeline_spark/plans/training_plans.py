@@ -1425,3 +1425,109 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+# importance weights for every raw-pool document as the log-likelihood
+# ratio of a target-domain n-gram LM over a raw-pool n-gram LM —
+# "Data Selection for Language Models via Importance Resampling". The
+# feature space here is word BIGRAMS (the paper hashes n-grams into a
+# fixed bucket count purely to bound feature dimensionality — at 100 TB
+# swap the gram key for xxhash64(g) % n_buckets, which changes only the
+# grouping key width, not the plan shape). Laplace-smoothed log
+# probabilities over the joint vocabulary, per-occurrence contributions
+# 1e4 fixed-point quantized BEFORE the per-doc sum (the BM25 trick) so
+# doc weights are integer-exact under any aggregation order.
+#
+# Scale shape: one tokenize pass; grams shuffle once (as xxhash64 codes)
+# for the conditional target/raw count agg; the per-gram log-ratio table
+# joins back on the gram code (vocab-sized — Catalyst/AQE picks BHJ
+# while it fits, SMJ beyond); one doc-keyed agg. Nothing is quadratic
+# and the corpus text never shuffles.
+# --------------------------------------------------------------------------
+
+_DSIR_TARGET = ("src0", "src1")
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+bi AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+stats AS (
+  SELECT g,
+         CAST(sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM bi GROUP BY g
+),
+tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM stats),
+lp AS (
+  SELECT g,
+         CAST(floor((ln((ct + 1.0) / (tot.nt + tot.v))
+                   - ln((cr + 1.0) / (tot.nr + tot.v))) * 10000) AS BIGINT) AS c
+  FROM stats, tot
+)
+SELECT bi.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(lp.c) AS BIGINT) AS weight_q
+FROM bi JOIN lp USING (g)
+WHERE bi.source NOT IN ('src0', 'src1')
+GROUP BY bi.doc_id
+ORDER BY bi.doc_id
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight (1e4 fixed-point log-ratio)
+    for every raw-pool document, target domain = sources src0/src1."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens().alias("t")
+    )
+    n = F.size("t")
+    # Grams travel as xxhash64 codes (8 bytes, no-collision argument as
+    # elsewhere — the string-gram oracle verifies it end-to-end).
+    bi = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                _gram_starts(n, 2),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, 2))),
+            )
+        ).alias("g"),
+    )
+    is_tgt = F.col("source").isin(*_DSIR_TARGET)
+    stats = bi.groupBy("g").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_tgt, 0).otherwise(1)).alias("cr"),
+    )
+    tot = stats.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr"), F.count(F.lit(1)).alias("v")
+    )
+    lp = stats.crossJoin(F.broadcast(tot)).select(
+        "g",
+        F.floor(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v")))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v")))
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    return (
+        bi.filter(~is_tgt)
+        .join(lp, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("weight_q"),
+        )
+        .orderBy("doc_id")
+    )

@@ -266,3 +266,99 @@ def test_semantic_dedup_planted_groups(spark):
     )
     again = semantic_dedup(kept, "id", "v", n_clusters=4, threshold=0.95)
     assert again.filter("NOT keep").count() == 0
+
+
+def test_auto_cluster_count_scales_with_corpus():
+    from spark_hudi_etl_pipeline_spark.operators.dedup import auto_cluster_count
+
+    assert auto_cluster_count(0) == 1
+    assert auto_cluster_count(1) == 1
+    assert auto_cluster_count(512) == 1
+    assert auto_cluster_count(513) == 2
+    assert auto_cluster_count(1_000_000, target_cluster_size=500) == 2000
+    # k ∝ n: doubling the corpus (at least) doubles k − 1 rounding slack.
+    assert auto_cluster_count(2_000_000, target_cluster_size=500) == 4000
+    with pytest.raises(ValueError):
+        auto_cluster_count(10, target_cluster_size=0)
+
+
+def test_semantic_dedup_default_uses_auto_k(spark):
+    """The default (n_clusters=None) sizes k from the corpus — identical
+    duplicate groups found, no accidental fixed-k quadratic path."""
+    import numpy as np
+
+    from spark_hudi_etl_pipeline_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(8, 8))
+    # Interleave groups (group = vec_id % 8) so the deterministic
+    # centroid seeds land on DISTINCT groups — near-duplicates must
+    # never straddle a Voronoi boundary by construction.
+    rows = []
+    for vid in range(32):
+        v = base[vid % 8] + rng.normal(scale=1e-3, size=8)
+        rows.append((vid, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", target_cluster_size=16, threshold=0.99
+    )
+    kept = {r["vec_id"] for r in out.filter("keep").collect()}
+    # One representative (min id) per planted group.
+    assert kept == set(range(8))
+    # The auto path is exactly the explicit-k path with the computed k.
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        auto_cluster_count,
+    )
+
+    k = auto_cluster_count(df.count(), target_cluster_size=16)
+    explicit = semantic_dedup(
+        df, "vec_id", "embedding", n_clusters=k, threshold=0.99
+    )
+    assert {r["vec_id"] for r in explicit.filter("keep").collect()} == kept
+
+
+def test_cc_star_matches_label_prop_on_random_graphs(spark):
+    """Both CC engines produce the identical component-minimum labels."""
+    import random
+
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(13)
+    n = 200
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+    ]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {
+        (r["id"], r["canonical_id"])
+        for r in connected_components(nodes, e, algorithm="star").collect()
+    }
+    lp = {
+        (r["id"], r["canonical_id"])
+        for r in connected_components(
+            nodes, e, algorithm="label_prop"
+        ).collect()
+    }
+    assert star == lp
+
+
+def test_cc_star_rounds_logarithmic_on_path_graph(spark):
+    """A k-node path has diameter k-1; the star rounds must grow
+    like log(k), not k — the reason this engine is the default."""
+    from spark_hudi_etl_pipeline_spark.operators.dedup import _cc_star
+
+    def rounds_for(k: int) -> int:
+        nodes = spark.createDataFrame([(i,) for i in range(k)], "id long")
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(k - 1)], "id_a long, id_b long"
+        )
+        labels, rounds = _cc_star(nodes, e, "id", 30)
+        assert {r["canonical_id"] for r in labels.collect()} == {0}
+        return rounds
+
+    r64, r512 = rounds_for(64), rounds_for(512)
+    # Diameter grows 8x; rounds must stay far below that (log growth).
+    assert r64 <= 10 and r512 <= 14 and r512 - r64 <= 5

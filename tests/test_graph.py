@@ -50,3 +50,24 @@ def test_pagerank_top20_shape(spark):
     # Suppliers have far higher degree than customers in this bipartite
     # graph — the top of the ranking should be supplier nodes.
     assert rows[0]["node"].startswith("s")
+
+
+def test_pagerank_checkpointed_same_ranks_and_deep_run(spark):
+    """checkpoint_every truncates lineage without changing values: a
+    3-iteration checkpointed run is bit-identical to the lazy chain, and
+    a 10-iteration run completes with a shallow post-checkpoint plan."""
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    lazy = {r["node"]: r["r"] for r in pagerank_ranks(li, o, iters=3).collect()}
+    ck = {
+        r["node"]: r["r"]
+        for r in pagerank_ranks(li, o, iters=3, checkpoint_every=1).collect()
+    }
+    assert lazy == ck  # bit-identical: checkpoint cuts the plan, not math
+    deep = pagerank_ranks(li, o, iters=10, checkpoint_every=2)
+    total = deep.agg(F.sum("r")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+    # Lineage is truncated: the final plan hangs off the last checkpoint
+    # (≤ 2 iterations deep), not a 10-join chain.
+    plan = deep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 10  # 2 iters × partial+final, + slack
