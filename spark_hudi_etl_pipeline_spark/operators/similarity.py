@@ -482,3 +482,100 @@ def pq_adc_topk(
         )
         .orderBy("qid", "rank")
     )
+
+
+def kmeans_lloyd_quantized(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd k-means on 1e-6 FIXED-POINT vectors — every distance,
+    every centroid update, and the final assignment are pure integer
+    arithmetic, so the whole iteration is bit-exact across engines and
+    aggregation orders (value-checkable against an unrolled SQL oracle,
+    like the PageRank recurrence in plans/graph_plans.py).
+
+    Semantics per round: assign each vector to the centroid minimizing
+    the squared L2 distance on quantized components (ties → smallest
+    centroid id), then each centroid moves to floor(mean) of its
+    members' quantized components; a cluster that loses every member
+    keeps its previous centroid. Seeds = the vectors of the ``k``
+    smallest ids (deterministic, seed-free — same convention as
+    :func:`ivf_centroids`). Returns the FINAL assignment
+    ``(id, cluster_id, dist_q)`` after ``iters`` update rounds.
+
+    Scale shape: the k·d centroid table lives on the DRIVER between
+    rounds (metadata-scale, like the IVF centroid list — k=4096 × d=1024
+    is 32 MB) and enters each round as literal arrays inside a MAP-ONLY
+    assignment expression (zip_with + aggregate — JVM codegen, no UDF,
+    no shuffle); the update is one posexplode + (cluster, dim) partial
+    agg per round — the only shuffle, carrying k·d groups. The corpus is
+    materialized once in quantized form and never reshuffled.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError("k must be >= 1 and iters >= 0")
+    xq = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * scale).cast("long"),
+        ).alias("xq"),
+    ).localCheckpoint(eager=True)  # iters+1 passes over the quantized form
+
+    seed_rows = xq.orderBy(id_col).limit(k).collect()
+    # cid = dense 0..k-1 in id order (the oracle mirrors this exactly).
+    centroids: dict[int, list[int]] = {
+        i: list(r["xq"]) for i, r in enumerate(seed_rows)
+    }
+
+    def assign(frame: DataFrame) -> DataFrame:
+        choices = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("xq"),
+                            F.array(*[F.lit(c) for c in cq]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cq in sorted(centroids.items())
+            ]
+        )
+        best = F.array_min(choices)  # struct order: min dist, then min cid
+        return frame.select(
+            F.col(id_col),
+            "xq",
+            best["cid"].alias("cluster_id"),
+            best["d"].alias("dist_q"),
+        )
+
+    for _ in range(iters):
+        upd = (
+            assign(xq)
+            .select("cluster_id", F.posexplode("xq").alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cluster_id",
+                "dim",
+                F.floor(F.col("s") * 1.0 / F.col("n")).cast("long").alias("c"),
+            )
+            .collect()  # k·d rows — driver-held centroid state by design
+        )
+        moved: dict[int, list[int]] = {}
+        for r in upd:
+            moved.setdefault(r["cluster_id"], [0] * len(centroids[0]))[
+                r["dim"]
+            ] = r["c"]
+        centroids.update(moved)  # emptied clusters keep previous centroid
+
+    return assign(xq).drop("xq")

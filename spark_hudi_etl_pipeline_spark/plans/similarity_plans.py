@@ -621,3 +621,80 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=16, threshold=0.2
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Integer-exact Lloyd k-means (operators/similarity.py::
+# kmeans_lloyd_quantized): 2 update rounds, k=8, seeds = the 8 smallest
+# vec_ids, all arithmetic on 1e-6 fixed-point components — the oracle
+# unrolls the identical recurrence (quantize → assign → floor-mean
+# update ×2 → final assign), so this ITERATIVE clustering is fully
+# value-checked like the PageRank query, not rows-only.
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIM = 64
+
+_KM_DIST = (
+    "CAST(list_sum(list_transform(generate_series(1, {dim}),"
+    " i -> (x.xq[i] - c.cq[i]) * (x.xq[i] - c.cq[i]))) AS BIGINT)"
+).format(dim=_KM_DIM)
+
+
+def _km_oracle() -> str:
+    assign = """
+a{j} AS (
+  SELECT vec_id, cid AS cluster_id, d AS dist_q FROM (
+    SELECT x.vec_id, c.cid, {dist} AS d,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM x, c{i} c
+  ) WHERE rn = 1
+)"""
+    update = """
+u{j} AS (
+  SELECT a.cluster_id AS cid, u.i AS dim,
+         CAST(floor(sum(x.xq[u.i]) * 1.0 / count(*)) AS BIGINT) AS v
+  FROM a{j} a JOIN x USING (vec_id),
+       unnest(generate_series(1, {dim})) AS u(i)
+  GROUP BY a.cluster_id, u.i
+),
+c{jn} AS (
+  SELECT c.cid,
+         CASE WHEN m.cq IS NULL THEN c.cq ELSE m.cq END AS cq
+  FROM c{j} c LEFT JOIN (
+    SELECT cid, list(v ORDER BY dim) AS cq FROM u{j} GROUP BY cid
+  ) m USING (cid)
+)"""
+    parts = [
+        """
+WITH x AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, xq AS cq
+  FROM (SELECT vec_id, xq FROM x ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for j in range(2):
+        parts.append(assign.format(j=j, i=j, dist=_KM_DIST))
+        parts.append(update.format(j=j, jn=j + 1, dim=_KM_DIM))
+    parts.append(assign.format(j=2, i=2, dist=_KM_DIST))
+    body = ",".join(parts)
+    return (
+        body.format(k=_KM_K)
+        + """
+SELECT vec_id, cluster_id, dist_q FROM a2 ORDER BY vec_id
+"""
+    )
+
+
+@query("kmeans_lloyd_int", oracle=_km_oracle())
+def kmeans_lloyd_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd_quantized(
+        emb, id_col="vec_id", vec_col="embedding", k=_KM_K, iters=2
+    ).orderBy("vec_id")

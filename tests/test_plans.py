@@ -224,11 +224,15 @@ def test_profile_is_one_pass(spark):
 ROWS_ONLY_BY_DESIGN = {
     "extract_with_surrogate",
     "multimodal_decode_features",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_lsh_ann",
     "approx_distinct_customers",
     "approx_percentiles_price",
+    "rolling_7d_active_hll",
+    "bpe_train_merges",
 }
 
 

@@ -274,3 +274,54 @@ def test_pq_adc_recall_vs_exact_l2(spark):
         truth.setdefault(r["qid"], set()).add(r["cid"])
     recalls = [len(got[q0] & truth[q0]) / 5 for q0 in truth]
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_kmeans_lloyd_quantized_planted_clusters(spark):
+    """Three well-separated planted blobs: Lloyd converges to one
+    cluster per blob; integer arithmetic ⇒ identical reruns."""
+    from spark_hudi_etl_pipeline_spark.operators.similarity import (
+        kmeans_lloyd_quantized,
+    )
+
+    blobs = {0: [10.0, 0.0], 1: [0.0, 10.0], 2: [-10.0, -10.0]}
+    rows = []
+    for vid in range(30):
+        b = blobs[vid % 3]
+        jit = ((vid * 37) % 7 - 3) / 10.0  # deterministic jitter
+        rows.append((vid, [b[0] + jit, b[1] - jit]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd_quantized(
+        df, id_col="vec_id", vec_col="embedding", k=3, iters=3
+    )
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    # Cluster labels are seed-dependent; membership must follow blobs.
+    for vid in range(30):
+        assert got[vid] == got[vid % 3]
+    assert len({got[0], got[1], got[2]}) == 3
+    rerun = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_lloyd_quantized(
+            df, id_col="vec_id", vec_col="embedding", k=3, iters=3
+        ).collect()
+    }
+    assert rerun == got
+
+
+def test_kmeans_lloyd_zero_iters_is_seed_assignment(spark):
+    """iters=0: pure nearest-seed assignment; each seed sits in its own
+    cluster at distance 0."""
+    from spark_hudi_etl_pipeline_spark.operators.similarity import (
+        kmeans_lloyd_quantized,
+    )
+
+    rows = [(i, [float(i), 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["dist_q"])
+        for r in kmeans_lloyd_quantized(
+            df, id_col="vec_id", vec_col="embedding", k=2, iters=0
+        ).collect()
+    }
+    assert out[0] == (0, 0) and out[1] == (1, 0)
+    # Everything right of seed 1 joins cluster 1.
+    assert all(out[i][0] == 1 for i in range(2, 6))
