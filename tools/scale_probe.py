@@ -399,6 +399,101 @@ def probe_lifecycle(base: str) -> None:
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def probe_curation(base: str) -> None:
+    """Focused probe for the round-5 curation operators: DSIR
+    importance weights (one gram shuffle + vocab join + doc agg) and
+    integer Lloyd k-means (map-only assignment + one k·d-group agg per
+    round) at 1×/4×/16×. Runs the REGISTERED queries against replicated
+    fixture directories (same code path the correctness gate checks).
+    Appends/replaces a dedicated SCALE.md section.
+    Usage: python tools/scale_probe.py --curation
+    """
+    import os
+    import re
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("scale-probe-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()  # warm JVM
+
+    results: dict[str, dict[int, float]] = {"dsir_weights": {}, "kmeans_lloyd": {}}
+    nrows: dict[str, dict[int, int]] = {k: {} for k in results}
+    for factor in REPLICAS:
+        sf_dir = f"{SCRATCH}/cur_{factor}x"
+        os.makedirs(sf_dir, exist_ok=True)
+        for table, id_cols, text_col in (
+            ("documents", ["doc_id"], "text"),
+            ("embeddings", ["vec_id"], None),
+        ):
+            df = spark.read.parquet(f"{base}/{table}.parquet")
+            parts = []
+            for r in range(factor):
+                d = df
+                for c in id_cols:
+                    d = d.withColumn(c, F.col(c) + F.lit(r * 100_000_000))
+                if text_col is not None and r > 0:
+                    d = d.withColumn(
+                        text_col,
+                        F.regexp_replace(F.col(text_col), r"(\S+)", f"$1r{r}"),
+                    )
+                parts.append(d)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
+        for name, key in (
+            ("dsir_importance_weights", "dsir_weights"),
+            ("kmeans_lloyd_int", "kmeans_lloyd"),
+        ):
+            for _ in range(2):  # warm second run is the recorded one
+                t0 = _time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                results[key][factor] = _time.perf_counter() - t0
+            nrows[key][factor] = QUERIES[name](spark, sf_dir).count()
+        print(f"factor {factor}x done", flush=True)
+
+    lines = [
+        "",
+        "## curation probe (1×/4×/16×, warm runs)",
+        "",
+        "Round-5 operators, run through the REGISTERED queries (the same",
+        "code the oracle gate value-checks). DSIR: grams shuffle once as",
+        "xxhash64 codes for the target/raw count agg, the vocab-sized",
+        "log-ratio table joins back, one doc agg — linear in corpus.",
+        "k-means: per-round map-only literal-centroid assignment + one",
+        "k·d-group update agg; k is FIXED here (the query pins k=8), so",
+        "rounds scan linearly and the update state is constant-size.",
+        "",
+        "| operator | out-rows @1×/4×/16× | t(1×) s | t(4×) s | t(16×) s | ratio |",
+        "|---|---|---|---|---|---|",
+    ]
+    for key in results:
+        r = results[key]
+        n = nrows[key]
+        lines.append(
+            f"| {key} | {n[1]}/{n[4]}/{n[16]} | {r[1]:.2f} | {r[4]:.2f} "
+            f"| {r[16]:.2f} | {r[16] / r[1]:.1f}× |"
+        )
+    lines.append("")
+    with open("/root/repo/SCALE.md") as f:
+        content = f.read()
+    content = re.sub(
+        r"\n## curation probe.*?(?=\n## |\Z)", "", content, flags=re.S
+    )
+    content += "\n".join(lines)
+    with open("/root/repo/SCALE.md", "w") as f:
+        f.write(content)
+    print("appended curation section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -579,5 +674,11 @@ if __name__ == "__main__":
             "/root/testdata/sf0.1",
         )
         probe_lifecycle(base_dir)
+    elif "--curation" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        probe_curation(base_dir)
     else:
         main()
