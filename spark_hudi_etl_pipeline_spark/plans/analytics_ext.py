@@ -1386,12 +1386,15 @@ ORDER BY rnk
 def supplier_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank + running share WITHOUT an unpartitioned window over all
     suppliers (the two-phase prefix-sum house pattern, value-range
-    keyed): suppliers bin by a deterministic revenue range (256 equal-
-    width bins between the broadcast min/max — a pure function of the
-    row plus two exact scalars, so no sampled boundaries), rank and
-    prefix-sum locally per bin, and add the broadcast count/sum of all
-    higher-revenue bins. Exact same output as the global window; the
-    only full-relation shuffle is the one per-bin hash exchange."""
+    keyed): suppliers bin by a DATA-INDEPENDENT eighth-octave log scale
+    of their revenue (floor(log2(rev)·8) — monotone in revenue, a pure
+    function of the row, no min/max pre-pass and no sampled
+    boundaries), rank and prefix-sum locally per bin, and add the
+    broadcast count/sum of all higher-revenue bins. Exact same output
+    as the global window; the supplier-grain aggregate is materialized
+    once (it feeds both the local window and the bin offsets — without
+    that the fact scan would replay per consumer), and the only
+    full-relation shuffle is the one per-bin hash exchange."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1413,16 +1416,8 @@ def supplier_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_q")
     )
-    mm = s.agg(F.min("rev_q").alias("lo"), F.max("rev_q").alias("hi"))
-    qb = F.least(
-        F.floor(
-            (F.col("rev_q") - F.col("lo"))
-            * 256
-            / F.greatest(F.col("hi") - F.col("lo"), F.lit(1))
-        ),
-        F.lit(255),
-    ).cast("int")
-    binned = s.crossJoin(F.broadcast(mm)).withColumn("qb", qb)
+    qb = F.floor(F.log2(F.col("rev_q") + 1) * 8).cast("int")
+    binned = s.withColumn("qb", qb).localCheckpoint(eager=True)
     wb = Window.partitionBy("qb").orderBy(
         F.desc("rev_q"), F.asc("l_suppkey")
     )
@@ -1435,8 +1430,9 @@ def supplier_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum_local"),
     )
-    # Prefix count/sum over the ≤256-row bin relation only, broadcast
-    # back; the grand total rides along for the share denominator.
+    # Prefix count/sum over the ~500-row bin relation only (63 octaves
+    # × 8 sub-bins covers the whole BIGINT range), broadcast back; the
+    # grand total rides along for the share denominator.
     bin_stats = binned.groupBy("qb").agg(
         F.count(F.lit(1)).alias("bn"), F.sum("rev_q").alias("bs")
     )

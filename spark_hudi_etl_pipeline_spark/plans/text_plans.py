@@ -395,9 +395,12 @@ def sample_by_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     scored = d.select("doc_id", text.quality_score("text").alias("quality"))
+    # Materialize the scored projection once: it feeds both the local
+    # window and the bin counts, and the quality score is a regex-heavy
+    # scan worth paying exactly once (3 narrow columns at rest).
     binned = scored.withColumn(
         "qb", F.floor(F.col("quality") * 1000).cast("int")
-    )
+    ).localCheckpoint(eager=True)
     wb = Window.partitionBy("qb").orderBy(F.desc("quality"), F.asc("doc_id"))
     local = binned.withColumn("rn_local", F.row_number().over(wb))
     # Offsets over the ≤1001-row bin relation only (tiny window), then
