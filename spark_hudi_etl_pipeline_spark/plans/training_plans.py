@@ -1531,3 +1531,114 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Hashed-feature DSIR (the paper's actual memory trick): the bigram
+# vocabulary is folded into a FIXED bucket count before the LM fit, so
+# the per-bucket count table — the only state that is not O(docs) — is
+# bounded at B rows regardless of corpus size (arXiv:2302.03169 §2.2
+# hashes n-grams into 10k buckets for exactly this reason). This twin
+# proves the hashed path end-to-end with a value-checking oracle: the
+# bucket hash here is engine-portable md5 (first 8 hex chars → int mod
+# B, computable identically in DuckDB); the production key at 100 TB is
+# xxhash64(g) % B — one cheaper hash, the identical plan.
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+
+#: Engine-portable bucket id for a gram string g: first 8 md5 hex chars
+#: as an integer, mod the bucket count. Spark's conv(…,16,10) and
+#: DuckDB's '0x…' BIGINT cast agree because the value fits in 32 bits.
+_DSIR_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % {b}"
+).format(b=_DSIR_BUCKETS)
+
+
+@query(
+    "dsir_weights_hashed",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+bi AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+bk AS (SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS b FROM bi),
+stats AS (
+  SELECT b,
+         CAST(sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM bk GROUP BY b
+),
+tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM stats),
+lp AS (
+  SELECT b,
+         CAST(floor((ln((ct + 1.0) / (tot.nt + {_DSIR_BUCKETS}))
+                   - ln((cr + 1.0) / (tot.nr + {_DSIR_BUCKETS}))) * 10000) AS BIGINT) AS c
+  FROM stats, tot
+)
+SELECT bk.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(lp.c) AS BIGINT) AS weight_q
+FROM bk JOIN lp USING (b)
+WHERE bk.source NOT IN ('src0', 'src1')
+GROUP BY bk.doc_id
+ORDER BY bk.doc_id
+""",
+)
+def dsir_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over hashed bigram buckets — the bounded-
+    state variant: LM state is exactly ``_DSIR_BUCKETS`` rows however
+    large the corpus grows (smoothing V is the bucket count — every
+    bucket is in-vocabulary by construction)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens().alias("t")
+    )
+    n = F.size("t")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    bk = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    _gram_starts(n, 2),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "source", bucket.alias("b"))
+    )
+    is_tgt = F.col("source").isin(*_DSIR_TARGET)
+    stats = bk.groupBy("b").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_tgt, 0).otherwise(1)).alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lp = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + _DSIR_BUCKETS))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + _DSIR_BUCKETS))
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    return (
+        bk.filter(~is_tgt)
+        .join(F.broadcast(lp), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("weight_q"),
+        )
+        .orderBy("doc_id")
+    )
