@@ -709,3 +709,72 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("score_q"), F.asc("doc_id"))),
     )
     return ranked.orderBy("rnk")
+
+
+# --------------------------------------------------------------------------
+# Streaming curation twin: the quality filter as a REAL Structured
+# Streaming job — documents staged to a file source, scored with the
+# SAME map-only quality expression (stateless, so the stream plan is a
+# pure projection ahead of one complete-mode agg), per-source keep
+# counts drained with availableNow into a memory sink. The oracle is
+# the batch SQL — the engine's batch/streaming-parity contract extended
+# to the curation tier (a production pipeline scores documents as they
+# land, not in nightly batches).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_quality_filter",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, source,
+         length(text) AS n,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+           / greatest(length(text), 1) AS punct_ratio,
+         {_STOP_HITS['en']} / greatest(len({_LOWER_TOKS}), 1) AS stop_ratio,
+         list_sum(list_transform({_TOKS}, t -> length(t)))
+           / greatest(len({_TOKS}), 1) AS mtl
+  FROM documents
+),
+q AS (
+  SELECT source,
+         round(
+           (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0
+                 WHEN n < 50 THEN n / 50.0 ELSE 20000.0 / n END) * 0.3
+         + (1.0 - least(punct_ratio * 4, 1.0)) * 0.2
+         + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE stop_ratio / 0.05 END) * 0.3
+         + (CASE WHEN mtl BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+         , 6) AS quality
+  FROM m
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM q GROUP BY source ORDER BY source
+""",
+)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_docs_{tag}"
+    d.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(d.schema).parquet(stage)
+    scored = stream.select(
+        "source", text.quality_score("text").alias("quality")
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0)).alias("n_kept"),
+    )
+    qname = f"stream_quality_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("source")
