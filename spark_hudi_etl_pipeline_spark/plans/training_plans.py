@@ -1642,3 +1642,97 @@ def dsir_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Decontamination APPLY — the action half of decontaminate_ngram_overlap:
+# drop every corpus document whose contaminated fraction (distinct
+# shared 8-grams / its distinct 8-grams) reaches the threshold, and
+# report the per-source survivor counts a curation run logs. Same scale
+# shape as the stats query (benchmark shingles broadcast, corpus never
+# reshuffled as strings) plus one per-doc distinct-gram count — the
+# fraction denominator — folded into the same tokenize pass.
+# --------------------------------------------------------------------------
+
+_DECON_FRAC_Q = 100_000  # 1e5 fixed-point contamination fraction
+_DECON_THRESHOLD_Q = 20_000  # drop at >= 20% shared distinct 8-grams
+
+
+@query(
+    "decontaminate_apply",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - 7),
+             i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 29 = 0),
+corpus AS (SELECT DISTINCT doc_id, source, g FROM sh WHERE doc_id % 29 <> 0),
+frac AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(floor(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)
+                    * {_DECON_FRAC_Q}.0 / count(*)) AS BIGINT) AS frac_q
+  FROM corpus LEFT JOIN bench USING (g)
+  GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN frac_q < {_DECON_THRESHOLD_Q} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN frac_q >= {_DECON_THRESHOLD_Q} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM frac GROUP BY source ORDER BY source
+""",
+)
+def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens().alias("t")
+    )
+    n = F.size("t")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                _gram_starts(n, 8),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
+            )
+        ).alias("g"),
+    )
+    bench = sh.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
+    corpus = (
+        sh.filter(F.col("doc_id") % 29 != 0)
+        .select("doc_id", "source", "g")
+        .distinct()
+    )
+    frac = (
+        corpus.join(
+            F.broadcast(bench.select("g", F.lit(True).alias("hit"))),
+            "g",
+            "left",
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.floor(
+                F.sum(F.when(F.col("hit"), 1).otherwise(0))
+                * float(_DECON_FRAC_Q)
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("frac_q"),
+        )
+    )
+    kept = F.col("frac_q") < _DECON_THRESHOLD_Q
+    return (
+        frac.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
