@@ -614,8 +614,8 @@ def _cc_star(
 
     The edge set strictly contracts toward per-component stars rooted at
     the component minimum; the paper proves O(log n) rounds. Fixpoint =
-    the canonicalized edge set is unchanged (two exceptAll ∘ limit(1)
-    probes — metadata-cost on the converged star set). Returns
+    the canonicalized edge set is unchanged (one symmetric-difference
+    probe job per round over the two checkpointed sets). Returns
     ``(labels, rounds_used)`` so scale probes can assert the round
     count's growth law.
     """
@@ -648,6 +648,9 @@ def _cc_star(
                 .filter(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
             )
+            # Checkpointed because sym1 below consumes e1 TWICE (the
+            # union with its swap) — lazy, the large-star join+distinct
+            # would execute once per side.
             e1 = (
                 large.filter(F.col("a") != F.col("b"))
                 .select(
@@ -678,9 +681,17 @@ def _cc_star(
                 .distinct()
                 .localCheckpoint(eager=True)
             )
+            # Fixpoint probe in ONE job: both relations are distinct
+            # sets, so any symmetric-difference row appears exactly once
+            # in the union's (u, v) counts.
             unchanged = (
-                e2.exceptAll(e).limit(1).count() == 0
-                and e.exceptAll(e2).limit(1).count() == 0
+                e.unionByName(e2)
+                .groupBy("u", "v")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") == 1)
+                .limit(1)
+                .count()
+                == 0
             )
             e = e2
             if unchanged:

@@ -527,6 +527,12 @@ def kmeans_lloyd_quantized(
     ).localCheckpoint(eager=True)  # iters+1 passes over the quantized form
 
     seed_rows = xq.orderBy(id_col).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"kmeans_lloyd_quantized: k={k} but the corpus has only "
+            f"{len(seed_rows)} rows — fewer clusters than requested "
+            "would be returned silently"
+        )
     # cid = dense 0..k-1 in id order (the oracle mirrors this exactly).
     centroids: dict[int, list[int]] = {
         i: list(r["xq"]) for i, r in enumerate(seed_rows)

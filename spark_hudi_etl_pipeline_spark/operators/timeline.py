@@ -404,6 +404,22 @@ def compaction_instants(path: str) -> list[int]:
     return sorted(int(f) for f in os.listdir(d) if f.isdigit())
 
 
+def _compaction_target(path: str, up_to: int) -> int | None:
+    """THE single home of the compaction-policy decision (consumed by
+    both :func:`compact_timeline` and :func:`maybe_compact`, so the two
+    can never drift): clamp ``up_to`` to the oldest savepointed instant
+    (collapsing past a pin would destroy the history the savepoint
+    guarantees), and return None when the clamped target is at or below
+    the newest published base — nothing new to collapse, a no-op."""
+    pins = savepoints(path)
+    if pins and pins[0] < up_to:
+        up_to = pins[0]
+    bases = compaction_instants(path)
+    if bases and up_to <= bases[-1]:
+        return None
+    return up_to
+
+
 def compact_timeline(
     spark,
     path: str,
@@ -429,12 +445,10 @@ def compact_timeline(
     would irreversibly destroy the history the savepoint guarantees.
     A clamped-or-explicit ``up_to`` at or below the newest existing base
     is a no-op (nothing new to collapse) and returns 0."""
-    pins = savepoints(path)
-    if pins and pins[0] < up_to:
-        up_to = pins[0]
-    bases = compaction_instants(path)
-    if bases and up_to <= bases[-1]:
+    target = _compaction_target(path, up_to)
+    if target is None:
         return 0
+    up_to = target
     instants = [t for t in commit_instants(spark, path) if t <= up_to]
     if not instants:
         return 0
@@ -518,11 +532,8 @@ def maybe_compact(
     tail = [t for t in instants if not bases or t > bases[-1]]
     if len(tail) <= max_deltas:
         return None
-    target = tail[-1]
-    pins = savepoints(path)
-    if pins and pins[0] < target:
-        target = pins[0]
-    if bases and target <= bases[-1]:
+    target = _compaction_target(path, tail[-1])
+    if target is None:
         return None
     compact_timeline(
         spark, path, keys, precombine, target, delete_col=delete_col

@@ -120,6 +120,8 @@ def pagerank_ranks(
     chain eventually dominate; periodic checkpointing caps both. Values
     are bit-identical either way (checkpointing only cuts the plan, not
     the arithmetic)."""
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     e0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
@@ -149,8 +151,6 @@ def pagerank_ranks(
     # 1/n and 0.15/n are single IEEE-double divisions in both engines
     # (DuckDB computes the same from its n CTE) — bit-identical.
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("r"))
-    if checkpoint_every is not None and checkpoint_every < 1:
-        raise ValueError("checkpoint_every must be >= 1")
     for i in range(iters):
         rank_side = (
             F.broadcast(ranks) if broadcast_ranks else ranks.hint("shuffle_hash")

@@ -754,11 +754,12 @@ FROM q GROUP BY source ORDER BY source
 )
 def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import re as _re
+
+    from .lifecycle_plans import _scratch
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
-    stage = f"/root/repo/.scratch/stream_docs_{tag}"
+    stage = _scratch(sf_dir, "stream_docs")  # fresh-per-run scratch dir
+    tag = os.path.basename(stage)
     d.write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(d.schema).parquet(stage)
     scored = stream.select(

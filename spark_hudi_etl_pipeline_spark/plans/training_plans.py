@@ -1491,6 +1491,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size("t")
     # Grams travel as xxhash64 codes (8 bytes, no-collision argument as
     # elsewhere — the string-gram oracle verifies it end-to-end).
+    # Materialized once: the exploded gram relation feeds BOTH the
+    # target/raw count agg and the final per-doc join — lazy, the
+    # tokenize+explode (the expensive stage) would replay per consumer.
+    # At rest it is three narrow columns (8-byte codes, no strings).
     bi = d.select(
         "doc_id",
         "source",
@@ -1500,7 +1504,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, 2))),
             )
         ).alias("g"),
-    )
+    ).localCheckpoint(eager=True)
     is_tgt = F.col("source").isin(*_DSIR_TARGET)
     stats = bi.groupBy("g").agg(
         F.sum(F.when(is_tgt, 1).otherwise(0)).alias("ct"),
@@ -1601,6 +1605,7 @@ def dsir_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
         % _DSIR_BUCKETS
     )
+    # Materialized once — same two-consumer shape as the unhashed twin.
     bk = (
         d.select(
             "doc_id",
@@ -1613,6 +1618,7 @@ def dsir_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", "source", bucket.alias("b"))
+        .localCheckpoint(eager=True)
     )
     is_tgt = F.col("source").isin(*_DSIR_TARGET)
     stats = bk.groupBy("b").agg(

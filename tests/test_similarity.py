@@ -325,3 +325,21 @@ def test_kmeans_lloyd_zero_iters_is_seed_assignment(spark):
     assert out[0] == (0, 0) and out[1] == (1, 0)
     # Everything right of seed 1 joins cluster 1.
     assert all(out[i][0] == 1 for i in range(2, 6))
+
+
+def test_kmeans_lloyd_rejects_k_above_corpus(spark):
+    import pytest
+
+    from spark_hudi_etl_pipeline_spark.operators.similarity import (
+        kmeans_lloyd_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="only 2 rows"):
+        kmeans_lloyd_quantized(df, id_col="vec_id", k=5, iters=1)
+    with pytest.raises(ValueError, match="only 0 rows"):
+        kmeans_lloyd_quantized(
+            df.filter("vec_id < 0"), id_col="vec_id", k=1, iters=1
+        )

@@ -297,15 +297,15 @@ def probe_lifecycle(base: str) -> None:
         # would make within-cluster pair generation quadratic in corpus
         # size by definition. The probe exercises the auto path so the
         # default, not just a hand-tuned k, is what's measured.
-        # target_cluster_size=312 reproduces the r4 hand-tuned series
-        # (k = 16·factor on the 5000·factor-row corpus) for an
-        # apples-to-apples trend line.
+        # target_cluster_size=125 reproduces the r4 hand-tuned series
+        # exactly (k = 16·factor on the 2000·factor-row embeddings
+        # corpus), so the r4→r5 trend isolates the CC-engine change.
         for _ in range(2):
             t0 = _time.perf_counter()
             n = (
                 semantic_dedup(
                     e, "vec_id", "embedding",
-                    target_cluster_size=312, threshold=0.2,
+                    target_cluster_size=125, threshold=0.2,
                 )
                 .filter("keep")
                 .count()
@@ -362,8 +362,8 @@ def probe_lifecycle(base: str) -> None:
         "pruned); the GLOBAL-index upsert's key→partition lookup is a",
         "column-pruned scan + broadcast semi join; SemDeDup runs with",
         "cluster count ∝ corpus (auto_cluster_count's k ∝ n default — the",
-        "paper's own recipe; target_cluster_size=312 reproduces the r4",
-        "hand-tuned k = 16·factor series) so",
+        "paper's own recipe; target_cluster_size=125 reproduces the r4",
+        "hand-tuned k = 16·factor series exactly) so",
         "cluster size — the per-cluster GEMM's quadratic unit — stays",
         "bounded; replicas are dimension-rotated so true pair count grows",
         "linearly. A fixed k measured 12-19× here (quadratic by definition,",
