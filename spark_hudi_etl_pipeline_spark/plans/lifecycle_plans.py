@@ -1502,3 +1502,126 @@ def timeline_auto_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_select(
         read_realtime(spark, path, ["o_orderkey"], "o_orderdate")
     )
+
+
+# --------------------------------------------------------------------------
+# CDC APPLY — Change-Data-Feed-driven downstream sync (Delta CDF /
+# Hudi incremental-ETL's canonical consumer): a DERIVED table (the
+# filtered projection `o_totalprice > 150000`) is seeded from the
+# base commit and then kept in sync purely by applying the CDC feed's
+# AFTER-images — update/insert rows upsert when the after-image still
+# satisfies the predicate, and rows whose after-image fails it (or
+# whose change is a delete) become delete records. The upstream table
+# is never re-read after the seed: downstream cost is O(changes), the
+# reason CDC feeds exist. Oracle = the predicate over the fully folded
+# final upstream state — proving the incremental apply converges to
+# the from-scratch recompute.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cdc_apply_downstream",
+    oracle="""
+WITH c2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, FALSE AS deleted, 2 AS c
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+c3 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 3.0,
+         o_orderdate + INTERVAL 90 DAY, FALSE, 3
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         o_orderdate + INTERVAL 60 DAY, TRUE, 3
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+         FALSE AS deleted, 1 AS c
+  FROM orders
+  UNION ALL SELECT * FROM c2
+  UNION ALL SELECT * FROM c3
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY o_orderdate DESC, c DESC) AS rn
+  FROM unioned
+),
+after AS (SELECT * FROM ranked WHERE rn = 1 AND NOT deleted)
+SELECT o_orderkey, o_orderstatus,
+       round(o_totalprice, 2) AS total_price, o_orderdate
+FROM after WHERE o_totalprice > 150000
+ORDER BY o_orderkey
+""",
+)
+def cdc_apply_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import upsert_parquet
+    from ..operators.timeline import timeline_cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    tl = _scratch(sf_dir, "cdc_apply_tl")
+    base = orders.withColumn("deleted", F.lit(False))
+    commit_append(spark, base, tl, 1)
+    c2 = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .withColumn("deleted", F.lit(False))
+    )
+    commit_append(spark, c2, tl, 2)
+    c3 = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .withColumn("deleted", F.lit(False))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn(
+                "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .withColumn("deleted", F.lit(True))
+        )
+    )
+    commit_append(spark, c3, tl, 3)
+
+    pred = F.col("o_totalprice") > 150000
+    ds = _scratch(sf_dir, "cdc_apply_ds")
+    seed = (
+        orders.filter(pred)
+        .withColumn("v", F.lit(1))
+        .withColumn("gone", F.lit(False))
+    )
+    upsert_parquet(spark, seed, ds, ["o_orderkey"], "v", delete_col="gone")
+    # The apply batch is built from the CDC feed ALONE (after-images):
+    # a change whose after-image satisfies the predicate upserts it into
+    # the derived table (this also INSERTS keys the update moved into
+    # the predicate); delete changes and predicate-failing after-images
+    # become delete records (a no-op when the key never qualified).
+    cdc = timeline_cdc(
+        spark, tl, ["o_orderkey"], "o_orderdate", since=1,
+        delete_col="deleted", images=True,
+    )
+    after_pred = F.col("after_o_totalprice") > 150000
+    batch = cdc.select(
+        "o_orderkey",
+        F.col("after_o_orderstatus").alias("o_orderstatus"),
+        F.col("after_o_totalprice").alias("o_totalprice"),
+        F.col("after_o_orderdate").alias("o_orderdate"),
+        F.lit(2).alias("v"),
+        (
+            (F.col("change_type") == "delete")
+            | ~F.coalesce(after_pred, F.lit(False))
+        ).alias("gone"),
+    )
+    upsert_parquet(spark, batch, ds, ["o_orderkey"], "v", delete_col="gone")
+    return (
+        spark.read.parquet(ds)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )
