@@ -667,6 +667,12 @@ def rollback_last(spark, path: str) -> int:
             "it back would drop collapsed history; restore_to an earlier "
             "savepointed instant instead"
         )
+    if last in savepoints(path):
+        raise ValueError(
+            f"latest instant {last} is savepointed — rolling it back "
+            "would destroy pinned history (delete the savepoint first); "
+            "Hudi enforces the same rule"
+        )
     shutil.rmtree(f"{path}/{COMMIT_COL}={last}", ignore_errors=False)
     return last
 
