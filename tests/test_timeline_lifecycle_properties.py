@@ -22,6 +22,7 @@ from spark_hudi_etl_pipeline_spark.operators.timeline import (
     compact_timeline,
     compaction_instants,
     delete_savepoint,
+    maybe_compact,
     read_as_of,
     read_realtime,
     restore_to,
@@ -42,6 +43,7 @@ OPS = st.lists(
         st.tuples(st.just("release"), st.integers(min_value=0, max_value=9)),
         st.tuples(st.just("compact"), st.integers(min_value=0, max_value=9)),
         st.tuples(st.just("clean"), st.integers(min_value=1, max_value=3)),
+        st.tuples(st.just("maybe"), st.integers(min_value=1, max_value=3)),
         st.tuples(st.just("rollback"), st.just(0)),
         st.tuples(st.just("restore"), st.integers(min_value=0, max_value=9)),
     ),
@@ -103,6 +105,20 @@ class Model:
         }
         self.bases.append(eff)
         self.bases.sort()
+        return eff
+
+    def maybe(self, max_deltas):
+        inst = self.instants()
+        tail = [t for t in inst if not self.bases or t > self.bases[-1]]
+        if len(tail) <= max_deltas:
+            return None
+        eff = tail[-1]
+        pins = sorted(self.pins)
+        if pins and pins[0] < eff:
+            eff = pins[0]
+        if self.bases and eff <= self.bases[-1]:
+            return None
+        self.compact(eff)
         return eff
 
     def clean(self, retain):
@@ -194,6 +210,12 @@ def test_lifecycle_ops_match_model(spark, tmp_path, ops):
             )
             expected = m.clean(arg)
             assert got == expected, f"clean({arg}): {got} != {expected}"
+        elif kind == "maybe" and inst:
+            got = maybe_compact(
+                spark, path, KEYS, PRE, max_deltas=arg, delete_col="deleted"
+            )
+            expected = m.maybe(arg)
+            assert got == expected, f"maybe({arg}): {got} != {expected}"
         elif kind == "rollback" and inst:
             try:
                 expected = m.rollback()
