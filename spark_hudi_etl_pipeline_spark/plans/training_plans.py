@@ -1449,10 +1449,9 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_TARGET = ("src0", "src1")
 
-
-@query(
-    "dsir_importance_weights",
-    oracle=f"""
+#: Shared CTE chain producing the per-raw-doc weight relation ``w`` —
+#: the weights query selects it directly; the resampling query ranks it.
+_DSIR_CTES = f"""
 WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
 bi AS (
   SELECT doc_id, source,
@@ -1472,14 +1471,22 @@ lp AS (
          CAST(floor((ln((ct + 1.0) / (tot.nt + tot.v))
                    - ln((cr + 1.0) / (tot.nr + tot.v))) * 10000) AS BIGINT) AS c
   FROM stats, tot
-)
-SELECT bi.doc_id,
-       count(*) AS n_bigrams,
-       CAST(sum(lp.c) AS BIGINT) AS weight_q
-FROM bi JOIN lp USING (g)
-WHERE bi.source NOT IN ('src0', 'src1')
-GROUP BY bi.doc_id
-ORDER BY bi.doc_id
+),
+w AS (
+  SELECT bi.doc_id,
+         count(*) AS n_bigrams,
+         CAST(sum(lp.c) AS BIGINT) AS weight_q
+  FROM bi JOIN lp USING (g)
+  WHERE bi.source NOT IN ('src0', 'src1')
+  GROUP BY bi.doc_id
+)"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=_DSIR_CTES
+    + """
+SELECT doc_id, n_bigrams, weight_q FROM w ORDER BY doc_id
 """,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,4 +1748,69 @@ def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR resampling — the paper's SELECTION step executed: sample-without-
+# replacement proportional to exp(importance weight) via the Gumbel
+# top-k rule (key = log-weight + Gumbel noise; take the k largest).
+# The Gumbel draw is DETERMINISTIC and engine-portable: u = (md5-hash32
+# of the doc id + 0.5) / 2^32, g = -ln(-ln(u)) — both engines compute
+# identical IEEE doubles from identical integers, and the key is 1e6
+# fixed-point-quantized before ranking so the order (doc_id tie-break)
+# is exact. Scale shape: the weight relation is O(raw docs); selection
+# is TakeOrderedAndProject (per-partition heaps) — no global sort.
+# --------------------------------------------------------------------------
+
+_DSIR_K = 64
+
+
+@query(
+    "dsir_resample_topk",
+    oracle=_DSIR_CTES
+    + f"""
+, keyed AS (
+  SELECT doc_id, weight_q,
+         CAST(floor((weight_q / 10000.0
+             - ln(-ln((CAST(('0x' || substring(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 0.5) / 4294967296.0))) * 1000000)
+              AS BIGINT) AS key_q
+  FROM w
+),
+ranked AS (
+  SELECT doc_id, weight_q, key_q,
+         row_number() OVER (ORDER BY key_q DESC, doc_id) AS rnk
+  FROM keyed
+)
+SELECT doc_id, weight_q, key_q, rnk FROM ranked
+WHERE rnk <= {_DSIR_K} ORDER BY rnk
+""",
+)
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = dsir_importance_weights(spark, sf_dir).select("doc_id", "weight_q")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key_q = (
+        F.floor(
+            (F.col("weight_q") / 10000.0 - F.log(-F.log(u))) * 1000000
+        ).cast("long")
+    )
+    keyed = w.withColumn("key_q", key_q)
+    top = keyed.orderBy(F.desc("key_q"), F.asc("doc_id")).limit(_DSIR_K)
+    return (
+        top.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("key_q"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "weight_q", "key_q", "rnk")
+        .orderBy("rnk")
     )
