@@ -109,12 +109,21 @@ def main() -> None:
         sf_num: float | str = float(sf)
     except ValueError:
         sf_num = sf
+    # The last three queries are the round-5 lifecycle additions; the
+    # first 19 are the suite every earlier round measured — report both
+    # walls so cross-round comparisons stay apples-to-apples after the
+    # suite expansion.
+    core = [n for n in HEADLINE[:19]]
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_sec",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "core19_sec": round(sum(timings[n] for n in core), 3),
+                "lifecycle_sec": round(
+                    sum(t for n, t in timings.items() if n not in core), 3
+                ),
                 "queries": timings,
                 "sf": sf_num,
             }

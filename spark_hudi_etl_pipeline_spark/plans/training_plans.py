@@ -1814,3 +1814,73 @@ def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "weight_q", "key_q", "rnk")
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Fill-forward imputation (LOCF — last observation carried forward): the
+# missing-value repair step of a telemetry/feature pipeline. Missingness
+# is planted deterministically (value whose integer part ≡ 0 mod 7 →
+# NULL) so both engines see identical holes; the fill is one
+# per-key ordered window with IGNORE NULLS — partitioned by user, so no
+# single-partition funnel at any scale. Output aggregates per user
+# (events are ~10⁴ rows/user-day at 100 TB; the per-user roll-up is the
+# realistic report grain) with the filled sum 1e2 fixed-point quantized.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_fill_forward",
+    oracle="""
+WITH nulled AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(value) AS INT) % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+),
+filled AS (
+  SELECT user_id, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+  FROM nulled
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulled,
+       CAST(sum(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfilled,
+       CAST(sum(CASE WHEN f IS NOT NULL THEN CAST(floor(f * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sum_filled_q
+FROM filled GROUP BY user_id ORDER BY user_id
+""",
+)
+def events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    v = F.when(
+        F.floor("value").cast("int") % 7 == 0, F.lit(None)
+    ).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = e.withColumn("v", v).withColumn(
+        "f", F.last("v", ignorenulls=True).over(w)
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_nulled"),
+            F.sum(F.when(F.col("f").isNull(), 1).otherwise(0)).alias("n_unfilled"),
+            F.sum(
+                F.when(
+                    F.col("f").isNotNull(),
+                    F.floor(F.col("f") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("sum_filled_q"),
+        )
+        .orderBy("user_id")
+    )
