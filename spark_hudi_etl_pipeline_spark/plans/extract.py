@@ -237,3 +237,71 @@ def extract_with_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("processing_date", scalars.processing_date())
         .withColumn("load_timestamp", scalars.load_timestamp())
     )
+
+
+# --------------------------------------------------------------------------
+# Pipeline-health rollup — the reference README's "Monitoring & Alerting
+# Foundation" metrics (success/failure rates, processing-time trends,
+# throughput) as one aggregation over the audit-log shape
+# (reference README.md:139-152; log schema :150-199). Events stand in
+# for the log exactly as in status_report_window: purchase ≡ success
+# run, error ≡ failed run, value ≡ processing seconds. Success rate is
+# 1e6 fixed-point; the day-over-day trend is a lag window over the
+# BOUNDED day relation (#calendar days — no full-relation funnel).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_health_rollup",
+    oracle="""
+WITH runs AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok,
+         value
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+daily AS (
+  SELECT day,
+         CAST(sum(ok) AS BIGINT) AS n_success,
+         CAST(sum(1 - ok) AS BIGINT) AS n_failure,
+         CAST(floor(sum(ok) * 1000000.0 / count(*)) AS BIGINT) AS success_rate_q,
+         CAST(floor(sum(CASE WHEN ok = 1 THEN value ELSE 0 END) * 100) AS BIGINT)
+           AS proc_sec_q
+  FROM runs GROUP BY day
+)
+SELECT day, n_success, n_failure, success_rate_q, proc_sec_q,
+       success_rate_q
+         - lag(success_rate_q) OVER (ORDER BY day) AS rate_delta_q
+FROM daily ORDER BY day
+""",
+)
+def pipeline_health_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    runs = e.filter(F.col("event_type").isin("purchase", "error")).select(
+        F.to_date("ts").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ok"),
+        "value",
+    )
+    daily = runs.groupBy("day").agg(
+        F.sum("ok").alias("n_success"),
+        F.sum(1 - F.col("ok")).alias("n_failure"),
+        F.floor(F.sum("ok") * 1000000.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("success_rate_q"),
+        F.floor(
+            F.sum(F.when(F.col("ok") == 1, F.col("value")).otherwise(0)) * 100
+        )
+        .cast("long")
+        .alias("proc_sec_q"),
+    )
+    # Bounded relation: one row per calendar day.
+    w = Window.orderBy("day")
+    return (
+        daily.withColumn(
+            "rate_delta_q",
+            F.col("success_rate_q") - F.lag("success_rate_q").over(w),
+        )
+        .orderBy("day")
+    )
