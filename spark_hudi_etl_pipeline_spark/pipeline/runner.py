@@ -182,3 +182,34 @@ def scheduled_run(spark: SparkSession, config: PipelineConfig) -> bool:
         return True
     except Exception:
         return False
+
+
+def run_with_retries(
+    spark: SparkSession,
+    config: PipelineConfig,
+    *,
+    max_attempts: int = 3,
+    backoff_seconds: float = 0.0,
+) -> PipelineResult:
+    """Bounded-retry wrapper around :func:`run_pipeline` — the reference
+    README's "error handling and retry logic" (README.md:208) made real.
+
+    Retrying a failed run is SAFE by construction: the watermark only
+    advances on a SUCCESS log row, so a retry re-extracts exactly the
+    same incremental window, and the keyed upsert is idempotent (same
+    batch twice converges to the same table — tested in
+    ``test_merge_properties``). Every failed attempt still writes its
+    FAILED runlog row, so the monitoring surface sees each attempt.
+    Raises the final error when ``max_attempts`` are exhausted."""
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    last_exc: Exception | None = None
+    for attempt in range(max_attempts):
+        try:
+            return run_pipeline(spark, config)
+        except Exception as exc:  # noqa: BLE001 — retry any run failure
+            last_exc = exc
+            if attempt + 1 < max_attempts and backoff_seconds > 0:
+                time.sleep(backoff_seconds * (2**attempt))
+    assert last_exc is not None
+    raise last_exc

@@ -209,3 +209,46 @@ def test_reference_api_surface(spark, tmp_path):
                                      show=False)
     assert report.count() >= 2
     assert spark.read.parquet(target).count() == 3  # upsert converged
+
+
+def test_run_with_retries_recovers_and_logs_each_attempt(spark, tmp_path):
+    """Transient failure: first two attempts explode, third succeeds —
+    the wrapper returns the success result, the runlog shows 2 FAILED
+    rows + 1 SUCCESS, and the table holds the batch exactly once."""
+    from spark_hudi_etl_pipeline_spark.pipeline.runner import run_with_retries
+
+    calls = {"n": 0}
+
+    def flaky_transform(df):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            return df.select("no_such_column")
+        return df
+
+    cfg = make_config(
+        spark, tmp_path, [(1, "u1", now_ms(), "a"), (2, "u2", now_ms(), "b")],
+        transform=flaky_transform,
+    )
+    result = run_with_retries(spark, cfg, max_attempts=3)
+    assert result.status == "SUCCESS" and result.records_processed == 2
+    log = spark.read.parquet(cfg.log_path)
+    statuses = sorted(r["status"] for r in log.collect())
+    assert statuses == ["FAILED", "FAILED", "SUCCESS"]
+    assert spark.read.parquet(cfg.target_path).count() == 2
+
+
+def test_run_with_retries_exhausts_and_raises(spark, tmp_path):
+    from spark_hudi_etl_pipeline_spark.pipeline.runner import run_with_retries
+
+    def always_fails(df):
+        return df.select("no_such_column")
+
+    cfg = make_config(
+        spark, tmp_path, [(1, "u1", now_ms(), "a")], transform=always_fails
+    )
+    with pytest.raises(Exception):
+        run_with_retries(spark, cfg, max_attempts=2)
+    log = spark.read.parquet(cfg.log_path)
+    assert log.filter(F.col("status") == "FAILED").count() == 2
+    with pytest.raises(ValueError):
+        run_with_retries(spark, cfg, max_attempts=0)
