@@ -7,7 +7,13 @@ from .runlog import (
     get_pipeline_status,
     write_log_entry,
 )
-from .runner import PipelineConfig, PipelineResult, run_pipeline
+from .runner import (
+    PipelineConfig,
+    PipelineResult,
+    run_pipeline,
+    run_with_retries,
+    scheduled_run,
+)
 
 __all__ = [
     "LOG_SCHEMA",
@@ -16,5 +22,7 @@ __all__ = [
     "get_last_run_timestamp",
     "get_pipeline_status",
     "run_pipeline",
+    "run_with_retries",
+    "scheduled_run",
     "write_log_entry",
 ]
