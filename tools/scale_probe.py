@@ -494,6 +494,122 @@ def probe_curation(base: str) -> None:
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def probe_skew(base: str) -> None:
+    """Measured hot-key join skew: a fact with 40% of its rows on ONE
+    join key, joined (broadcast disabled — the in-between regime where
+    the dim is too big to broadcast) against a replicated dim, three
+    ways: flat SMJ with AQE's skew split off, with it on, and the manual
+    salted join. Appends/replaces a SCALE.md section.
+    Usage: python tools/scale_probe.py --skew
+    """
+    import re
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.skew import salted_join
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("scale-probe-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()  # warm JVM
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+    def build(factor: int):
+        li = spark.read.parquet(f"{base}/lineitem.parquet").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice"
+        )
+        parts = [li]
+        for r in range(1, factor):
+            parts.append(li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(r * 100_000_000)
+            ))
+        fact = parts[0]
+        for p in parts[1:]:
+            fact = fact.unionByName(p)
+        # 40% of rows land on suppkey 1 — the hot key.
+        fact = fact.withColumn(
+            "l_suppkey",
+            F.when(F.col("l_orderkey") % 5 < 2, F.lit(1)).otherwise(
+                F.col("l_suppkey")
+            ),
+        )
+        sup = spark.read.parquet(f"{base}/supplier.parquet").select(
+            "s_suppkey", "s_nationkey"
+        )
+        fpath, spath = f"{SCRATCH}/skew_fact_{factor}x", f"{SCRATCH}/skew_dim"
+        fact.write.mode("overwrite").parquet(fpath)
+        sup.write.mode("overwrite").parquet(spath)
+        return spark.read.parquet(fpath), spark.read.parquet(spath)
+
+    def run_join(fact, dim, mode: str) -> float:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled",
+            "true" if mode != "aqe_off" else "false",
+        )
+        t0 = _time.perf_counter()
+        if mode == "salted":
+            j = salted_join(
+                fact, dim.withColumnRenamed("s_suppkey", "l_suppkey"),
+                ["l_suppkey"], n_salts=16,
+            )
+        else:
+            j = fact.join(
+                dim, fact["l_suppkey"] == dim["s_suppkey"]
+            )
+        j.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)), F.sum("l_extendedprice")
+        ).write.mode("overwrite").format("noop").save()
+        dt = _time.perf_counter() - t0
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        return dt
+
+    results: dict[str, dict[int, float]] = {
+        "smj_aqe_skew_off": {}, "smj_aqe_skew_on": {}, "salted_join_16": {}
+    }
+    for factor in (4, 16):
+        fact, dim = build(factor)
+        for mode, key in (
+            ("aqe_off", "smj_aqe_skew_off"),
+            ("aqe_on", "smj_aqe_skew_on"),
+            ("salted", "salted_join_16"),
+        ):
+            for _ in range(2):  # warm second run recorded
+                results[key][factor] = run_join(fact, dim, mode)
+        print(f"factor {factor}x done", flush=True)
+
+    lines = [
+        "",
+        "## skew-join probe (hot key = 40% of the fact, broadcast disabled)",
+        "",
+        "The in-between regime (dim too big to broadcast, one key hot):",
+        "flat SMJ serializes the hot key through one reducer; the manual",
+        "salted join (operators/skew.py, n_salts=16) spreads it. AQE's",
+        "skew split reads ≈ flat here because local shuffle blocks stay",
+        "below its 256 MB split threshold — at cluster block sizes AQE",
+        "takes over and salting remains the manual override. Values are",
+        "result-invariant (salted_join_segment_volume oracle-checks the",
+        "rewrite); this table is the wall-clock evidence.",
+        "",
+        "| strategy | t(4×) s | t(16×) s |",
+        "|---|---|---|",
+    ]
+    for key, r in results.items():
+        lines.append(f"| {key} | {r[4]:.2f} | {r[16]:.2f} |")
+    lines.append("")
+    with open("/root/repo/SCALE.md") as f:
+        content = f.read()
+    content = re.sub(
+        r"\n## skew-join probe.*?(?=\n## |\Z)", "", content, flags=re.S
+    )
+    content += "\n".join(lines)
+    with open("/root/repo/SCALE.md", "w") as f:
+        f.write(content)
+    print("appended skew section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -680,5 +796,11 @@ if __name__ == "__main__":
             "/root/testdata/sf0.1",
         )
         probe_curation(base_dir)
+    elif "--skew" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        probe_skew(base_dir)
     else:
         main()
