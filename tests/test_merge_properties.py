@@ -341,3 +341,40 @@ def test_partial_update_matches_model(spark, existing, batch):
             model[k] = (v, p if p is not None else cur[1])
     got = {r["k"]: (r["v"], r["payload"]) for r in out.collect()}
     assert got == model
+
+
+@given(
+    target=st.lists(ROW, min_size=0, max_size=15),
+    source=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=-5, max_value=99),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@_SETTINGS
+def test_merge_into_null_delete_condition_matches_model(spark, target, source):
+    """ANSI MERGE NULL semantics as a property: the delete condition is
+    NULL when s.v == 0 — a NULL condition is NOT satisfied, so the
+    update arm must apply (never a silent delete)."""
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_into
+
+    target = _unique_per_key(target)
+    source = list({k: (k, v, p) for k, v, p in source}.values())
+    out = merge_into(
+        _df(spark, target),
+        _df(spark, source),
+        ["k"],
+        when_matched_update={"v": "s.v", "payload": "s.payload"},
+        when_matched_delete=(
+            "CASE WHEN s.v = 0 THEN CAST(NULL AS BOOLEAN) ELSE s.v < 0 END"
+        ),
+        when_not_matched_insert=True,
+    )
+    got = {(r["k"], r["v"], r["payload"]) for r in out.collect()}
+    # Model identical to _expected_merge_into: sv == 0 hits the NULL
+    # branch which must behave exactly like False (update applies).
+    assert got == _expected_merge_into(target, source)
