@@ -1510,3 +1510,76 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "codec", "width", "height", "feature_checksum")
         .orderBy("media_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT SEMI interval join: "which clicks converted within
+# the hour" WITHOUT materializing the purchase payload — the state-store
+# cost of the semi form is identical to inner (both sides buffered to
+# the watermark bound) but a matched left row emits ONCE regardless of
+# how many right rows match, so the output (and anything downstream)
+# shrinks by the match multiplicity. Oracle = batch EXISTS.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_interval_join_semi",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id AS user_id
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+  )
+ORDER BY click_id
+""",
+)
+def streaming_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_ssjs_{tag}"
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    schema = ev.schema
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+        )
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        F.col("user_id") == F.col("p_user_id"),
+        left_time="click_ts",
+        right_time="purchase_ts",
+        upper="1 HOUR",
+        how="left_semi",
+    )
+    qname = f"stream_ssjs_{tag}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("click_id", "user_id").orderBy("click_id")
