@@ -38,70 +38,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in iteration order. Round-5 window (frozen at round start, BEFORE any new
-# registrations, per COVERAGE.md §Rotation): the 46 queries ADDED in round 4
-# after that round's window was fixed — lifecycle/timeline, MERGE INTO, SCD2,
-# PQ/ADC, BPE, SemDeDup, quality/curation, streaming twins — i.e. every
-# registered query with no CORRECTNESS row in r1-r4 (computed against the
-# four ledgers; 42 oracle-bearing + 4 rows-only-by-design). The remaining 4
-# slots backfill proven greens as cross-round regression canaries. Any query
-# registered later this round appends AFTER the window and rotates in next
-# round. Everything NOT in the window still passes the identical local gate
-# (``tools/oracle_check.py`` runs all of them).
+# in iteration order. Round-6 window (frozen at round start, BEFORE any new
+# registrations, per COVERAGE.md §Rotation): the 10 queries added in round 5
+# after that round's freeze — the only registrations with no CORRECTNESS row
+# in r1-r5 (computed against the five ledgers; all oracle-bearing) — plus 40
+# least-recently-attested proven greens (last driver rows r2/r3) as
+# cross-round regression canaries. Any query registered later this round
+# appends AFTER the window and rotates in next round. Everything NOT in the
+# window still passes the identical local gate (``tools/oracle_check.py``
+# runs all of them).
 PRIORITY_WINDOW: list[str] = [
-    # mid-round-4 batch
-    "dpp_partition_pruned_join",
-    "streaming_chained_rollup",
-    "streaming_interval_join_outer",
-    "wap_publish_clean",
-    "scd2_user_status",
-    "upsert_partial_update",
-    "multimodal_audio_features",  # rows-only by design (binary decode)
-    "multimodal_video_frames",  # rows-only by design (binary decode)
-    "doc_ngram_novelty",
-    "dedup_canonical_by_quality",
-    "timeline_read_optimized",
-    "timeline_realtime_snapshot",
-    "embedding_pq_codes",
-    "knn_pq_adc",
-    "semantic_dedup_semdedup",
-    "quality_model_filter",
-    "bm25_rank_docs",
-    "rolling_7d_active_hll",  # rows-only by design (HLL sketch)
-    "mixture_epoch_plan",
-    "source_contamination_matrix",
-    "quarantine_split_orders",
-    "dataset_card_report",
-    # lifecycle / timeline batch
-    "upsert_global_index",
-    "insert_overwrite_restate",
-    "timeline_restore_savepoint",
-    "timeline_cleaned_read",
-    "bulk_insert_global_sort",
-    "timeline_cdc_incremental",
-    "indexed_point_lookup",
-    "streaming_timeline_ingest",
-    "merge_into_orders",
-    "scd2_point_in_time_join",
-    "incremental_percentile_histogram",
-    "secondary_index_lookup",
-    "timeline_bootstrap_read",
-    "timeline_cdc_images",
-    "timeline_read_with_meta",
-    "timeline_describe_history",
-    "streaming_scd2_enrich",
-    "upsert_record_indexed",
-    "timeline_rollback_read",
-    "recluster_scan_equivalence",
-    "lakehouse_end_to_end",
-    "timeline_auto_compact_read",
-    "bpe_encode_fixed",
-    "bpe_train_merges",  # rows-only by design (merge-order ties)
-    # backfill: proven greens as cross-round regression canaries
-    "q1_pricing_summary",
-    "extract_incremental",
-    "upsert_precombine",
-    "dedup_exact_rows",
+    # round-5 additions never driver-checked (10)
+    "pipeline_health_rollup",
+    "streaming_interval_join_semi",
+    "kmeans_lloyd_int",
+    "streaming_quality_filter",
+    "dsir_importance_weights",
+    "dsir_weights_hashed",
+    "decontaminate_apply",
+    "dsir_resample_topk",
+    "events_fill_forward",
+    "cdc_apply_downstream",
+    # least-recently-attested canaries (last driver row r2/r3)
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "topk_orders_by_price",
+    "rollup_returnflag_linestatus",
+    "cube_status_priority",
+    "window_running_customer_spend",
+    "latest_order_per_customer",
+    "distinct_counts",
+    "set_ops_segments",
+    "q6_revenue_forecast",
+    "q4_late_shipment_priority",
+    "q7_nation_volume",
+    "q10_returned_item_revenue",
+    "q12_priority_class_by_status",
+    "q14_promo_revenue_pct",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_high_balance",
+    "q2_top_supplier_per_nation",
+    "range_join_price_bands",
+    "salted_agg_order_priority",
+    "pivot_status_by_segment",
+    "percentiles_order_price",
+    "stats_lineitem_moments",
+    "string_functions_surface",
+    "unpivot_lineitem_measures",
+    "bag_set_ops_custkeys",
+    "posexplode_doc_tokens",
+    "datetime_functions_surface",
+    "grouping_sets_status_priority",
+    "q8_market_share",
+    "q21_sole_late_supplier",
+    "window_range_frame_spend",
+    "ntile_balance_quartiles",
+    "window_value_functions",
+    "mom_revenue_growth",
+    "q13_customer_distribution",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
 ]
 
 
