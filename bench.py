@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: repetition filters, sequence packing, sliding distinct, constraint
 #: validation, iterative PageRank, plus the lifecycle tier: global-index
 #: upsert, timeline CDC pull, MERGE INTO).
-HEADLINE = [
+#: CORE is the suite every round since r1 has measured — cross-round
+#: wall-clock comparisons (VERDICT.md's core-19 table) depend on this
+#: exact membership, so grow the bench by appending to LIFECYCLE (or a
+#: new named tier), never by inserting into CORE.
+CORE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
@@ -46,10 +50,16 @@ HEADLINE = [
     "rolling_7d_active_users",
     "validate_constraints",
     "pagerank_cust_supp_top20",
+]
+
+#: Lifecycle tier added in round 5 (timed separately as lifecycle_sec).
+LIFECYCLE = [
     "upsert_global_index",
     "timeline_cdc_incremental",
     "merge_into_orders",
 ]
+
+HEADLINE = CORE + LIFECYCLE
 
 
 def main() -> None:
@@ -109,11 +119,7 @@ def main() -> None:
         sf_num: float | str = float(sf)
     except ValueError:
         sf_num = sf
-    # The last three queries are the round-5 lifecycle additions; the
-    # first 19 are the suite every earlier round measured — report both
-    # walls so cross-round comparisons stay apples-to-apples after the
-    # suite expansion.
-    core = [n for n in HEADLINE[:19]]
+    core = CORE
     print(
         json.dumps(
             {

@@ -596,6 +596,33 @@ def embedding_neardup_pairs(
 # --------------------------------------------------------------------------
 
 
+def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint(eager=True)`` plus the persistent-RDD ids it
+    created, so the caller can free them deterministically.
+
+    ``DataFrame.unpersist`` only touches cache-manager entries, not the
+    RDD blocks a local checkpoint pins, so without this an iterative
+    algorithm's executor storage grows one checkpoint per round until
+    driver GC happens to collect the JVM-side Dataset. The id diff
+    assumes no concurrent checkpointing on the same session (true for
+    this repo's drivers); a stray concurrent id would at worst free a
+    recomputable cached RDD early."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    return out, after - before
+
+
+def _free_ckpts(df: DataFrame, ids: set[int]) -> None:
+    """Unpersist the checkpoint RDDs behind ``ids`` (non-blocking)."""
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def _cc_star(
     nodes: DataFrame,
     edges: DataFrame,
@@ -620,14 +647,13 @@ def _cc_star(
     count's growth law.
     """
     node_ids = nodes.select(F.col(id_col).alias("node"))
-    e = (
+    e, e_ids = _ckpt_tracked(
         edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     rounds = 0
     if e.limit(1).count() > 0:
@@ -651,14 +677,13 @@ def _cc_star(
             # Checkpointed because sym1 below consumes e1 TWICE (the
             # union with its swap) — lazy, the large-star join+distinct
             # would execute once per side.
-            e1 = (
+            e1, e1_ids = _ckpt_tracked(
                 large.filter(F.col("a") != F.col("b"))
                 .select(
                     F.least("a", "b").alias("u"),
                     F.greatest("a", "b").alias("v"),
                 )
                 .distinct()
-                .localCheckpoint(eager=True)
             )
             # small-star: m = min(N<(u) ∪ {u}); emit (v, m) for v < u
             # plus (u, m).
@@ -672,14 +697,13 @@ def _cc_star(
             ).unionByName(
                 mins1.select(F.col("u").alias("a"), F.col("m").alias("b"))
             )
-            e2 = (
+            e2, e2_ids = _ckpt_tracked(
                 small.filter(F.col("a") != F.col("b"))
                 .select(
                     F.least("a", "b").alias("u"),
                     F.greatest("a", "b").alias("v"),
                 )
                 .distinct()
-                .localCheckpoint(eager=True)
             )
             # Fixpoint probe in ONE job: both relations are distinct
             # sets, so any symmetric-difference row appears exactly once
@@ -693,7 +717,13 @@ def _cc_star(
                 .count()
                 == 0
             )
-            e = e2
+            # The fixpoint probe above was the last consumer of the
+            # previous round's edge set and of the intermediate e1 —
+            # free their checkpoint blocks now that e2 is materialized,
+            # so executor storage stays O(current edge set) instead of
+            # O(rounds) (advisor finding, round 5).
+            _free_ckpts(e, e_ids | e1_ids)
+            e, e_ids = e2, e2_ids
             if unchanged:
                 converged = True
                 break

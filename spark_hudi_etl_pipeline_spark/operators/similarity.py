@@ -526,6 +526,35 @@ def kmeans_lloyd_quantized(
         ).alias("xq"),
     ).localCheckpoint(eager=True)  # iters+1 passes over the quantized form
 
+    # Overflow guard: dist_q sums d per-dim squares of quantized deltas.
+    # |delta| <= 2*M (M = max |component| * scale), so the worst case is
+    # d*(2M)^2; if that reaches 2^63 Spark (ANSI off for this agg path)
+    # would wrap silently while DuckDB raises — the bit-exact-across-
+    # engines contract breaks exactly where the advisor flagged
+    # (unnormalized inputs with magnitude ≳1e3 at scale=1e6). One cheap
+    # agg over the already-materialized checkpoint; fail loudly with the
+    # fix (lower ``scale``) instead of returning wrapped distances.
+    bound = xq.agg(
+        F.max(
+            F.aggregate(
+                F.transform("xq", lambda v: F.abs(v)),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.greatest(acc, x),
+            )
+        ).alias("m"),
+        F.max(F.size("xq")).alias("d"),
+    ).first()
+    if bound["m"] is not None:
+        worst = 4 * bound["m"] * bound["m"] * bound["d"]
+        if bound["m"] > 2**30 or worst >= 2**63:
+            raise ValueError(
+                "kmeans_lloyd_quantized: quantized components reach "
+                f"|{bound['m']}| over d={bound['d']} dims — the squared-"
+                "L2 accumulator would overflow int64 and engines would "
+                "disagree silently; lower `scale` (components must "
+                f"satisfy d*(2*|x|*scale)^2 < 2^63; got worst case {worst})"
+            )
+
     seed_rows = xq.orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(

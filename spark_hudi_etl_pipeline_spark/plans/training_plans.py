@@ -1449,6 +1449,14 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_TARGET = ("src0", "src1")
 
+#: Platform assumption (audited, not hoped-for): the compared columns
+#: floor a transcendental (ln), and JVM Math.log / DuckDB libm are each
+#: allowed ~1-ulp error, so a pre-floor value essentially ON a
+#: quantization boundary could floor differently across platforms.
+#: tests/test_dsir_gate_robustness.py asserts every pre-floor value in
+#: the fixtures keeps a margin orders of magnitude above that drift
+#: (and that the xxhash64 gram codes are collision-free at gate scale).
+
 #: Shared CTE chain producing the per-raw-doc weight relation ``w`` —
 #: the weights query selects it directly; the resampling query ranks it.
 _DSIR_CTES = f"""

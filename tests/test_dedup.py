@@ -151,6 +151,28 @@ def test_connected_components_long_path(spark):
     assert len(out) == n
 
 
+def test_cc_star_frees_prior_round_checkpoints(spark):
+    """Multi-round star CC must not accumulate one checkpoint's RDD
+    blocks per round (advisor finding, round 5): after the run, the
+    only surviving checkpoint from the loop is the final edge set."""
+    from spark_hudi_etl_pipeline_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id int")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a int, id_b int"
+    )
+    out = connected_components(nodes, edges, id_col="id", max_iterations=15).collect()
+    assert all(r["canonical_id"] == 0 for r in out)
+    leaked = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+    # Final round's e2 (still referenced by the returned plan) is the
+    # one legitimate survivor; a path graph needs ~7 rounds, so the
+    # pre-fix behavior leaves ~14 extra pinned RDDs here.
+    assert len(leaked) <= 1, f"checkpoint RDDs leaked across rounds: {leaked}"
+
+
 def test_leakage_safe_split_atomic_clusters(spark):
     """No near-dup pair may straddle the split boundary, and every doc
     gets exactly one split label."""

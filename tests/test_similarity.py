@@ -343,3 +343,24 @@ def test_kmeans_lloyd_rejects_k_above_corpus(spark):
         kmeans_lloyd_quantized(
             df.filter("vec_id < 0"), id_col="vec_id", k=1, iters=1
         )
+
+
+def test_kmeans_lloyd_rejects_overflow_prone_magnitudes(spark):
+    """Components whose quantized squares could wrap int64 must raise
+    (Spark would wrap silently where DuckDB errors — advisor finding,
+    round 5) instead of returning engine-divergent distances."""
+    import pytest
+
+    from spark_hudi_etl_pipeline_spark.operators.similarity import (
+        kmeans_lloyd_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0e4, 0.0]), (1, [0.0, -2.0e4])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="overflow int64"):
+        kmeans_lloyd_quantized(df, id_col="vec_id", k=2, iters=1, scale=1_000_000)
+    # The advertised fix — lower the scale — makes the same input legal.
+    out = kmeans_lloyd_quantized(df, id_col="vec_id", k=2, iters=1, scale=100)
+    assert sorted(r["cluster_id"] for r in out.collect()) == [0, 1]
