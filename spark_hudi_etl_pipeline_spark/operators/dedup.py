@@ -60,6 +60,79 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def fingerprint_store_ingest(
+    batch: DataFrame,
+    store_table: str,
+    *,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Incremental exact dedup against a persisted fingerprint store —
+    the operational 100-TB shape (reference pipeline_architecture.py's
+    watermark loop :221-224 applied to dedup): each run checks only the
+    NEW batch against an append-only store instead of re-deduping the
+    whole corpus.
+
+    The store is a catalog table bucketed by ``fp_col`` holding one row
+    per fingerprint ever ingested, ``(fp, first_id)`` with ``first_id``
+    = the id that introduced it (ingestion order; smaller id wins within
+    a batch). Ingesting a batch:
+
+    1. within-batch first-occurrence (one groupBy-min on the fp — the
+       batch's only shuffle, and its output partitioning matches the
+       store's bucket spec, so the store-side probe join reads buckets
+       with NO exchange and the corpus-sized store is never reshuffled);
+    2. left-probe the store → per-row verdict ``is_dup`` (fingerprint
+       already in the store, or an earlier id in this batch) and
+       ``canonical_id`` (the store's ``first_id`` if present, else the
+       batch's first occurrence);
+    3. append only the NEW fingerprints to the store (same bucket spec —
+       the store grows by novel content only, stays sorted into the same
+       layout, and the next batch probes it identically).
+
+    The probe result is checkpointed BEFORE the append so verdicts
+    reflect the store as it was when the batch arrived, not after its
+    own fingerprints land.
+    """
+    from ..sources.writers import write_bucketed
+
+    spark = batch.sparkSession
+    exists = spark.catalog.tableExists(store_table)
+    within = batch.groupBy(fp_col).agg(F.min(id_col).alias("_batch_first"))
+    if exists:
+        store = spark.table(store_table).select(
+            fp_col, F.col("first_id").alias("_store_first")
+        )
+        probed = within.join(store, fp_col, "left")
+    else:
+        probed = within.withColumn(
+            "_store_first", F.lit(None).cast("long")
+        )
+    probed = probed.localCheckpoint(eager=True)  # pre-append snapshot
+    new_fps = probed.filter(F.col("_store_first").isNull()).select(
+        F.col(fp_col), F.col("_batch_first").alias("first_id")
+    )
+    write_bucketed(
+        new_fps,
+        store_table,
+        bucket_cols=[fp_col],
+        n_buckets=n_buckets,
+        mode="append" if exists else "overwrite",
+    )
+    return batch.join(probed, fp_col).select(
+        id_col,
+        fp_col,
+        F.coalesce("_store_first", "_batch_first").alias("canonical_id"),
+        (
+            F.col("_store_first").isNotNull()
+            | (F.col(id_col) > F.col("_batch_first"))
+        )
+        .cast("int")
+        .alias("is_dup"),
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -603,3 +603,96 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup against a persisted fingerprint store (the
+# operational 100-TB shape — r5 verdict ask #3): batch 1 seeds the
+# store; batch 2 (with planted cross-batch AND within-batch duplicates)
+# is verdicted against the store only — no full-corpus re-dedup — and
+# the oracle recomputes the expected verdicts from `documents` alone
+# under the same ingestion-order rule.
+# --------------------------------------------------------------------------
+
+#: Batch membership: batch 1 = doc_id % 3 != 0 of the base corpus;
+#: batch 2 = the rest, plus verbatim copies of doc_id<10 at +20000
+#: (duplicates of both store docs and fellow batch-2 docs) and of
+#: doc_id<3 at +30000 (second copies — dup-of-a-dup within the batch).
+_INCR_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 30000 AS doc_id, text FROM documents WHERE doc_id < 3
+)
+"""
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle="WITH "
+    + _INCR_CORPUS_SQL
+    + f""",
+fp AS (SELECT doc_id, md5({NORM_SQL}) AS fp FROM corpus),
+b1 AS (
+  SELECT fp, min(doc_id) AS first1 FROM fp
+  WHERE doc_id < 20000 AND doc_id % 3 <> 0 GROUP BY fp
+),
+b2 AS (
+  SELECT doc_id, fp FROM fp
+  WHERE doc_id >= 20000 OR doc_id % 3 = 0
+),
+m2 AS (SELECT fp, min(doc_id) AS first2 FROM b2 GROUP BY fp)
+SELECT b2.doc_id, b2.fp,
+       COALESCE(b1.first1, m2.first2) AS canonical_id,
+       CAST(CASE WHEN b1.fp IS NOT NULL OR b2.doc_id > m2.first2
+                 THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM b2 LEFT JOIN b1 ON b1.fp = b2.fp JOIN m2 ON m2.fp = b2.fp
+ORDER BY b2.doc_id
+""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental dedup through the persisted store: seed
+    with batch 1, verdict batch 2. Scale shape: the store (corpus-sized
+    at 100 TB) is bucketed by fingerprint and probed with no exchange
+    on its side; only the incoming batch shuffles (once, on the fp)."""
+    import os
+    import re as _re
+
+    from ..functions import text
+
+    tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    tbl = f"fp_store_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # A fresh session's in-memory catalog does not know about a previous
+    # run's managed-table directory, so DROP alone leaves the location
+    # behind and saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = _re.sub(r"^file:/*", "/", wh)
+    shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra1 = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    extra2 = d.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+    )
+    batch1 = d.filter(F.col("doc_id") % 3 != 0)
+    batch2 = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .unionByName(extra1)
+        .unionByName(extra2)
+    )
+
+    def fps(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", text.fingerprint("text").alias("fp"))
+
+    dedup.fingerprint_store_ingest(fps(batch1), tbl)  # seeds the store
+    out = dedup.fingerprint_store_ingest(fps(batch2), tbl)
+    return out.select("doc_id", "fp", "canonical_id", "is_dup").orderBy(
+        "doc_id"
+    )

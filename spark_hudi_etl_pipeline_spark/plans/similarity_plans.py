@@ -698,3 +698,113 @@ def kmeans_lloyd_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_lloyd_quantized(
         emb, id_col="vec_id", vec_col="embedding", k=_KM_K, iters=2
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# IVF incremental maintenance (r5 verdict ask #4): the index is built
+# and evolved ONLY through ivf_upsert — base load (seq 0), an insert
+# batch (seq 1), then an update batch whose replaced embeddings can
+# MOVE between inverted lists (seq 2) — and then probed through the
+# partition-pruned path. The oracle is a from-scratch DuckDB rebuild of
+# the final logical state: a hash match proves two incremental upserts
+# land the index in exactly the state a full rebuild would.
+#
+# Deterministic update rule (both engines can replay it): a vector with
+# vec_id % 16 == 0 gets the embedding of vec_id + 1 (its own if there
+# is no successor). Centroids = the 16 lowest-id BASE vectors with
+# their ORIGINAL embeddings (geometry fixed between rebuilds).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ivf_upsert_probe",
+    oracle=f"""
+WITH repl AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % 16 = 0
+              THEN COALESCE(r.embedding, e.embedding)
+              ELSE e.embedding END AS embedding
+  FROM embeddings e LEFT JOIN embeddings r ON r.vec_id = e.vec_id + 1
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 4 <> 3 ORDER BY vec_id LIMIT 16)
+),
+ca AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_u DESC, centroid_id) AS pr
+  FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           {_cos_u('e.embedding', 'c.cv')} AS cos_u
+    FROM repl e CROSS JOIN cent c)
+),
+c_lists AS (SELECT vec_id AS cid, embedding AS cvec, centroid_id
+            FROM ca WHERE pr = 1),
+q_probes AS (SELECT vec_id AS qid, embedding AS qvec, centroid_id
+             FROM ca WHERE vec_id < 10 AND pr <= 2),
+scored AS (
+  SELECT q.qid, l.cid, round({_cos_u('l.cvec', 'q.qvec')}, 4) AS cosine
+  FROM c_lists l JOIN q_probes q USING (centroid_id)),
+r AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, cid) AS rank
+  FROM scored)
+SELECT qid, cid, cosine, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
+def ivf_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe an IVF index after base load + insert batch + list-moving
+    update batch, all through ivf_upsert; results must equal a full
+    rebuild of the final state (the oracle computes exactly that)."""
+    import os
+    import re as _re
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/ivf_index_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    centroids = similarity.ivf_centroids(
+        base, corpus_id="vec_id", vec_col="embedding", n_centroids=16
+    )
+    similarity.ivf_upsert(
+        spark, path, base, centroids, corpus_id="vec_id", seq=0
+    )
+    batch1 = emb.filter(F.col("vec_id") % 4 == 3)
+    similarity.ivf_upsert(
+        spark, path, batch1, centroids, corpus_id="vec_id", seq=1
+    )
+
+    def replaced(df: DataFrame) -> DataFrame:
+        succ = emb.select(
+            (F.col("vec_id") - 1).alias("vec_id"),
+            F.col("embedding").alias("_succ"),
+        )
+        return (
+            df.join(succ, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(
+                    F.col("vec_id") % 16 == 0,
+                    F.coalesce("_succ", "embedding"),
+                )
+                .otherwise(F.col("embedding"))
+                .alias("embedding"),
+            )
+        )
+
+    batch2 = replaced(emb.filter(F.col("vec_id") % 16 == 0))
+    similarity.ivf_upsert(
+        spark, path, batch2, centroids, corpus_id="vec_id", seq=2
+    )
+
+    queries = replaced(emb.filter(F.col("vec_id") < 10))
+    return similarity.ivf_ann_partitioned(
+        spark, path, queries, centroids,
+        query_id="vec_id", vec_col="embedding", nprobe=2, k=5,
+    )

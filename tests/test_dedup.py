@@ -384,3 +384,69 @@ def test_cc_star_rounds_logarithmic_on_path_graph(spark):
     r64, r512 = rounds_for(64), rounds_for(512)
     # Diameter grows 8x; rounds must stay far below that (log growth).
     assert r64 <= 10 and r512 <= 14 and r512 - r64 <= 5
+
+
+def test_fingerprint_store_ingest_semantics_and_growth(spark):
+    """Incremental dedup store: verdicts follow ingestion order, the
+    store grows by novel fingerprints only, and the probe join leaves
+    the bucketed store side exchange-free (only the incoming batch
+    shuffles)."""
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        fingerprint_store_ingest,
+    )
+
+    tbl = "fp_store_unit"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "doc_id long, fp string"
+        )
+        v1 = {
+            r["doc_id"]: (r["is_dup"], r["canonical_id"])
+            for r in fingerprint_store_ingest(b1, tbl).collect()
+        }
+        # within-batch: 3 duplicates 1 (same fp, larger id)
+        assert v1 == {1: (0, 1), 2: (0, 2), 3: (1, 1)}
+        assert spark.table(tbl).count() == 2  # fps a, b
+
+        b2 = spark.createDataFrame(
+            [(10, "a"), (11, "c"), (12, "c"), (13, "d")],
+            "doc_id long, fp string",
+        )
+        v2 = {
+            r["doc_id"]: (r["is_dup"], r["canonical_id"])
+            for r in fingerprint_store_ingest(b2, tbl).collect()
+        }
+        # 10 dups store-doc 1; 12 dups fellow batch doc 11; 11/13 novel
+        assert v2 == {10: (1, 1), 11: (0, 11), 12: (1, 11), 13: (0, 13)}
+        store = {r["fp"]: r["first_id"] for r in spark.table(tbl).collect()}
+        assert store == {"a": 1, "b": 2, "c": 11, "d": 13}
+
+        # Plan shape: probing the store with a third batch reads the
+        # store's buckets with NO exchange on the store side — only the
+        # incoming batch shuffles. (The batch side may carry a second
+        # exchange when the session's shuffle partition count differs
+        # from the bucket count, as in this 8-partition test session.)
+        b3 = spark.createDataFrame([(20, "a"), (21, "z")], "doc_id long, fp string")
+        within = b3.groupBy("fp").agg(F.min("doc_id").alias("_batch_first"))
+        probe = within.join(
+            spark.table(tbl).select("fp", "first_id"), "fp", "left"
+        )
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = probe._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        # The store scan is the join's right child: the subtree under
+        # its Sort must be a bucketed FileScan with no Exchange.
+        store_side = plan.rsplit("Sort [", 1)[1]
+        assert "Bucketed: true" in store_side, plan
+        assert "Exchange" not in store_side, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

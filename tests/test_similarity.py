@@ -364,3 +364,82 @@ def test_kmeans_lloyd_rejects_overflow_prone_magnitudes(spark):
     # The advertised fix — lower the scale — makes the same input legal.
     out = kmeans_lloyd_quantized(df, id_col="vec_id", k=2, iters=1, scale=100)
     assert sorted(r["cluster_id"] for r in out.collect()) == [0, 1]
+
+
+def test_ivf_upsert_matches_full_rebuild_and_rewrites_only_touched_lists(
+    spark, tmp_path
+):
+    """Two incremental upserts must land the index in exactly the state
+    a full rebuild would (probe-for-probe), and an update batch must
+    rewrite only the list partitions it touches."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.similarity import (
+        ivf_ann_partitioned,
+        ivf_centroids,
+        ivf_upsert,
+    )
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivf_idx")
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    cents = ivf_centroids(
+        base, corpus_id="vec_id", vec_col="embedding", n_centroids=16
+    )
+    ivf_upsert(spark, path, base, cents, corpus_id="vec_id", seq=0)
+    ivf_upsert(
+        spark, path, emb.filter(F.col("vec_id") % 4 == 3), cents,
+        corpus_id="vec_id", seq=1,
+    )
+
+    # Snapshot per-partition max mtime, then upsert a single-vector
+    # update; only its source/target lists may change.
+    def mtimes():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("centroid_id="):
+                full = os.path.join(path, d)
+                out[d] = max(
+                    os.path.getmtime(os.path.join(full, f))
+                    for f in os.listdir(full)
+                )
+        return out
+
+    before = mtimes()
+    time.sleep(1.05)  # mtime granularity
+    upd = emb.filter(F.col("vec_id") == 16).select(
+        "vec_id", F.expr("transform(embedding, x -> -x)").alias("embedding")
+    )
+    ivf_upsert(spark, path, upd, cents, corpus_id="vec_id", seq=2)
+    after = mtimes()
+    changed = {d for d in before if after.get(d) != before[d]}
+    # old list + new list of the flipped vector: at most 2 partitions.
+    assert 1 <= len(changed) <= 2, changed
+
+    # Full-rebuild equivalence: in-memory IVF over the final logical
+    # state with the same centroid table gives identical probe results.
+    final = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 16, F.expr("transform(embedding, x -> -x)")
+        ).otherwise(F.col("embedding")),
+    )
+    queries = final.filter(F.col("vec_id") < 8)
+    got = ivf_ann_partitioned(
+        spark, path, queries, cents, query_id="vec_id", nprobe=2, k=5
+    ).collect()
+    # Full rebuild = one-shot load of the final logical state into a
+    # fresh index under the SAME centroid table, probed identically.
+    path2 = str(tmp_path / "ivf_rebuild")
+    ivf_upsert(spark, path2, final, cents, corpus_id="vec_id", seq=0)
+    want = ivf_ann_partitioned(
+        spark, path2, queries, cents, query_id="vec_id", nprobe=2, k=5
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 8 * 5
