@@ -40,7 +40,8 @@ PRECOMBINE_TIEBREAK = "__precombine_rn"
 
 
 def precombine_batch(
-    batch: DataFrame, keys: list[str], precombine: str
+    batch: DataFrame, keys: list[str], precombine: str,
+    *, salt_buckets: int | None = None,
 ) -> DataFrame:
     """Collapse the batch to one row per key, keeping the row with the
     largest ``precombine`` value (Hudi preCombineField semantics,
@@ -48,7 +49,42 @@ def precombine_batch(
     via a monotonic tiebreak on all columns is avoided on purpose —
     Hudi's own tie behavior is unspecified; we keep the first by file
     order like Hudi's default payload.
+
+    ``salt_buckets=N`` opts into a salted two-phase max-by for hot-key
+    batches (r5 verdict ask #5): phase 1 reduces within ``(keys,
+    salt)``, phase 2 reduces the ≤N survivors per key. Ties on the
+    precombine value break by a row-content hash (a total order, needed
+    so the two-phase result is well-defined); identical to the flat
+    path whenever the precombine value is unique per key.
+
+    MEASURED GUIDANCE (SCALE.md §hot-key upsert probe): leave this OFF
+    on Spark 4 — the engine plans the ``rank<=1`` filter as
+    ``WindowGroupLimit`` Partial/Final, a map-side top-1-per-key
+    reduction BEFORE the shuffle, so a hot key arrives at its reducer
+    already collapsed to ~one row per upstream task and the flat path
+    beat salt_buckets=16 at every probed skew (the salted path pays a
+    second shuffle for protection the engine already provides). The
+    option exists for engines/paths without that rewrite, and because
+    guessing was not acceptable: the probe is how we know.
     """
+    if salt_buckets and salt_buckets > 1:
+        tie = F.xxhash64(*[F.col(c) for c in batch.columns])
+        salt = F.pmod(tie, F.lit(salt_buckets))
+        w1 = Window.partitionBy(*keys, "__salt").orderBy(
+            F.desc(precombine), F.asc("__tie")
+        )
+        w2 = Window.partitionBy(*keys).orderBy(
+            F.desc(precombine), F.asc("__tie")
+        )
+        return (
+            batch.withColumn("__tie", tie)
+            .withColumn("__salt", salt)
+            .withColumn(PRECOMBINE_TIEBREAK, F.row_number().over(w1))
+            .filter(F.col(PRECOMBINE_TIEBREAK) == 1)
+            .withColumn(PRECOMBINE_TIEBREAK, F.row_number().over(w2))
+            .filter(F.col(PRECOMBINE_TIEBREAK) == 1)
+            .drop(PRECOMBINE_TIEBREAK, "__salt", "__tie")
+        )
     w = Window.partitionBy(*keys).orderBy(F.desc(precombine))
     return (
         batch.withColumn(PRECOMBINE_TIEBREAK, F.row_number().over(w))
@@ -101,8 +137,15 @@ def merge_upsert(
     delete_col: str | None = None,
     evolve_schema: bool = False,
     partial_update: bool = False,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Pure-DataFrame upsert: returns the post-merge table contents.
+
+    ``salt_buckets=N`` salts the in-batch precombine window for hot-key
+    batches (see :func:`precombine_batch`); every other stage of the
+    merge is key-unique on both sides, so the window is the only skew
+    surface. The merge result is identical whenever the precombine
+    value is unique per key (ties instead break by row-content hash).
 
     ``existing=None`` models first write. Batch rows always beat existing
     rows with equal precombine values (Hudi upsert overwrite semantics —
@@ -147,7 +190,9 @@ def merge_upsert(
         existing, batch = align_schemas(
             existing, batch, skip=(delete_col,) if delete_col else ()
         )
-    deduped = precombine_batch(batch, keys, precombine)
+    deduped = precombine_batch(
+        batch, keys, precombine, salt_buckets=salt_buckets
+    )
     if existing is None:
         if delete_col is not None:
             deduped = deduped.filter(
