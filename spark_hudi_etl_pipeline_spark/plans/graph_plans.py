@@ -89,6 +89,44 @@ def pagerank_cust_supp_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 BROADCAST_RANK_MAX_NODES = 5_000_000
 
 
+def pagerank_edges(li: DataFrame, o: DataFrame) -> DataFrame:
+    """Degree-annotated undirected edge relation ``(src, dst, d)``,
+    materialized ONCE in the layout the iteration wants.
+
+    Degree is static — attached before the loop so each iteration is a
+    single src-keyed join + dst-keyed fold. The relation is
+    PRE-PARTITIONED on dst and ``persist()``ed (not localCheckpoint — a
+    checkpoint scan forgets its outputPartitioning, an
+    InMemoryTableScan keeps it): on the broadcast-ranks path each
+    iteration is then a map-side BHJ plus a groupBy(dst) whose required
+    distribution the cached layout already satisfies — ZERO shuffle
+    exchanges inside the iteration loop (r5 verdict ask #6; pinned by
+    tests/test_graph.py). The one dst-hash shuffle happens once, at
+    materialization. On the shuffle-ranks path the layout still removes
+    the per-iteration fold exchange (edges shuffle only for the
+    src-keyed join). The cross-job twin of this layout is a catalog
+    table bucketed by dst (sources/writers.py::write_bucketed) — same
+    plan shape, survives process restarts."""
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ed = (
+        e.join(deg, e["src"] == deg["node"])
+        .select("src", "dst", "d")
+        .repartition("dst")
+        .persist()
+    )
+    ed.count()  # materialize the cached, dst-partitioned edge relation
+    return ed
+
+
 def pagerank_ranks(
     li: DataFrame,
     o: DataFrame,
@@ -122,26 +160,7 @@ def pagerank_ranks(
     the arithmetic)."""
     if checkpoint_every is not None and checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
-    e0 = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey").cast("long") * 2).alias("src"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    e = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    # Degree is static — attach it to the edge list ONCE, so each
-    # iteration is a single src-keyed join + dst-keyed fold (the edge
-    # relation keeps its partitioning across iterations).
-    ed = e.join(deg, e["src"] == deg["node"]).select("src", "dst", "d")
-    # The degree-annotated edge list is consumed once per iteration;
-    # without materialization the lazy plan recomputes the orders⋈lineitem
-    # distinct + degree agg ``iters`` times. Same persist point as the
-    # LSH banding (operators/dedup.py) — at cluster scale this is
-    # persist(MEMORY_AND_DISK) on the co-partitioned edge relation.
-    ed = ed.localCheckpoint(eager=True)
+    ed = pagerank_edges(li, o)
     # (node, degree) and the node count both come from the MATERIALIZED
     # edges — one cheap shuffle each, never a replay of the build join.
     nodes = ed.select(F.col("src").alias("node"), "d").distinct()
