@@ -38,68 +38,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in iteration order. Round-6 window (frozen at round start, BEFORE any new
-# registrations, per COVERAGE.md §Rotation): the 10 queries added in round 5
+# in iteration order. Round-7 window (frozen at round start, BEFORE any new
+# registrations, per COVERAGE.md §Rotation): the 2 queries added in round 6
 # after that round's freeze — the only registrations with no CORRECTNESS row
-# in r1-r5 (computed against the five ledgers; all oracle-bearing) — plus 40
-# least-recently-attested proven greens (last driver rows r2/r3) as
-# cross-round regression canaries. Any query registered later this round
-# appends AFTER the window and rotates in next round. Everything NOT in the
-# window still passes the identical local gate (``tools/oracle_check.py``
-# runs all of them).
+# in r1-r6 (computed against the six ledgers; both oracle-bearing) — plus the
+# 48 least-recently-attested proven greens (last driver rows r3, plus the 5
+# oldest r4 rows) as cross-round regression canaries. Any query registered
+# later this round appends AFTER the window and rotates in next round.
+# Everything NOT in the window still passes the identical local gate
+# (``tools/oracle_check.py`` runs all of them).
 PRIORITY_WINDOW: list[str] = [
-    # round-5 additions never driver-checked (10)
-    "pipeline_health_rollup",
-    "streaming_interval_join_semi",
-    "kmeans_lloyd_int",
-    "streaming_quality_filter",
-    "dsir_importance_weights",
-    "dsir_weights_hashed",
-    "decontaminate_apply",
-    "dsir_resample_topk",
-    "events_fill_forward",
-    "cdc_apply_downstream",
-    # least-recently-attested canaries (last driver row r2/r3)
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "topk_orders_by_price",
-    "rollup_returnflag_linestatus",
-    "cube_status_priority",
-    "window_running_customer_spend",
-    "latest_order_per_customer",
-    "distinct_counts",
-    "set_ops_segments",
-    "q6_revenue_forecast",
-    "q4_late_shipment_priority",
-    "q7_nation_volume",
-    "q10_returned_item_revenue",
-    "q12_priority_class_by_status",
-    "q14_promo_revenue_pct",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_high_balance",
-    "q2_top_supplier_per_nation",
-    "range_join_price_bands",
-    "salted_agg_order_priority",
-    "pivot_status_by_segment",
-    "percentiles_order_price",
-    "stats_lineitem_moments",
-    "string_functions_surface",
-    "unpivot_lineitem_measures",
-    "bag_set_ops_custkeys",
-    "posexplode_doc_tokens",
-    "datetime_functions_surface",
-    "grouping_sets_status_priority",
-    "q8_market_share",
-    "q21_sole_late_supplier",
-    "window_range_frame_spend",
-    "ntile_balance_quartiles",
-    "window_value_functions",
-    "mom_revenue_growth",
-    "q13_customer_distribution",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
+    # round-6 additions never driver-checked (2)
+    "dedup_incremental_batch",
+    "ivf_upsert_probe",
+    # least-recently-attested canaries (last driver row r3, then oldest r4)
+    "events_props_map",
+    "collect_statuses_by_segment",
+    "q15_top_supplier",
+    "supplier_pareto_cumshare",
+    "decimal_exact_totals",
+    "q9_profit_by_nation_year",
+    "q11_important_part_value",
+    "q16_supplier_relationship",
+    "q20_majority_supplier",
+    "extract_full_load",
+    "watermark_lookup",
+    "status_report_window",
+    "events_sessionize",
+    "asof_purchase_prior_click",
+    "streaming_tumbling_counts",
+    "multimodal_metadata_prune",
+    "session_window_stats",
+    "streaming_dedup_within_watermark",
+    "streaming_interval_join",
+    "upsert_precombine_delete",
+    "upsert_partition_pruned",
+    "upsert_file_indexed",
+    "streaming_static_enrich",
+    "dedup_exact_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_resolve_canonical",
+    "leakage_safe_split",
+    "incremental_agg_refresh",
+    "snapshot_diff_cdc",
+    "timeline_as_of",
+    "clustered_scan_bands",
+    "train_test_split_hash",
+    "stratified_sample_events",
+    "knn_bruteforce_cosine",
+    "embedding_neardup_blocked",
+    "embedding_centroids",
+    "text_quality_scores",
+    "text_language_id",
+    "text_repetition_filters",
+    "corpus_curation_pipeline",
+    "validate_constraints",
+    "profile_orders",
+    "pagerank_cust_supp_top20",
+    "approx_distinct_customers",
+    "approx_percentiles_price",
+    "salted_join_segment_volume",
+    "recursive_ancestor_walk",
+    "events_json_extract",
 ]
 
 
