@@ -67,6 +67,7 @@ def fingerprint_store_ingest(
     id_col: str = "doc_id",
     fp_col: str = "fp",
     n_buckets: int = 32,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Incremental exact dedup against a persisted fingerprint store —
     the operational 100-TB shape (reference pipeline_architecture.py's
@@ -94,24 +95,48 @@ def fingerprint_store_ingest(
     The probe result is checkpointed BEFORE the append so verdicts
     reflect the store as it was when the batch arrived, not after its
     own fingerprints land.
+
+    Retry semantics (``batch_id``): the store append is eager while the
+    verdict DataFrame is lazy, so a run that fails after the append and
+    is then replayed would — without a batch id — see its OWN
+    fingerprints in the store and mark every row (including the only
+    copy of each document) ``is_dup=1``. Passing a stable ``batch_id``
+    per logical batch makes re-ingestion idempotent: each store row
+    records which batch introduced its fingerprint, and a probe hit
+    from the SAME batch falls back to first-occurrence semantics (the
+    recorded ``first_id`` row comes back ``is_dup=0``, exactly as on
+    the first attempt), while hits from other batches dedup as before.
+    Replays also append nothing (their fingerprints are already
+    present), so the store does not grow on retry. With the default
+    ``batch_id=None`` every store hit is treated as foreign — callers
+    that never retry keep the simple shape, but operational pipelines
+    should pass the watermark/run identifier.
     """
     from ..sources.writers import write_bucketed
 
     spark = batch.sparkSession
+    id_type = batch.schema[id_col].dataType
     exists = spark.catalog.tableExists(store_table)
     within = batch.groupBy(fp_col).agg(F.min(id_col).alias("_batch_first"))
     if exists:
         store = spark.table(store_table).select(
-            fp_col, F.col("first_id").alias("_store_first")
+            fp_col,
+            F.col("first_id").alias("_store_first"),
+            F.col("src_batch").alias("_store_batch"),
         )
         probed = within.join(store, fp_col, "left")
     else:
+        # Seed path: type the null literals to the REAL store schema —
+        # a hardcoded long would make canonical_id's type flip between
+        # the first batch and store-backed batches for non-long ids.
         probed = within.withColumn(
-            "_store_first", F.lit(None).cast("long")
-        )
+            "_store_first", F.lit(None).cast(id_type)
+        ).withColumn("_store_batch", F.lit(None).cast("string"))
     probed = probed.localCheckpoint(eager=True)  # pre-append snapshot
     new_fps = probed.filter(F.col("_store_first").isNull()).select(
-        F.col(fp_col), F.col("_batch_first").alias("first_id")
+        F.col(fp_col),
+        F.col("_batch_first").alias("first_id"),
+        F.lit(batch_id).cast("string").alias("src_batch"),
     )
     write_bucketed(
         new_fps,
@@ -120,14 +145,22 @@ def fingerprint_store_ingest(
         n_buckets=n_buckets,
         mode="append" if exists else "overwrite",
     )
+    hit = F.col("_store_first").isNotNull()
+    same_batch = (
+        F.lit(False)
+        if batch_id is None
+        else F.col("_store_batch").eqNullSafe(F.lit(batch_id))
+    )
+    # Foreign store hit ⇒ dup of the store's first_id. Same-batch hit
+    # (a replay) ⇒ first-occurrence semantics against the RECORDED
+    # first_id. No hit ⇒ within-batch first occurrence wins.
     return batch.join(probed, fp_col).select(
         id_col,
         fp_col,
         F.coalesce("_store_first", "_batch_first").alias("canonical_id"),
-        (
-            F.col("_store_first").isNotNull()
-            | (F.col(id_col) > F.col("_batch_first"))
-        )
+        F.when(hit & same_batch, F.col(id_col) != F.col("_store_first"))
+        .when(hit, F.lit(True))
+        .otherwise(F.col(id_col) > F.col("_batch_first"))
         .cast("int")
         .alias("is_dup"),
     )

@@ -598,6 +598,7 @@ def kmeans_lloyd_quantized(
             )
         ).alias("m"),
         F.max(F.size("xq")).alias("d"),
+        F.count(F.lit(1)).alias("n"),
     ).first()
     if bound["m"] is not None:
         worst = 4 * bound["m"] * bound["m"] * bound["d"]
@@ -608,6 +609,18 @@ def kmeans_lloyd_quantized(
                 "L2 accumulator would overflow int64 and engines would "
                 "disagree silently; lower `scale` (components must "
                 f"satisfy d*(2*|x|*scale)^2 < 2^63; got worst case {worst})"
+            )
+        # Centroid-update path (r6 advisor): SUM(v) over a cluster can
+        # itself overflow int64 — worst case n·M when every row lands in
+        # one cluster. Guard it the same loud way (the mean below is pure
+        # integer division, so 2^53 double precision is NOT a concern —
+        # only the int64 sum is).
+        if bound["n"] * bound["m"] >= 2**63:
+            raise ValueError(
+                "kmeans_lloyd_quantized: a single-cluster component sum "
+                f"could reach {bound['n']}*{bound['m']} >= 2^63 — the "
+                "centroid-update SUM would overflow int64; lower `scale` "
+                "or partition the corpus"
             )
 
     seed_rows = xq.orderBy(id_col).limit(k).collect()
@@ -657,7 +670,11 @@ def kmeans_lloyd_quantized(
             .select(
                 "cluster_id",
                 "dim",
-                F.floor(F.col("s") * 1.0 / F.col("n")).cast("long").alias("c"),
+                # floor(s/n) in PURE integer arithmetic: pmod makes
+                # (s - pmod) exactly divisible, `div` is integral — no
+                # double in the path, so the mean stays exact past 2^53
+                # (the r6 advisor's precision hole in floor(s*1.0/n)).
+                F.expr("(s - pmod(s, n)) div n").alias("c"),
             )
             .collect()  # k·d rows — driver-held centroid state by design
         )

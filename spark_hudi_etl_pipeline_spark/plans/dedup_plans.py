@@ -691,8 +691,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fps(df: DataFrame) -> DataFrame:
         return df.select("doc_id", text.fingerprint("text").alias("fp"))
 
-    dedup.fingerprint_store_ingest(fps(batch1), tbl)  # seeds the store
-    out = dedup.fingerprint_store_ingest(fps(batch2), tbl)
+    dedup.fingerprint_store_ingest(
+        fps(batch1), tbl, batch_id="b1"
+    )  # seeds the store
+    out = dedup.fingerprint_store_ingest(fps(batch2), tbl, batch_id="b2")
     return out.select("doc_id", "fp", "canonical_id", "is_dup").orderBy(
         "doc_id"
     )

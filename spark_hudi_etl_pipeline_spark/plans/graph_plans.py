@@ -134,6 +134,7 @@ def pagerank_ranks(
     *,
     broadcast_ranks: bool | None = None,
     checkpoint_every: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Full rank vector after ``iters`` synchronous iterations — the
     DataFrame-level core (tests check rank-mass conservation on it).
@@ -187,4 +188,15 @@ def pagerank_ranks(
         )
         if checkpoint_every is not None and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    # Take ownership of the persisted edge relation (the r6 advisor's
+    # leak: every invocation pinned another cached copy for the life of
+    # the session). The final rank vector is materialized eagerly — an
+    # O(nodes) checkpoint, the same size the caller was about to compute
+    # anyway — so the edge cache can be freed HERE instead of leaking
+    # (checkpoint RDDs, unlike DF persists, are ContextCleaner-collected
+    # once the result is GC'd). ``materialize=False`` keeps the lazy
+    # recurrence plan for inspection; the caller then owns the cache.
+    if materialize:
+        ranks = ranks.localCheckpoint(eager=True)
+        ed.unpersist()
     return ranks

@@ -450,3 +450,76 @@ def test_fingerprint_store_ingest_semantics_and_growth(spark):
         assert "SortMergeJoin" in plan, plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_fingerprint_store_replay_is_idempotent(spark):
+    """A batch re-ingested with the same batch_id (failed-run replay)
+    gets the SAME verdicts as its first attempt — first occurrences stay
+    is_dup=0 — and the store does not grow (r6 advisor: without a batch
+    id, a replay marked every row dup, including the only copy)."""
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        fingerprint_store_ingest,
+    )
+
+    tbl = "fp_store_replay"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "doc_id long, fp string"
+        )
+        first = {
+            r["doc_id"]: (r["is_dup"], r["canonical_id"])
+            for r in fingerprint_store_ingest(
+                b1, tbl, batch_id="run-1"
+            ).collect()
+        }
+        assert first == {1: (0, 1), 2: (0, 2), 3: (1, 1)}
+        # Replay the identical batch (e.g. the run died after the store
+        # append): verdicts must match attempt 1 bit-for-bit.
+        replay = {
+            r["doc_id"]: (r["is_dup"], r["canonical_id"])
+            for r in fingerprint_store_ingest(
+                b1, tbl, batch_id="run-1"
+            ).collect()
+        }
+        assert replay == first
+        assert spark.table(tbl).count() == 2  # no growth on replay
+
+        # A DIFFERENT batch still dedups against run-1's fingerprints.
+        b2 = spark.createDataFrame([(9, "a")], "doc_id long, fp string")
+        v2 = fingerprint_store_ingest(b2, tbl, batch_id="run-2").collect()
+        assert [(r["is_dup"], r["canonical_id"]) for r in v2] == [(1, 1)]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_fingerprint_store_non_long_id_type_stable(spark):
+    """canonical_id keeps the batch id_col's type on BOTH the seed path
+    and store-backed batches (r6 advisor: the seed path hardcoded a
+    long null and relied on implicit coercion)."""
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        fingerprint_store_ingest,
+    )
+
+    tbl = "fp_store_strid"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        b1 = spark.createDataFrame(
+            [("d1", "a"), ("d2", "a")], "doc_id string, fp string"
+        )
+        out1 = fingerprint_store_ingest(b1, tbl, batch_id="s1")
+        assert dict(out1.dtypes)["canonical_id"] == "string"
+        assert {
+            r["doc_id"]: r["canonical_id"] for r in out1.collect()
+        } == {"d1": "d1", "d2": "d1"}
+        b2 = spark.createDataFrame(
+            [("d9", "a"), ("d9b", "z")], "doc_id string, fp string"
+        )
+        out2 = fingerprint_store_ingest(b2, tbl, batch_id="s2")
+        assert dict(out2.dtypes)["canonical_id"] == "string"
+        assert {
+            r["doc_id"]: (r["is_dup"], r["canonical_id"])
+            for r in out2.collect()
+        } == {"d9": (1, "d1"), "d9b": (0, "d9b")}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
