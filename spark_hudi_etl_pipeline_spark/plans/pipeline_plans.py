@@ -283,7 +283,60 @@ def multimodal_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_features")  # rows-only: pixel decode has no SQL twin
+# The raster framing is deterministic JVM-side byte arithmetic over
+# documents.text, and the decoder's 8×8 mean-pool + checksum are pure
+# integer ops — so the ENTIRE image pipeline has an exact DuckDB twin
+# (r5 verdict ask #7): bytes via hex-pair → lookup-table join, grid
+# cells by index arithmetic, the polynomial checksum via a HUGEINT
+# list_reduce (the 62-bit modulus exceeds int64 mid-fold).
+# Byte extraction stays INSIDE each row as a list comprehension over the
+# row's own hex string — an explode-then-join formulation carries the
+# 1.5-4 KB string through a 768-1024-way row expansion and ran ~60×
+# slower (measured: 57s → 1s for 500 docs).
+_HEX_NIBBLE = (
+    "(ascii(substr(hx, CAST({p} AS INT), 1))"
+    " - CASE WHEN ascii(substr(hx, CAST({p} AS INT), 1)) >= 97"
+    " THEN 87 ELSE 48 END)"
+)
+_HEX_BYTE = f"({_HEX_NIBBLE.format(p='{lo}')} * 16 + {_HEX_NIBBLE.format(p='{hi}')})"
+
+_CHECKSUM_FOLD = (
+    "CAST(list_reduce(f, (a,x) -> "
+    "CAST((CAST(a AS HUGEINT)*1000003 + x) % 4611686018427387904 AS BIGINT)"
+    ") AS BIGINT)"
+)
+
+_IMG_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         rpad(substr(lower(hex(encode(text))),1,1536),1536,'0') AS hx
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    list_transform(range(0,768), i ->
+      {_HEX_BYTE.format(lo="2*i+1", hi="2*i+2")}
+    ) AS bytes
+  FROM raw
+),
+f AS (
+  SELECT doc_id,
+    list_transform(range(0,64), c ->
+      CAST(list_sum(list_transform(range(0,12), m ->
+        bytes[3*(16*(2*(c//8) + m//6) + 2*(c%8) + (m%6)//3) + (m%3) + 1]
+      )) * 1000 // 12 AS BIGINT)
+    ) AS f
+  FROM b
+)
+SELECT doc_id AS media_id, 64 AS feature_dim,
+  {_CHECKSUM_FOLD} AS feature_checksum,
+  'ppm' AS codec, 16 AS width, 16 AS height,
+  array_to_string(f, ',') AS features_csv
+FROM f ORDER BY media_id
+"""
+
+
+@query("multimodal_decode_features", oracle=_IMG_ORACLE)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction through the REAL
     raster decoder: each document's bytes are framed as a valid 16×16
@@ -1431,7 +1484,45 @@ def upsert_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-@query("multimodal_audio_features")  # rows-only: PCM decode has no SQL twin
+# Audio twin of _IMG_ORACLE (r5 verdict ask #7): the 2048-byte PCM data
+# chunk is deterministic byte framing over documents.text, and the
+# decoder's 64-segment energy profile is integer-exact — sample j is
+# little-endian int16 from bytes (2j, 2j+1), segment = 16 samples,
+# feature = floor(Σ|sample| · 1000 / (16·32768)).
+_WAV_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         rpad(substr(lower(hex(encode(text))),1,4096),4096,'0') AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    list_transform(range(0,1024), j ->
+      abs({_HEX_BYTE.format(lo="4*j+1", hi="4*j+2")}
+          + 256*{_HEX_BYTE.format(lo="4*j+3", hi="4*j+4")}
+          - CASE WHEN {_HEX_BYTE.format(lo="4*j+3", hi="4*j+4")} >= 128
+                 THEN 65536 ELSE 0 END)
+    ) AS mags
+  FROM raw
+),
+f AS (
+  SELECT doc_id,
+    list_transform(range(0,64), g ->
+      CAST(list_sum(list_transform(range(0,16), m ->
+        mags[16*g + m + 1]
+      )) * 1000 // 524288 AS BIGINT)
+    ) AS f
+  FROM s
+)
+SELECT doc_id AS media_id, 64 AS feature_dim,
+  {_CHECKSUM_FOLD} AS feature_checksum,
+  'pcm_s16le' AS codec,
+  array_to_string(f, ',') AS energy_profile
+FROM f ORDER BY media_id
+"""
+
+
+@query("multimodal_audio_features", oracle=_WAV_ORACLE)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of multimodal_decode_features, through the REAL WAV
     decoder: each document's bytes become the PCM data chunk of a valid
@@ -1474,7 +1565,39 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_video_frames")  # rows-only: frame decode has no SQL twin
+# Video twin (r5 verdict ask #7): frame k's luma plane is body bytes
+# [384k, 384k+256) (Y4M C420 frame = 256 Y + 128 chroma), the sampled
+# PGM broadcasts gray to 3 channels, so a grid cell over 2×2 pixels is
+# floor(3·Σgray · 1000 / 12); media_id = doc_id·10 + frame_idx.
+_Y4M_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, k.k AS k,
+         rpad(substr(lower(hex(encode(text))),1,1536),1536,'0') AS hx
+  FROM documents, range(2) k(k)
+),
+b AS (
+  SELECT doc_id, k,
+    list_transform(range(0,256), i ->
+      {_HEX_BYTE.format(lo="2*(384*k + i)+1", hi="2*(384*k + i)+2")}
+    ) AS luma
+  FROM raw
+),
+f AS (
+  SELECT doc_id, k,
+    list_transform(range(0,64), c ->
+      CAST(3 * list_sum(list_transform(range(0,4), m ->
+        luma[16*(2*(c//8) + m//2) + 2*(c%8) + (m%2) + 1]
+      )) * 1000 // 12 AS BIGINT)
+    ) AS f
+  FROM b
+)
+SELECT doc_id*10 + k AS media_id, 'pgm' AS codec, 16 AS width, 16 AS height,
+  {_CHECKSUM_FOLD} AS feature_checksum
+FROM f ORDER BY media_id
+"""
+
+
+@query("multimodal_video_frames", oracle=_Y4M_ORACLE)
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video tier end-to-end through the REAL Y4M path: each document's
     bytes become the luma planes of a 2-frame 16×16 Y4M container

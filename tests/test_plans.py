@@ -223,9 +223,6 @@ def test_profile_is_one_pass(spark):
 #: keys, and binary pixel decode — each gets a rows-only driver record.
 ROWS_ONLY_BY_DESIGN = {
     "extract_with_surrogate",
-    "multimodal_decode_features",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_lsh_ann",
