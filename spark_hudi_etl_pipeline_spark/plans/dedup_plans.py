@@ -629,9 +629,11 @@ corpus AS (
 """
 
 
-@query(
-    "dedup_incremental_batch",
-    oracle="WITH "
+#: Shared by the batch query and its streaming twin — the expected
+#: verdicts depend only on the batch-1/batch-2 SPLIT, not on which
+#: execution engine delivered batch 2.
+_INCR_VERDICT_SQL = (
+    "WITH "
     + _INCR_CORPUS_SQL
     + f""",
 fp AS (SELECT doc_id, md5({NORM_SQL}) AS fp FROM corpus),
@@ -650,8 +652,11 @@ SELECT b2.doc_id, b2.fp,
                  THEN 1 ELSE 0 END AS INT) AS is_dup
 FROM b2 LEFT JOIN b1 ON b1.fp = b2.fp JOIN m2 ON m2.fp = b2.fp
 ORDER BY b2.doc_id
-""",
+"""
 )
+
+
+@query("dedup_incremental_batch", oracle=_INCR_VERDICT_SQL)
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-batch incremental dedup through the persisted store: seed
     with batch 1, verdict batch 2. Scale shape: the store (corpus-sized
@@ -697,4 +702,83 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.fingerprint_store_ingest(fps(batch2), tbl, batch_id="b2")
     return out.select("doc_id", "fp", "canonical_id", "is_dup").orderBy(
         "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin of dedup_incremental_batch: the SAME two-batch corpus
+# delivered through REAL Structured Streaming file sources, deduped by a
+# foreachBatch sink against the persisted fingerprint store. Two
+# availableNow runs model the reference's incremental watermark loop —
+# "new data landed, the pipeline ran again" — and the oracle is the
+# identical verdict SQL: batch/streaming parity extended to the dedup
+# tier (verdicts depend only on the batch split, not the engine).
+# --------------------------------------------------------------------------
+
+
+@query("streaming_dedup_store", oracle=_INCR_VERDICT_SQL)
+def streaming_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed run streams batch 1 into the store; the second run streams
+    batch 2 and records per-row verdicts. Scale shape: identical to the
+    batch path (store bucket-probed, only the micro-batch shuffles) —
+    foreachBatch reuses the same operator, so there is one dedup
+    semantic across engines. Store batch ids follow the streaming
+    micro-batch id, so checkpoint-recovery replays are idempotent."""
+    import os
+    import re as _re
+    import shutil
+
+    from ..functions import text
+    from ..streaming.windows import foreach_batch_dedup_store
+    from .lifecycle_plans import _scratch
+
+    tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    tbl = f"fp_store_strm_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = _re.sub(r"^file:/*", "/", wh)
+    shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra1 = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    extra2 = d.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+    )
+    batch1 = d.filter(F.col("doc_id") % 3 != 0)
+    batch2 = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .unionByName(extra1)
+        .unionByName(extra2)
+    )
+
+    def fps(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", text.fingerprint("text").alias("fp"))
+
+    verdicts = _scratch(sf_dir, "strm_dedup_verdicts")
+    for run, (batch, vpath) in enumerate(
+        ((batch1, None), (batch2, verdicts)), start=1
+    ):
+        stage = _scratch(sf_dir, f"strm_dedup_b{run}")
+        chk = _scratch(sf_dir, f"strm_dedup_chk{run}")
+        staged = fps(batch)
+        staged.write.mode("overwrite").parquet(stage)
+        q = (
+            spark.readStream.schema(staged.schema)
+            .parquet(stage)
+            .writeStream.foreachBatch(
+                foreach_batch_dedup_store(
+                    tbl, vpath, run_tag=f"run{run}"
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(verdicts)
+        .select("doc_id", "fp", "canonical_id", "is_dup")
+        .orderBy("doc_id")
     )

@@ -270,3 +270,47 @@ def foreach_batch_timeline_commit(target_path: str, *, base_instant: int = 0):
         commit_append(batch_df.sparkSession, batch_df, target_path, instant)
 
     return apply
+
+
+def foreach_batch_dedup_store(
+    store_table: str,
+    verdict_path: str | None = None,
+    *,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    run_tag: str = "run",
+):
+    """foreachBatch sink: incremental dedup of each micro-batch against
+    the persisted fingerprint store (operators/dedup.py::
+    fingerprint_store_ingest) — the reference's watermark loop
+    (pipeline_architecture.py:221-224) applied to dedup, as a STREAMING
+    stage: only the arriving batch is fingerprinted and probed; the
+    corpus-sized store is bucket-joined, never rescanned or reshuffled.
+
+    The store batch id is ``f"{run_tag}-{batch_id}"`` — Structured
+    Streaming replays a micro-batch under the SAME batch_id after a
+    failure before the checkpoint advanced, so a replayed batch lands on
+    the ingest's idempotent-replay contract: first occurrences keep
+    ``is_dup=0`` and the store does not grow twice.
+
+    ``verdict_path``: optional parquet directory appended with each
+    batch's per-row verdicts ``(id, fp, canonical_id, is_dup)``; when
+    None the sink only maintains the store (the ingest's probe snapshot
+    and store append are eager, so no extra action is needed).
+    """
+    from ..operators.dedup import fingerprint_store_ingest
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        verdicts = fingerprint_store_ingest(
+            batch_df,
+            store_table,
+            id_col=id_col,
+            fp_col=fp_col,
+            batch_id=f"{run_tag}-{batch_id}",
+        )
+        if verdict_path is not None:
+            verdicts.write.mode("append").parquet(verdict_path)
+
+    return apply

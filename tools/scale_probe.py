@@ -167,6 +167,135 @@ def probe_novelty(base: str) -> None:
     print("appended ngram_novelty section to /root/repo/SCALE.md")
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
+def probe_curation_64x(base: str) -> None:
+    """Deep 64× probe for the two curation operators whose scale story
+    previously stopped at 16× (r5 verdict ask #8): SemDeDup with the
+    auto-k default, and large-star/small-star connected components on
+    worst-case (long-diameter) graphs. Appends/replaces a dedicated
+    SCALE.md section. Usage: python tools/scale_probe.py --curation64
+    """
+    import re
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        _cc_star,
+        semantic_dedup,
+    )
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("scale-probe-cur64")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()  # warm JVM
+
+    factors = (1, 16, 64)
+    sd_t: dict[int, float] = {}
+    sd_rows: dict[int, int] = {}
+    cc_t: dict[int, float] = {}
+    cc_rows: dict[int, int] = {}
+    cc_rounds: dict[int, int] = {}
+    for factor in factors:
+        # SemDeDup replicas: dimension-ROTATED (not cloned — verbatim
+        # copies would create replicas² cross-replica near-dup pairs by
+        # construction; rotations are mutually dissimilar, and the 63
+        # distinct rotation offsets cover all 64 replicas exactly once).
+        e_base = spark.read.parquet(f"{base}/embeddings.parquet")
+        e_parts = []
+        for r in range(factor):
+            d = e_base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(r * 100_000_000)
+            )
+            if r:
+                s = r % 63 + 1
+                d = d.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {s + 1}, {64 - s}), "
+                        f"slice(embedding, 1, {s}))"
+                    ),
+                )
+            e_parts.append(d)
+        e = e_parts[0]
+        for p in e_parts[1:]:
+            e = e.unionByName(p)
+        epath = f"{SCRATCH}/emb64_{factor}x"
+        e.write.mode("overwrite").parquet(epath)
+        e = spark.read.parquet(epath)
+        for _ in range(2):  # warm second run recorded
+            t0 = _time.perf_counter()
+            n = (
+                semantic_dedup(
+                    e, "vec_id", "embedding",
+                    target_cluster_size=125, threshold=0.2,
+                )
+                .filter("keep")
+                .count()
+            )
+            sd_t[factor] = _time.perf_counter() - t0
+        sd_rows[factor] = n
+
+        # CC worst case: 512-node PATH components (near-dup chains are
+        # exactly where naive propagation needs O(diameter) rounds) at
+        # 200k/3.2M/12.8M nodes. Star contraction must hold its round
+        # count ~flat while wall time stays ≤ linear.
+        n_nodes = 200_000 * factor
+        nodes = spark.range(n_nodes).select(F.col("id"))
+        edges = (
+            spark.range(n_nodes - 1)
+            .filter((F.col("id") + 1) % 512 != 0)
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            labels, rounds = _cc_star(nodes, edges, "id", 30)
+            n = labels.select("canonical_id").distinct().count()
+            cc_t[factor] = _time.perf_counter() - t0
+        cc_rows[factor] = n
+        cc_rounds[factor] = rounds
+        assert n == (n_nodes + 511) // 512, (n, n_nodes)
+        print(f"factor {factor}x done", flush=True)
+
+    section = [
+        "## curation deep probe (1×/16×/64×, warm second-run times)",
+        "",
+        "SemDeDup runs the auto-k DEFAULT (k = rows/125 ⇒ cluster size —",
+        "the per-cluster GEMM's quadratic unit — stays bounded as the",
+        "corpus grows); replicas are dimension-rotated so the true pair",
+        "count grows linearly. CC runs alternating large-star/small-star",
+        "over worst-case 512-node PATH components: rounds must stay",
+        "~flat (O(log n) regardless of diameter) while wall stays",
+        "≤ linear.",
+        "",
+        "| operator | out @1×/16×/64× | t(1×) s | t(16×) s | t(64×) s "
+        "| t64/t1 | linear ⇒ |",
+        "|---|---|---|---|---|---|---|",
+        f"| semantic_dedup auto-k | {sd_rows[1]}/{sd_rows[16]}/{sd_rows[64]} "
+        f"| {sd_t[1]:.2f} | {sd_t[16]:.2f} | {sd_t[64]:.2f} "
+        f"| {sd_t[64] / sd_t[1]:.1f}× | ≤ 64× |",
+        f"| cc_star 512-path | {cc_rows[1]}/{cc_rows[16]}/{cc_rows[64]} comps "
+        f"| {cc_t[1]:.2f} | {cc_t[16]:.2f} | {cc_t[64]:.2f} "
+        f"| {cc_t[64] / cc_t[1]:.1f}× | ≤ 64× |",
+        "",
+        f"cc_star rounds at 1×/16×/64×: {cc_rounds[1]}/{cc_rounds[16]}/"
+        f"{cc_rounds[64]} — flat round count at 64× node growth is the",
+        "O(log n) contraction bound holding with diameter pinned at 512.",
+        "",
+    ]
+    with open("/root/repo/SCALE.md") as f:
+        content = f.read()
+    content = re.sub(
+        r"## curation deep probe.*?(?=^## |\Z)",
+        "",
+        content,
+        flags=re.S | re.M,
+    ).rstrip() + "\n\n" + "\n".join(section)
+    with open("/root/repo/SCALE.md", "w") as f:
+        f.write(content)
+    print("appended curation 64x section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def probe_lifecycle(base: str) -> None:
     """Focused probe for the round-4 lifecycle/semantic operators:
     timeline CDC (touched-key pruned fold), GLOBAL-index upsert
@@ -903,6 +1032,12 @@ if __name__ == "__main__":
             "/root/testdata/sf0.1",
         )
         probe_lifecycle(base_dir)
+    elif "--curation64" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        probe_curation_64x(base_dir)
     elif "--curation" in sys.argv:
         base_dir = next(
             (a for a in sys.argv[1:] if not a.startswith("--")),
