@@ -474,6 +474,27 @@ def pq_encode(
     return out
 
 
+def _adc_table(
+    qvec: list[float], codebook: list[list[list[float]]]
+) -> list[list[float]]:
+    """Per-query ADC lookup table: query→codeword squared distances per
+    subspace, accumulated left-to-right (the exact chain the SQL oracle
+    replays)."""
+    n_sub = len(codebook)
+    sub_dim = len(codebook[0][0])
+    tbl = []
+    for s in range(n_sub):
+        row = []
+        for cw in codebook[s]:
+            d = 0.0
+            for j in range(sub_dim):
+                t = float(qvec[s * sub_dim + j]) - cw[j]
+                d = d + t * t
+            row.append(d)
+        tbl.append(row)
+    return tbl
+
+
 def pq_adc_topk(
     coded: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -495,24 +516,10 @@ def pq_adc_topk(
     Output: (qid, cid, adist_q, rank) — adist floor-quantized at 1e-6 so
     the value is integer-stable across engines."""
     n_sub = len(codebook)
-    sub_dim = len(codebook[0][0])
-
-    def table_for(qvec: list[float]) -> list[list[float]]:
-        tbl = []
-        for s in range(n_sub):
-            row = []
-            for cw in codebook[s]:
-                d = 0.0
-                for j in range(sub_dim):
-                    t = float(qvec[s * sub_dim + j]) - cw[j]
-                    d = d + t * t
-                row.append(d)
-            tbl.append(row)
-        return tbl
 
     per_query = []
     for qid, qvec in queries:
-        tbl = table_for(qvec)
+        tbl = _adc_table(qvec, codebook)
         total = None
         for s in range(n_sub):
             lut = F.array(*[F.lit(v) for v in tbl[s]])
@@ -525,6 +532,100 @@ def pq_adc_topk(
         F.col(id_col).alias("cid"),
         F.explode(F.array(*per_query)).alias("q"),
     ).select("q.qid", "cid", "q.ad")
+    w = Window.partitionBy("qid").orderBy(F.asc("ad"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "cid",
+            F.floor(F.col("ad") * 1000000).cast("long").alias("adist_q"),
+            "rank",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the two index tiers COMPOSED, which is
+    the billion-scale ANN layout (FAISS IndexIVFPQ expressed as Spark
+    relational ops): the corpus is assigned to ``n_centroids`` inverted
+    lists and PQ-encoded to ``n_sub`` nibble codes; each query probes
+    only its ``nprobe`` nearest lists and ranks candidates by ADC lookup
+    against its literal distance table.
+
+    Scale shape multiplies the two tiers' savings: the probe prunes the
+    scan to nprobe/n_centroids of the corpus (hive-partition the coded
+    table by centroid_id — ``ivf_write_partitioned`` — and the pruning
+    is PartitionFilters, no list data read at all), and inside a probed
+    list only the 8-byte code columns are touched, never the vectors.
+    At 1B×256d that is (2/16 partitions)·(8 B/vector) ≈ 1/512 of the
+    flat-scan bytes. Queries never shuffle anything: centroid table and
+    ADC tables are driver-held literals (metadata-scale by contract).
+
+    Both stages are seed-free and deterministic, so the full ranking is
+    value-checkable against a SQL oracle (plans/similarity_plans.py).
+    Output: (qid, cid, adist_q, rank), rank 1..k, ADC-distance ties
+    broken by cid.
+    """
+    centroids = ivf_centroids(
+        corpus, corpus_id=corpus_id, vec_col=vec_col, n_centroids=n_centroids
+    )
+    lists = ivf_assign(
+        corpus, centroids, id_col=corpus_id, vec_col=vec_col,
+        out_vec="cv", nprobe=1,
+    ).select(F.col(corpus_id).alias("cid"), "cv", "centroid_id")
+    cb = pq_codebook(corpus, id_col=corpus_id, vec_col=vec_col)
+    coded = pq_encode(lists, cb, vec_col="cv").drop("cv", "probe_rank")
+
+    # Per-query probe lists + vectors: |queries|·nprobe rows driver-held
+    # (same metadata-scale contract as the ADC tables themselves).
+    qrows = ivf_assign(
+        queries, centroids, id_col=query_id, vec_col=vec_col,
+        out_vec="qv", nprobe=nprobe,
+    ).select(F.col(query_id).alias("qid"), "qv", "centroid_id").collect()
+    probes: dict[int, list[int]] = {}
+    qvecs: dict[int, list[float]] = {}
+    for r in qrows:
+        probes.setdefault(r["qid"], []).append(r["centroid_id"])
+        qvecs[r["qid"]] = list(r["qv"])
+
+    per_query = []
+    for qid in sorted(qvecs):
+        tbl = _adc_table(qvecs[qid], cb)
+        total = None
+        for s in range(len(cb)):
+            lut = F.array(*[F.lit(v) for v in tbl[s]])
+            term = F.element_at(lut, F.col(f"pq_{s}") + 1)
+            total = term if total is None else total + term
+        per_query.append(
+            F.struct(
+                F.lit(int(qid)).alias("qid"),
+                total.alias("ad"),
+                F.array(
+                    *[F.lit(int(c)) for c in sorted(probes[qid])]
+                ).alias("pl"),
+            )
+        )
+    scored = (
+        coded.select(
+            "cid", "centroid_id", F.explode(F.array(*per_query)).alias("q")
+        )
+        # The probe filter: at the partitioned layout this predicate is
+        # what prunes list partitions before any code byte is read.
+        .filter(F.array_contains(F.col("q.pl"), F.col("centroid_id")))
+        .select("q.qid", "cid", "q.ad")
+    )
     w = Window.partitionBy("qid").orderBy(F.asc("ad"), F.asc("cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -808,3 +808,106 @@ def ivf_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, queries, centroids,
         query_id="vec_id", vec_col="embedding", nprobe=2, k=5,
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ combined (the billion-scale ANN layout — FAISS IndexIVFPQ as
+# relational ops): probe prunes to nprobe/n_centroids lists AND each
+# candidate costs 8 code bytes instead of the vector. Both stages are
+# seed-free/deterministic, so the oracle replays list assignment, PQ
+# argmin encode, probe selection, and the per-(query, candidate) ADC
+# lookup-sum chain exactly.
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    corpus_cases = "\n           ".join(
+        f"WHEN {s} THEN {_pq_sq_chain(s)}" for s in range(8)
+    )
+    query_cases = "\n           ".join(
+        f"WHEN {s} THEN {_pq_q_chain(s)}" for s in range(8)
+    )
+    chain = "max(CASE WHEN c.s = 0 THEN qd.d END)"
+    for s in range(1, 8):
+        chain = f"({chain} + max(CASE WHEN c.s = {s} THEN qd.d END))"
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+ca AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_u DESC, centroid_id) AS pr
+  FROM (
+    SELECT e.vec_id, c.centroid_id,
+           {_cos_u('e.embedding', 'c.cv')} AS cos_u
+    FROM embeddings e CROSS JOIN cent c)
+),
+cw AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+dists AS (
+  SELECT e.vec_id, t.s, cw.k,
+         CASE t.s
+           {corpus_cases}
+         END AS d
+  FROM embeddings e
+  CROSS JOIN generate_series(0, 7) AS t(s)
+  CROSS JOIN cw
+),
+best AS (
+  SELECT vec_id, s, k,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) AS rn
+  FROM dists
+),
+codes AS (SELECT vec_id, s, k FROM best WHERE rn = 1),
+qd AS (
+  SELECT q.vec_id AS qid, t.s, cw.k,
+         CASE t.s
+           {query_cases}
+         END AS d
+  FROM embeddings q
+  CROSS JOIN generate_series(0, 7) AS t(s)
+  CROSS JOIN cw
+  WHERE q.vec_id < 10
+),
+scored AS (
+  SELECT qd.qid, c.vec_id AS cid, {chain} AS ad
+  FROM codes c
+  JOIN (SELECT vec_id, centroid_id FROM ca WHERE pr = 1) a
+    ON a.vec_id = c.vec_id
+  JOIN (SELECT vec_id AS qid, centroid_id FROM ca
+        WHERE vec_id < 10 AND pr <= 2) qp
+    ON qp.centroid_id = a.centroid_id
+  JOIN qd ON qd.qid = qp.qid AND qd.s = c.s AND qd.k = c.k
+  GROUP BY qd.qid, c.vec_id
+),
+r AS (
+  SELECT qid, cid, ad,
+         row_number() OVER (PARTITION BY qid ORDER BY ad, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid, CAST(floor(ad * 1000000) AS BIGINT) AS adist_q, rank
+FROM r WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+@query("knn_ivfpq_adc", oracle=_ivfpq_oracle())
+def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC top-5: queries (vec_id < 10) probe their 2 nearest of
+    16 inverted lists and rank ONLY those lists' members by 8-lookup ADC
+    sums. Recall vs brute force asserted in tests/test_similarity.py;
+    every surviving distance and rank is value-checked by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        corpus_id="vec_id",
+        query_id="vec_id",
+        vec_col="embedding",
+        n_centroids=16,
+        nprobe=2,
+        k=5,
+    )

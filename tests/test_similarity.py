@@ -518,3 +518,43 @@ def test_kmeans_guard_rejects_overflowing_cluster_sum(spark):
         kmeans_lloyd_quantized(
             df.unionByName(df2), id_col="id", k=1, iters=1, scale=1
         )
+
+
+def test_ivfpq_recall_and_probe_bound(spark, emb):
+    """IVF-PQ top-5: (a) overlaps the exact cosine top-5 at a modest
+    floor (two approximations stacked — probe truncation AND PQ
+    quantization), and (b) every candidate lives in one of the query's
+    2 probed lists (the subset property that makes the partition
+    pruning claim real)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = similarity.ivfpq_adc_topk(
+        emb, queries, corpus_id="vec_id", query_id="vec_id",
+        n_centroids=16, nprobe=2, k=5,
+    ).collect()
+    got_set = {(r["qid"], r["cid"]) for r in got}
+
+    exact = similarity.topk_cosine(
+        emb, queries, corpus_id="vec_id", query_id="vec_id", k=5
+    )
+    exact_set = {(r["qid"], r["cid"]) for r in exact.collect()}
+    recall = len(exact_set & got_set) / len(exact_set)
+    assert recall >= 0.2, f"IVF-PQ recall {recall} below floor"
+
+    centroids = similarity.ivf_centroids(
+        emb, corpus_id="vec_id", vec_col="embedding", n_centroids=16
+    )
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(
+            emb, centroids, id_col="vec_id", vec_col="embedding",
+            out_vec="v", nprobe=1,
+        ).collect()
+    }
+    probed = {}
+    for r in similarity.ivf_assign(
+        queries, centroids, id_col="vec_id", vec_col="embedding",
+        out_vec="v", nprobe=2,
+    ).collect():
+        probed.setdefault(r["vec_id"], set()).add(r["centroid_id"])
+    for qid, cid in got_set:
+        assert assign[cid] in probed[qid], (qid, cid)
