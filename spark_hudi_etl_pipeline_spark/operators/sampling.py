@@ -88,3 +88,42 @@ def hash_stratified_sample(
             F.when(F.col(strata) == value, hex_threshold(frac)).otherwise(threshold)
         )
     return df.filter(bucket < threshold)
+
+
+def weighted_pps_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    *,
+    divisor: int,
+    ipw_col: str = "ipw_q",
+) -> DataFrame:
+    """Deterministic Poisson probability-proportional-to-size sample:
+    row included with p = min(1, weight / divisor), decided by PURE
+    INTEGER comparison u16 · divisor < weight · 65536 (u16 = the row's
+    16-bit md5 bucket) — no floats anywhere in the inclusion rule, so
+    the sample is bit-identical on any engine, partitioning, or run
+    (the mixture-sampling shape: documents drawn ∝ length/token count
+    so the sample's TOKEN budget, not its row count, tracks the corpus).
+
+    Included rows carry the inverse-probability weight
+    ``ipw_col = floor(1e6 · max(1, divisor/weight))`` (fixed-point, the
+    exact-integer Horvitz-Thompson correction a downstream aggregate
+    multiplies by to stay unbiased).
+
+    Scale: a codegen'd filter+project over existing columns — no
+    shuffle, no state, no coordination; composes under any scan and
+    preserves pushdown of neighboring predicates. Weights must be
+    positive integers ≤ ~2^46 (the comparison stays inside int64).
+    """
+    if divisor < 1:
+        raise ValueError("divisor must be >= 1")
+    u16 = F.conv(hash_bucket(F.col(key_col)), 16, 10).cast("long")
+    w = F.col(weight_col).cast("long")
+    kept = df.filter(u16 * F.lit(int(divisor)) < w * F.lit(65536))
+    return kept.withColumn(
+        ipw_col,
+        F.when(w >= divisor, F.lit(1_000_000))
+        .otherwise(F.floor(F.lit(divisor * 1_000_000) / w))
+        .cast("long"),
+    )

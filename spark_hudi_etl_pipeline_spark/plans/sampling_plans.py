@@ -128,3 +128,44 @@ def sample_fixed_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .orderBy("source", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted (probability-proportional-to-size) sampling: documents drawn
+# with p = min(1, length/1500) — the mixture-sampling primitive that
+# makes a sample's TOKEN budget track the corpus (long docs near-surely
+# kept, short ones thinned), with exact-integer Horvitz-Thompson
+# weights attached. The inclusion rule and the ipw are pure integer
+# arithmetic, so the oracle replays them bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weighted_sample_pps",
+    oracle="""
+SELECT doc_id, w, ipw_q FROM (
+  SELECT doc_id, length(text) AS w,
+         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INT) AS BIGINT) AS u16,
+         CASE WHEN length(text) >= 1500 THEN 1000000
+              ELSE (1500 * 1000000) // length(text) END AS ipw_q
+  FROM documents
+  WHERE length(text) > 0
+)
+WHERE u16 * 1500 < w * 65536
+ORDER BY doc_id
+""",
+)
+def weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_pps_sample
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("w"))
+        .filter(F.col("w") > 0)
+    )
+    return (
+        weighted_pps_sample(d, "doc_id", "w", divisor=1500)
+        .select("doc_id", "w", "ipw_q")
+        .orderBy("doc_id")
+    )

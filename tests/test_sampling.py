@@ -106,3 +106,34 @@ def test_fixed_per_source_exact_k_and_stable(spark):
     assert all(len(v) == 10 for v in per_source.values())
     again = {(r["source"], r["doc_id"]) for r in QUERIES["sample_fixed_per_source"](spark, SF_SMALL).collect()}
     assert again == {(r["source"], r["doc_id"]) for r in rows}
+
+
+def test_weighted_pps_partitioning_invariance_and_ipw(spark):
+    """PPS inclusion is a pure row function (same sample under any
+    partitioning) and the fixed-point HT weight is exactly
+    floor(1e6·max(1, D/w))."""
+    from spark_hudi_etl_pipeline_spark.operators.sampling import (
+        weighted_pps_sample,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 700 + 1).alias("w")
+    )
+    a = {
+        (r["k"], r["ipw_q"])
+        for r in weighted_pps_sample(df, "k", "w", divisor=300).collect()
+    }
+    b = {
+        (r["k"], r["ipw_q"])
+        for r in weighted_pps_sample(
+            df.repartition(13, "w"), "k", "w", divisor=300
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    for k, ipw in a:
+        w = k % 700 + 1
+        assert ipw == (1_000_000 if w >= 300 else 300 * 1_000_000 // w)
+    # heavy rows (w >= divisor) are ALWAYS kept: p = 1
+    heavy = {k for k, _ in a if k % 700 + 1 >= 300}
+    expect_heavy = {k for k in range(2000) if k % 700 + 1 >= 300}
+    assert heavy == expect_heavy
