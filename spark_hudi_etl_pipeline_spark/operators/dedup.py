@@ -1085,3 +1085,86 @@ def ngram_novelty(
             F.expr("(1000000 * n_novel) DIV n_shingles").alias("novelty_q"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Verbatim-span dedup (the "substring dedup" of Lee et al., "Deduplicating
+# Training Data Makes Language Models Better"): documents that share an
+# exact normalized character window, caught even when the documents as a
+# WHOLE are dissimilar (a copied paragraph inside otherwise-unique pages
+# — the case whole-document fingerprints and shingle-Jaccard both miss).
+# --------------------------------------------------------------------------
+
+
+def shared_window_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 64,
+    stride: int = 32,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Pairs of documents sharing at least one exact ``window``-char
+    normalized span sampled every ``stride`` chars, with the number of
+    distinct shared spans per pair.
+
+    Shape (the same no-O(n²) discipline as LSH banding): window hashing
+    is MAP-ONLY inside the row (Column.substr with computed offsets —
+    one normalize pass, no per-window row until the explode); the only
+    shuffle keys are (window-hash) for the inverted-index self-join,
+    whose output is bounded by true collisions; buckets over
+    ``max_bucket`` docs (degenerate content — empty/boilerplate spans)
+    are dropped so one hot span cannot go quadratic, exactly like the
+    LSH bucket cap.
+
+    Stride sampling trades recall for cost: a shared span ≥
+    ``window + stride`` chars is ALWAYS caught when the copies align on
+    the stride grid (prefix/suffix copies do); arbitrary-offset copies
+    need stride=1 (the rolling-hash/suffix-array regime — same plan,
+    ``window``× more candidate rows). Production pipelines run
+    stride=window/2 first and escalate survivors.
+    """
+    from ..functions import text
+
+    norm = df.select(
+        F.col(id_col), text.normalize(text_col).alias("__nt")
+    ).withColumn("__len", F.length("__nt"))
+    # sequence(1, len-window+1, stride) IS the stride grid — the stop
+    # bound needs no rounding, and the short-doc guard avoids Spark's
+    # reversed-sequence surprise on stop < 1 (see _gram_starts).
+    starts = F.when(
+        F.col("__len") >= window,
+        F.sequence(F.lit(1), F.col("__len") - window + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (
+        norm.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.md5(
+                        F.col("__nt").substr(
+                            i.cast("int"), F.lit(window)
+                        )
+                    ),
+                )
+            ).alias("wh"),
+        )
+        .distinct()
+    )
+    sized = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("__bn"))
+    bounded = wins.join(
+        F.broadcast(sized.filter(F.col("__bn") > max_bucket)),
+        "wh",
+        "left_anti",
+    )
+    a = bounded.select(F.col(id_col).alias("id_a"), "wh")
+    b = bounded.select(F.col(id_col).alias("id_b"), "wh")
+    return (
+        a.join(b, "wh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("id_a", "id_b")
+    )

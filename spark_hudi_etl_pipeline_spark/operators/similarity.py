@@ -152,6 +152,15 @@ def ivf_assign(
     Map-side: the centroid table (n_centroids rows) broadcasts, so
     assignment is a projection over the corpus — no shuffle of the data
     side. Output: (id, vec, centroid_id, probe_rank).
+
+    The ``nprobe=1`` path (cluster assignment — what SemDeDup's auto-k
+    runs with k ∝ corpus) is argmax-via-partial-agg, NOT a window: the
+    n·k scored rows collapse map-side to one struct per vector before
+    the shuffle, so the exchange carries n rows instead of n·k.
+    Measured at the 64× curation probe this is the difference between
+    the assignment step scaling with n·k (quadratic under k ∝ n) and
+    with n. Tie-breaking (equal cosine → lowest centroid_id) matches
+    the window ordering bit-for-bit — asserted by test_similarity.
     """
     c = F.broadcast(
         centroids.select(
@@ -166,6 +175,22 @@ def ivf_assign(
         "centroid_id",
         vectors.cosine(out_vec, "centroid_vec").alias("__csim"),
     )
+    if nprobe == 1:
+        best = scored.groupBy(id_col).agg(
+            F.max(
+                F.struct(
+                    F.col("__csim").alias("c"),
+                    (-F.col("centroid_id")).alias("nc"),
+                    F.col(out_vec).alias("v"),
+                )
+            ).alias("b")
+        )
+        return best.select(
+            id_col,
+            F.col("b.v").alias(out_vec),
+            (-F.col("b.nc")).alias("centroid_id"),
+            F.lit(1).alias("probe_rank"),
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
     return (
         scored.withColumn("probe_rank", F.row_number().over(w))

@@ -1892,3 +1892,88 @@ def events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM scoring (add-one smoothed): mean ln p(w_i | w_{i-1}) with
+# p = (c(w1 w2) + 1) / (c(w1) + V) — the KenLM-perplexity-shaped filter
+# one tier up from text_unigram_logprob (context-sensitive: word salad
+# with a plausible unigram mix now scores low). One tokenize pass feeds
+# doc bigrams, corpus bigram counts, unigram counts, and V; the bigram
+# count join is the only corpus-keyed shuffle, the unigram/V sides
+# broadcast. Fixed-point floor at 1e-4 keeps ln() engine-exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bigram_lm_score",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+db AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+bi AS (SELECT g, count(*) AS cb FROM db GROUP BY g),
+uni AS (
+  SELECT g AS w, count(*) AS c
+  FROM (SELECT unnest(t) AS g FROM toks) GROUP BY g
+),
+v AS (SELECT count(*) AS v FROM uni)
+SELECT db.doc_id,
+       count(*) AS n_bigrams,
+       CAST(floor(sum(ln((bi.cb + 1) * 1.0 / (uni.c + v.v)))
+                  / count(*) * 10000) AS BIGINT) AS mean_logprob_q
+FROM db
+JOIN bi USING (g)
+JOIN uni ON uni.w = string_split(db.g, ' ')[1], v
+GROUP BY db.doc_id
+ORDER BY db.doc_id
+""",
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    n = F.size("t")
+    db = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _gram_starts(n, 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
+            )
+        ).alias("g"),
+    )
+    bi = db.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
+    uni = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        db.join(bi, "g")
+        .withColumn("w1", F.split("g", " ").getItem(0))
+        .join(F.broadcast(uni), F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.floor(
+                F.sum(
+                    F.log(
+                        (F.col("cb") + 1)
+                        * F.lit(1.0)
+                        / (F.col("c") + F.col("v"))
+                    )
+                )
+                / F.count(F.lit(1))
+                * 10000
+            )
+            .cast("long")
+            .alias("mean_logprob_q"),
+        )
+        .orderBy("doc_id")
+    )

@@ -558,3 +558,48 @@ def test_ivfpq_recall_and_probe_bound(spark, emb):
         probed.setdefault(r["vec_id"], set()).add(r["centroid_id"])
     for qid, cid in got_set:
         assert assign[cid] in probed[qid], (qid, cid)
+
+
+def test_ivf_assign_argmax_path_matches_window(spark, emb):
+    """The nprobe=1 partial-agg argmax must equal the window ranking
+    row-for-row, including cosine ties broken to the lowest centroid."""
+    from pyspark.sql import Window as W
+
+    centroids = similarity.ivf_centroids(
+        emb, corpus_id="vec_id", vec_col="embedding", n_centroids=16
+    )
+    fast = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(
+            emb, centroids, id_col="vec_id", vec_col="embedding",
+            out_vec="v", nprobe=1,
+        ).collect()
+    }
+    c = centroids.select("centroid_id", "centroid_vec")
+    scored = emb.select("vec_id", F.col("embedding").alias("v")).crossJoin(
+        F.broadcast(c)
+    ).select(
+        "vec_id", "centroid_id",
+        vectors.cosine("v", "centroid_vec").alias("s"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("centroid_id"))
+    slow = {
+        r["vec_id"]: r["centroid_id"]
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert fast == slow
+
+    # Synthetic exact tie: two identical centroids — lowest id must win.
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (2, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    got = similarity.ivf_assign(
+        df, cents, id_col="id", vec_col="embedding", out_vec="v", nprobe=1
+    ).collect()
+    assert got[0]["centroid_id"] == 2
