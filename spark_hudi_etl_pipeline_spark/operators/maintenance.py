@@ -22,7 +22,7 @@ lake engine needs at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -296,3 +296,61 @@ def compact_parquet(
         if f.getPath().getName().endswith(".parquet")
     ]
     return n_before, len(files_after)
+
+
+def compaction_plan(
+    files_df: DataFrame,
+    *,
+    partition_col: str = "partition",
+    file_col: str = "file",
+    bytes_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+    small_file_limit: int | None = None,
+) -> DataFrame:
+    """PLAN small-file compaction from a file-stats relation — the
+    metadata-scale scheduling step that precedes :func:`compact_parquet`
+    (Hudi's schedule-compaction/clustering-plan split: planning reads
+    only the file listing; execution rewrites data). Deterministic rule
+    so the plan is value-checkable and stable across runs:
+
+    - only files under ``small_file_limit`` (default: target/2) are
+      candidates — right-sized files are never rewritten;
+    - per partition, candidates ordered (bytes DESC, name) fill bins
+      sequentially: ``bin = (running_sum - bytes) div target`` — the
+      streaming analogue of first-fit-decreasing, one window pass;
+    - bins with a single file are dropped (rewriting one file alone
+      buys nothing).
+
+    Output: one row per planned bin —
+    (partition, bin_id, n_files, bin_bytes, files_csv).
+
+    Scale: everything is windows/aggregates over the FILE LISTING
+    (one row per file — at 100 TB with 128 MB files that is ~800k rows,
+    metadata-scale); windows are partition-bounded, never global.
+    """
+    if small_file_limit is None:
+        small_file_limit = target_bytes // 2
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.desc(bytes_col), F.asc(file_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    small = files_df.filter(F.col(bytes_col) < small_file_limit)
+    binned = small.withColumn(
+        "__cum", F.sum(bytes_col).over(w)
+    ).withColumn(
+        "bin_id",
+        F.expr(f"CAST((__cum - {bytes_col}) div {target_bytes} AS INT)"),
+    )
+    return (
+        binned.groupBy(partition_col, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(bytes_col).alias("bin_bytes"),
+            F.array_join(
+                F.array_sort(F.collect_list(file_col)), ","
+            ).alias("files_csv"),
+        )
+        .filter(F.col("n_files") >= 2)
+        .orderBy(partition_col, "bin_id")
+    )

@@ -1625,3 +1625,60 @@ def cdc_apply_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Compaction PLANNING (Hudi's schedule/execute split): bin-pack small
+# files into target-byte groups per partition, from the file-stats
+# relation alone. The listing here is derived deterministically from
+# orders (one "file" per (order date, status), bytes = 100·rows,
+# partition = month) so the oracle replays the identical plan; the
+# planner against a real filesystem listing is exercised in
+# tests/test_maintenance_plan.py.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "compaction_plan_monthly",
+    oracle="""
+WITH files AS (
+  SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS part,
+         CAST(o_orderdate AS VARCHAR) || '_' || o_orderstatus AS file,
+         count(*) * 100 AS bytes
+  FROM orders GROUP BY 1, 2
+),
+small AS (SELECT * FROM files WHERE bytes < 20000),
+binned AS (
+  SELECT part, file, bytes,
+         CAST((sum(bytes) OVER (PARTITION BY part
+                                ORDER BY bytes DESC, file
+                                ROWS UNBOUNDED PRECEDING) - bytes)
+              // 40000 AS INT) AS bin_id
+  FROM small
+)
+SELECT part, bin_id, count(*) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       array_to_string(list_sort(list(file)), ',') AS files_csv
+FROM binned GROUP BY part, bin_id
+HAVING count(*) >= 2
+ORDER BY part, bin_id
+""",
+)
+def compaction_plan_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import compaction_plan
+
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("part"),
+        F.concat_ws(
+            "_", F.col("o_orderdate").cast("string"), "o_orderstatus"
+        ).alias("file"),
+    ).agg((F.count(F.lit(1)) * 100).alias("bytes"))
+    return compaction_plan(
+        files,
+        partition_col="part",
+        file_col="file",
+        bytes_col="bytes",
+        target_bytes=40000,
+        small_file_limit=20000,
+    )
