@@ -84,3 +84,72 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """FORWARD as-of join: for each left row, attach the ``right_values``
+    of the EARLIEST right row with the same ``on`` key and
+    ``right_ts >= left_ts`` — the mirror of :func:`asof_join` (next
+    reading after an event, first fill after an order, time-to-next-
+    touch attribution). Same union-window shape: one shuffle on the key,
+    linear in input size, no range-join blowup.
+
+    ``tiebreak``: a right column ordering concurrent right rows (equal
+    ``right_ts``) deterministically — pass the right side's id column
+    whenever timestamps can collide; without it Spark picks an arbitrary
+    concurrent row (like any unordered first()).
+    """
+    lcols = left.columns
+    tb = [tiebreak] if tiebreak else []
+    carried_cols = list(dict.fromkeys(right_values + tb))
+    l_tag = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}")
+            for v in carried_cols
+        ],
+    )
+    r_tag = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in on
+        ],
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in carried_cols],
+    ).select(
+        *[c for c in lcols], "__ts", "__side", *[f"__r_{v}" for v in carried_cols]
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # Left rows (__side=0) sort before right rows at equal timestamps, so
+    # a right row at exactly left_ts is visible to that left row (>=);
+    # the optional tiebreak orders concurrent right rows.
+    order = [F.col("__ts").asc(), F.col("__side").asc()] + [
+        F.col(f"__r_{tiebreak}").asc()
+    ] * (1 if tiebreak else 0)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.first(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(v)
+            for v in right_values
+        ],
+    )
+    return carried.filter(F.col("__side") == 0).drop("__side")

@@ -1706,3 +1706,53 @@ def streaming_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname).select("click_id", "user_id").orderBy("click_id")
+
+
+# --------------------------------------------------------------------------
+# FORWARD as-of: for each purchase, the NEXT click of the same user
+# (conversion-to-next-touch). Same union-window scale shape as the
+# backward direction; DuckDB's native ASOF JOIN with a >= condition is
+# the oracle, so both directions are checked against the engine that
+# defines the semantics.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "asof_purchase_next_click",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, round(max(value), 3) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT p.event_id, p.user_id, p.ts, c.click_value, c.ts AS click_ts
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts >= p.ts
+ORDER BY p.event_id
+""",
+)
+def asof_purchase_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.latest import asof_join_forward
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 3).alias("click_value"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    return asof_join_forward(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["click_value", "click_ts"],
+    ).orderBy("event_id")
