@@ -958,6 +958,12 @@ def connected_components(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
 
 
+#: Above this cluster count semantic_dedup switches from flat n·k
+#: assignment to the two-level coarse-quantizer path (n·2√k) — flat is
+#: exact and cheap below it, quadratic-in-corpus above it (k ∝ n).
+TWO_LEVEL_MIN_K = 1024
+
+
 def auto_cluster_count(
     corpus_rows: int, *, target_cluster_size: int = 512
 ) -> int:
@@ -1019,14 +1025,31 @@ def semantic_dedup(
         n_clusters = auto_cluster_count(
             df.count(), target_cluster_size=target_cluster_size
         )
+    from .similarity import ivf_assign_two_level
+
     centroids = ivf_centroids(
         df, corpus_id=id_col, vec_col=vec_col, n_centroids=n_clusters
     )
-    assigned = ivf_assign(
-        df, centroids, id_col=id_col, vec_col=vec_col, out_vec="__v", nprobe=1
-    ).select(
-        F.col(id_col), "__v", F.col("centroid_id").alias("cluster_id")
-    )
+    # Flat assignment is n·k cosines — with the auto-k rule (k ∝ n)
+    # that term is QUADRATIC in corpus size and dominates the 64×
+    # curation probe. Above TWO_LEVEL_MIN_K the coarse-quantizer path
+    # (n·2√k) takes over; below it (tests, oracles, small corpora) the
+    # exact flat argmax runs — same auto-switch pattern as auto-k
+    # itself. Two-level moves only borderline vectors between adjacent
+    # clusters (quality floor asserted in tests/test_similarity.py).
+    if n_clusters > TWO_LEVEL_MIN_K:
+        assigned = ivf_assign_two_level(
+            df, centroids, id_col=id_col, vec_col=vec_col, out_vec="__v"
+        ).select(
+            F.col(id_col), "__v", F.col("centroid_id").alias("cluster_id")
+        )
+    else:
+        assigned = ivf_assign(
+            df, centroids, id_col=id_col, vec_col=vec_col,
+            out_vec="__v", nprobe=1,
+        ).select(
+            F.col(id_col), "__v", F.col("centroid_id").alias("cluster_id")
+        )
     # Assignment feeds three consumers (pairs, the node list, the final
     # join); it is one narrow map over the corpus but each replay would
     # re-run the centroid window — materialize once.

@@ -199,6 +199,109 @@ def ivf_assign(
     )
 
 
+def ivf_assign_two_level(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    out_vec: str,
+) -> DataFrame:
+    """Hierarchical nearest-centroid assignment — the coarse-quantizer
+    trick (FAISS's IVF-on-IVF / SemDeDup-at-scale shape) that breaks the
+    n·k assignment wall when k ∝ corpus makes flat assignment quadratic
+    (measured: the 64× curation probe's superlinear tail is exactly this
+    term). Two stages, each a broadcast crossJoin + partial-agg argmax:
+
+    1. the √k lowest-id centroids act as COARSE representatives; every
+       fine centroid maps to its nearest coarse rep (k·√k work, done on
+       the k-row centroid relation);
+    2. each corpus vector finds its nearest coarse rep (n·√k), then the
+       nearest FINE centroid within that rep's group (n·E[group] ≈
+       n·√k via the broadcast group map).
+
+    Total ≈ n·2√k cosine evaluations instead of n·k — at k = 100k
+    that is ~160× less compute. APPROXIMATE by design: a vector whose
+    true nearest centroid lives in a different coarse group lands in a
+    neighboring cluster instead (same tradeoff as any IVF probe; for
+    SemDeDup this moves borderline vectors between clusters, which the
+    paper's own k-means already does freely between runs). Output
+    matches :func:`ivf_assign` nprobe=1: (id, vec, centroid_id,
+    probe_rank).
+    """
+    cents = centroids.select("centroid_id", "centroid_vec")
+    n_cents = cents.count()
+    n_coarse = max(1, int(n_cents**0.5))
+    coarse = F.broadcast(
+        cents.orderBy("centroid_id")
+        .limit(n_coarse)
+        .select(
+            F.col("centroid_id").alias("coarse_id"),
+            F.col("centroid_vec").alias("coarse_vec"),
+        )
+    )
+
+    def nearest(rel: DataFrame, rid: str, rvec: str, side: DataFrame,
+                sid: str, svec: str, out: str) -> DataFrame:
+        scored = rel.crossJoin(side).select(
+            rid,
+            rvec,
+            F.col(sid),
+            vectors.cosine(rvec, svec).alias("__c"),
+        )
+        best = scored.groupBy(rid).agg(
+            F.max(
+                F.struct(
+                    F.col("__c").alias("c"),
+                    (-F.col(sid)).alias("nc"),
+                    F.col(rvec).alias("v"),
+                )
+            ).alias("b")
+        )
+        return best.select(
+            rid,
+            F.col("b.v").alias(rvec),
+            (-F.col("b.nc")).alias(out),
+        )
+
+    # Fine-centroid → coarse-group map (k rows, broadcast downstream).
+    fine_map = nearest(
+        cents.select(
+            F.col("centroid_id").alias("__fid"),
+            F.col("centroid_vec").alias("__fvec"),
+        ),
+        "__fid", "__fvec", coarse, "coarse_id", "coarse_vec", "coarse_id",
+    ).select("__fid", "__fvec", "coarse_id")
+
+    corpus = df.select(F.col(id_col), F.col(vec_col).alias(out_vec))
+    stage1 = nearest(
+        corpus, id_col, out_vec, coarse, "coarse_id", "coarse_vec",
+        "coarse_id",
+    )
+    # Stage 2: candidates = the vector's coarse group's fine centroids.
+    grouped = stage1.join(F.broadcast(fine_map), "coarse_id").select(
+        id_col,
+        out_vec,
+        "__fid",
+        vectors.cosine(out_vec, "__fvec").alias("__c"),
+    )
+    best = grouped.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__c").alias("c"),
+                (-F.col("__fid")).alias("nc"),
+                F.col(out_vec).alias("v"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        id_col,
+        F.col("b.v").alias(out_vec),
+        (-F.col("b.nc")).alias("centroid_id"),
+        F.lit(1).alias("probe_rank"),
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame, *, corpus_id: str, vec_col: str, n_centroids: int
 ) -> DataFrame:

@@ -779,3 +779,141 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# TF-IDF cosine similarity SEARCH (sparse-vector ANN without an
+# embedding model): top-5 most similar documents per query doc via an
+# inverted-index join on informative terms (df <= 50 — the cap that
+# bounds candidate pairs the way LSH bucket caps do; ubiquitous terms
+# carry no signal and would otherwise make the self-join quadratic).
+# Weights are the fixed-point tf·idf integers the top-terms query
+# already pins, so dot products and norms are exact integers and the
+# final cosine is an identical double expression in both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_similar_docs",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 10000)
+              AS BIGINT) AS w
+  FROM tf JOIN df USING (term), n
+  WHERE df.df <= 50
+),
+wnz AS (SELECT * FROM w WHERE w > 0),
+nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM wnz GROUP BY doc_id),
+dots AS (
+  SELECT q.doc_id AS qid, c.doc_id AS cid, sum(q.w * c.w) AS dot
+  FROM wnz q JOIN wnz c ON q.term = c.term AND q.doc_id <> c.doc_id
+  WHERE q.doc_id < 10
+  GROUP BY q.doc_id, c.doc_id
+),
+scored AS (
+  SELECT d.qid, d.cid,
+         CAST(floor(CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+                    * 10000) AS BIGINT) AS cos_q
+  FROM dots d
+  JOIN nrm a ON a.doc_id = d.qid
+  JOIN nrm b ON b.doc_id = d.cid
+),
+r AS (
+  SELECT qid, cid, cos_q,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_q DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid, cos_q, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
+def tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .filter(F.col("df") <= 50)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * 10000
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    # Weights feed three consumers (norms, query side, corpus side) —
+    # materialize the tokenize+join subtree once.
+    w = w.localCheckpoint(eager=True)
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    q = (
+        w.filter(F.col("doc_id") < 10)
+        .select(
+            F.col("doc_id").alias("qid"), "term", F.col("w").alias("qw")
+        )
+    )
+    dots = (
+        w.join(F.broadcast(q), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", F.col("doc_id").alias("cid"))
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    # Only the QUERY norms broadcast (|queries| rows); the corpus-sized
+    # norm relation joins the candidate side by key like any fact join.
+    scored = (
+        dots.join(
+            F.broadcast(
+                nrm.filter(F.col("doc_id") < 10)
+                .withColumnRenamed("doc_id", "qid")
+                .withColumnRenamed("n2", "qn2")
+            ),
+            "qid",
+        )
+        .join(nrm.withColumnRenamed("doc_id", "cid"), "cid")
+        .select(
+            "qid",
+            "cid",
+            F.floor(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("n2").cast("double"))
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("cos_q"),
+        )
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("cos_q"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )

