@@ -261,7 +261,10 @@ def probe_curation_64x(base: str) -> None:
         "",
         "SemDeDup runs the auto-k DEFAULT (k = rows/125 ⇒ cluster size —",
         "the per-cluster GEMM's quadratic unit — stays bounded as the",
-        "corpus grows); replicas are dimension-rotated so the true pair",
+        "corpus grows) and, above k=256, the two-level coarse-quantizer",
+        "assignment (n·2√k; flat n·k assignment measured 191.6s vs 13.3s",
+        "two-level at 64× — the quadratic term this probe originally",
+        "exposed); replicas are dimension-rotated so the true pair",
         "count grows linearly. CC runs alternating large-star/small-star",
         "over worst-case 512-node PATH components: rounds must stay",
         "~flat (O(log n) regardless of diameter) while wall stays",
