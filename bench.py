@@ -30,6 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: wall-clock comparisons (VERDICT.md's core-19 table) depend on this
 #: exact membership, so grow the bench by appending to LIFECYCLE (or a
 #: new named tier), never by inserting into CORE.
+#:
+#: Cross-round caveat (round 7): pagerank_cust_supp_top20 reads ~2 s
+#: HIGHER than r5/r6 because pagerank_ranks now owns and FREES its
+#: cached edge relation (r6 advisor leak fix) — earlier rounds' passes
+#: 2-3 silently reused the leaked cache and under-reported the honest
+#: per-invocation cost. The iteration plan itself is unchanged
+#: (exchange-free, pinned by tests/test_graph.py).
 CORE = [
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -579,27 +579,47 @@ def pq_encode(
 ) -> DataFrame:
     """Attach per-subspace PQ codes as ``{out_prefix}_0 … _{n_sub-1}``.
 
-    Pure map-side codegen'd expressions — the codebook is inlined as
-    literals (n_sub × n_codes × sub_dim doubles, a few KB), the corpus
-    is scanned once, nothing shuffles at any scale. Argmin per subspace
-    via array_min over (distance, code) structs: lexicographic struct
+    Pure map-side expressions — the codebook is inlined as literal
+    arrays (n_sub × n_codes × sub_dim doubles, a few KB), the corpus is
+    scanned once, nothing shuffles at any scale. The distances run as
+    higher-order functions (transform → zip_with → aggregate) instead
+    of n_codes·sub_dim unrolled scalar terms: the arithmetic and its
+    left-to-right accumulation order are IDENTICAL (oracle hashes
+    unchanged), but the expression tree is ~100× smaller — the unrolled
+    form cost ~14 s of driver-side analysis/codegen per plan at 8×16×8,
+    dominating every PQ query's wall clock. Argmin per subspace via
+    array_min over (distance, code) structs: lexicographic struct
     ordering gives min distance with ties to the lowest code."""
-    out = df
+    cols = []
     for s, codewords in enumerate(codebook):
         sub_dim = len(codewords[0])
-        cands = F.array(
+        cb_lit = F.array(
             *[
-                F.struct(
-                    _sq_dist_expr(vec_col, s * sub_dim, cw).alias("d"),
-                    F.lit(k).alias("k"),
-                )
-                for k, cw in enumerate(codewords)
+                F.array(*[F.lit(float(c)) for c in cw])
+                for cw in codewords
             ]
         )
-        out = out.withColumn(
-            f"{out_prefix}_{s}", F.array_min(cands).getField("k")
+        sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+        cands = F.transform(
+            cb_lit,
+            lambda cw, k: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        cw,
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                k.alias("k"),
+            ),
         )
-    return out
+        cols.append(
+            F.array_min(cands).getField("k").alias(f"{out_prefix}_{s}")
+        )
+    return df.select("*", *cols)
 
 
 def _adc_table(
@@ -713,6 +733,12 @@ def ivfpq_adc_topk(
         corpus, centroids, id_col=corpus_id, vec_col=vec_col,
         out_vec="cv", nprobe=1,
     ).select(F.col(corpus_id).alias("cid"), "cv", "centroid_id")
+    # Materialize the assignment before encoding: the coded table is a
+    # WRITTEN artifact at the partitioned layout (built once, probed
+    # many times), so the barrier mirrors production; it also keeps the
+    # encode stage a plain scan instead of a projection stacked on the
+    # argmax aggregate.
+    lists = lists.localCheckpoint(eager=True)
     cb = pq_codebook(corpus, id_col=corpus_id, vec_col=vec_col)
     coded = pq_encode(lists, cb, vec_col="cv").drop("cv", "probe_rank")
 
