@@ -238,3 +238,56 @@ def upsert_parquet_partitioned_global(
     for value in set(touched) - remaining:
         shutil.rmtree(f"{path}/{partition_col}={value}", ignore_errors=True)
     return merged.count()
+
+
+def retention_delete(
+    spark,
+    path: str,
+    partition_col: str,
+    keep_pred,
+    cutoff_partition: str,
+) -> tuple[list, int]:
+    """TTL/retention enforcement on a hive-layout table — the two-tier
+    delete a real retention job runs (Hudi's delete_partition +
+    row-level delete composed by a partition-ordered policy):
+
+    - partitions strictly BELOW ``cutoff_partition`` (string order —
+      zero-padded date/month partition values sort chronologically) are
+      dropped whole via :func:`delete_partitions`: metadata-scale, no
+      data read;
+    - the BOUNDARY partition (== cutoff_partition) is rewritten keeping
+      only rows satisfying ``keep_pred`` (a Column) — the only data
+      actually scanned, O(one partition) however large the table;
+    - newer partitions are never touched (asserted by file mtimes in
+      tests/test_tableops_retention.py).
+
+    Returns (dropped_partition_values, boundary_rows_deleted).
+    Idempotent: re-running with the same cutoff drops nothing and
+    rewrites an already-clean boundary to itself.
+    """
+    values = sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(path)
+        if e.startswith(f"{partition_col}=")
+    )
+    expired = [v for v in values if v < cutoff_partition]
+    dropped = delete_partitions(spark, path, partition_col, expired)
+    deleted = 0
+    if cutoff_partition in values:
+        boundary = spark.read.parquet(path).filter(
+            F.col(partition_col) == cutoff_partition
+        )
+        kept = boundary.filter(keep_pred).localCheckpoint(eager=True)
+        deleted = boundary.count() - kept.count()
+        bdir = f"{path}/{partition_col}={cutoff_partition}"
+        shutil.rmtree(bdir)
+        if kept.count() > 0:
+            kept.write.mode("overwrite").partitionBy(partition_col).parquet(
+                f"{path}/__retention_tmp"
+            )
+            os.rename(
+                f"{path}/__retention_tmp/{partition_col}={cutoff_partition}",
+                bdir,
+            )
+            shutil.rmtree(f"{path}/__retention_tmp", ignore_errors=True)
+    return dropped, deleted

@@ -1682,3 +1682,48 @@ def compaction_plan_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_bytes=40000,
         small_file_limit=20000,
     )
+
+
+# --------------------------------------------------------------------------
+# TTL retention enforcement: month-partitioned orders, cutoff
+# 1995-09-15 — months before 1995-09 drop as whole partitions
+# (metadata-only), the boundary month is the single partition rewritten
+# row-level, later months untouched. The oracle recomputes the retained
+# set from the raw table: two-tier delete ≡ one predicate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "retention_expire_orders",
+    oracle="""
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders WHERE o_orderdate >= DATE '1995-09-15'
+GROUP BY 1 ORDER BY month
+""",
+)
+def retention_expire_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tableops import retention_delete
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "month", F.substring(F.col("o_orderdate").cast("string"), 1, 7)
+    )
+    path = _scratch(sf_dir, "retention_orders")
+    o.write.mode("overwrite").partitionBy("month").parquet(path)
+    retention_delete(
+        spark,
+        path,
+        "month",
+        F.col("o_orderdate") >= F.lit("1995-09-15").cast("date"),
+        "1995-09",
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("month")
+    )
