@@ -89,7 +89,9 @@ def pagerank_cust_supp_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 BROADCAST_RANK_MAX_NODES = 5_000_000
 
 
-def pagerank_edges(li: DataFrame, o: DataFrame) -> DataFrame:
+def pagerank_edges(
+    li: DataFrame, o: DataFrame, *, materialize: bool = True
+) -> DataFrame:
     """Degree-annotated undirected edge relation ``(src, dst, d)``,
     materialized ONCE in the layout the iteration wants.
 
@@ -123,7 +125,8 @@ def pagerank_edges(li: DataFrame, o: DataFrame) -> DataFrame:
         .repartition("dst")
         .persist()
     )
-    ed.count()  # materialize the cached, dst-partitioned edge relation
+    if materialize:
+        ed.count()  # materialize the cached, dst-partitioned edge relation
     return ed
 
 
@@ -161,8 +164,12 @@ def pagerank_ranks(
     the arithmetic)."""
     if checkpoint_every is not None and checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
-    ed = pagerank_edges(li, o)
-    # (node, degree) and the node count both come from the MATERIALIZED
+    # materialize=False: the nodes.count() below is the FIRST action over
+    # the cached relation, so it both populates the cache and returns the
+    # node count in ONE job — a separate ed.count() job would pay the
+    # scheduler round-trip twice for the same materialization.
+    ed = pagerank_edges(li, o, materialize=False)
+    # (node, degree) and the node count both come from the (now-cached)
     # edges — one cheap shuffle each, never a replay of the build join.
     nodes = ed.select(F.col("src").alias("node"), "d").distinct()
     n_nodes = nodes.count()
