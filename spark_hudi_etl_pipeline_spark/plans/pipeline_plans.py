@@ -1756,3 +1756,91 @@ def asof_purchase_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_values=["click_value", "click_ts"],
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT ANTI interval join (derived — Spark has no native
+# stream-stream anti): "which clicks did NOT convert within the hour",
+# the abandonment-detection mirror of the semi form. Emission waits for
+# the right watermark to pass each click's bound (proof of no match);
+# state cost equals the outer join it derives from. Oracle = batch
+# NOT EXISTS.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_interval_join_anti",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id AS user_id
+FROM events c
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+  )
+ORDER BY click_id
+""",
+)
+def streaming_interval_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # A matchless click is only emitted once the GLOBAL watermark (the
+    # MIN across both sides' watermark operators) has passed its bound —
+    # a finite fixture ends before that for the latest clicks, so far-
+    # future sentinels on BOTH sides (user -1, never matches, filtered
+    # below) push the final watermark past every bound. Production
+    # streams advance naturally; the sentinels are fixture plumbing,
+    # same as the chained-rollup query's.
+    staged, _ = _with_future_sentinels(
+        spark, ev, [(-1, -1, "purchase", 10), (-2, -1, "click", 10)]
+    )
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    stage = f"/root/repo/.scratch/stream_ssja_{tag}"
+    staged.coalesce(1).write.mode("overwrite").parquet(stage)
+    schema = staged.schema
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+        )
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        F.col("user_id") == F.col("p_user_id"),
+        left_time="click_ts",
+        right_time="purchase_ts",
+        upper="1 HOUR",
+        how="left_anti",
+    )
+    qname = f"stream_ssja_{tag}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .filter(F.col("user_id") >= 0)  # drop the sentinel click
+        .select("click_id", "user_id")
+        .orderBy("click_id")
+    )

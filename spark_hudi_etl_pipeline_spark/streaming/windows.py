@@ -170,12 +170,26 @@ def interval_join(
     eviction point doubles as the proof-of-no-match point, so outer
     results are exact, just deferred by the lateness horizon. (Inner
     emits matches immediately; only the null rows wait on eviction.)
+
+    ``how="left_anti"`` (NOT supported natively for stream-stream by
+    Spark) is DERIVED here as the outer join filtered to the null rows,
+    projected back to the left schema — "which clicks did NOT convert
+    within the hour", the abandonment-detection shape. Emission timing
+    and state cost are exactly the outer join's: a left row is proven
+    matchless (and emitted) only when the right watermark passes its
+    bound. On batch inputs the derivation equals a native anti join,
+    which is how the oracle checks it.
     """
     l = left.withWatermark(left_time, left_watermark)
     r = right.withWatermark(right_time, right_watermark)
     bound = (F.col(right_time) >= F.col(left_time)) & (
         F.col(right_time) <= F.col(left_time) + F.expr(f"INTERVAL {upper}")
     )
+    if how == "left_anti":
+        outer = l.join(r, on & bound, "left_outer")
+        return outer.filter(F.col(right_time).isNull()).select(
+            *[F.col(c) for c in left.columns]
+        )
     return l.join(r, on & bound, how)
 
 
