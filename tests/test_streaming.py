@@ -336,3 +336,34 @@ def test_chained_rollup_stream_matches_batch(spark, events_dir):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.table("t_chained").collect()}
     assert got == expected
+
+
+def test_interval_join_derived_anti_equals_native_on_batch(spark):
+    """The left_anti derivation (outer + null filter) must equal a
+    native anti join on batch inputs — the equivalence that lets the
+    DuckDB NOT EXISTS oracle check the streaming form."""
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.streaming.windows import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "u"), (2, "2024-01-01 12:00:00", "u"),
+         (3, "2024-01-01 10:30:00", "v")],
+        "id long, lts string, k string",
+    ).select("id", F.col("lts").cast("timestamp").alias("lts"), "k")
+    right = spark.createDataFrame(
+        [("2024-01-01 10:20:00", "u"), ("2024-01-01 09:00:00", "v")],
+        "rts string, rk string",
+    ).select(F.col("rts").cast("timestamp").alias("rts"), "rk")
+    derived = interval_join(
+        left, right, F.col("k") == F.col("rk"),
+        left_time="lts", right_time="rts", upper="1 hour", how="left_anti",
+    )
+    bound = (F.col("rts") >= F.col("lts")) & (
+        F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 hour")
+    )
+    native = left.join(right, (F.col("k") == F.col("rk")) & bound, "left_anti")
+    assert {r["id"] for r in derived.collect()} == {
+        r["id"] for r in native.collect()
+    } == {2, 3}
+    assert derived.columns == left.columns
