@@ -1252,3 +1252,49 @@ def hudi_writer_options(
         "hoodie.clean.automatic": "true" if automatic_clean else "false",
         "hoodie.metadata.enable": "false",
     }
+
+
+def vacuum_orphans(
+    path: str, *, min_age_seconds: float = 24 * 3600.0
+) -> list[str]:
+    """Reclaim ORPHAN data files under a manifest-committed table — the
+    Delta-VACUUM / Hudi orphan-file-clean operation the post-commit
+    cleaner cannot cover: a crash between staging-move and manifest
+    publish leaves files no manifest references (invisible to every
+    reader, but paying storage forever).
+
+    Deletes ``*.parquet`` files that are (a) NOT referenced by the
+    latest committed manifest and (b) older than ``min_age_seconds``.
+    The age guard is the same safety rule as Delta's retention check:
+    a CONCURRENT in-flight commit has already moved its staged files in
+    (pre-commit, unreferenced until its manifest publishes), and only
+    age separates those from true orphans — so the floor must exceed
+    the longest plausible commit duration. Manifest-referenced files
+    are never touched, so a racing read can never lose a live file.
+
+    Returns the removed basenames. A table without a manifest is left
+    alone entirely (nothing can be proven orphaned).
+    """
+    import glob
+    import os
+    import time
+
+    m = _manifest_latest(path)
+    if m is None:
+        return []
+    _, live = m
+    live_set = set(live)
+    now = time.time()
+    removed = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        base = os.path.basename(f)
+        if base in live_set:
+            continue
+        try:
+            if now - os.path.getmtime(f) < min_age_seconds:
+                continue
+            os.remove(f)
+            removed.append(base)
+        except OSError:
+            pass
+    return removed

@@ -1844,3 +1844,89 @@ def streaming_interval_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("click_id", "user_id")
         .orderBy("click_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Orphan-file vacuum (Delta VACUUM / Hudi orphan clean): crash-orphans
+# planted beside a manifest-committed table are reclaimed (old) or
+# age-protected (young, could be an in-flight commit); manifest-live
+# files are never touched. The oracle is the merge fold the table must
+# still equal AFTER vacuuming — reclamation is read-invisible by
+# construction, and the gate proves it.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vacuum_scan_invariance",
+    oracle="""
+WITH batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 1 AS is_batch
+  FROM orders WHERE o_orderkey % 9 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 0 AS is_batch
+  FROM orders
+  UNION ALL
+  SELECT * FROM batch
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price, o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def vacuum_scan_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.clustering import cluster_linear, write_clustered
+    from ..operators.merge import (
+        read_indexed_table,
+        upsert_parquet_indexed,
+        vacuum_orphans,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/vacuum_tbl_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_clustered(cluster_linear(orders, ["o_orderkey"], 8), path)
+    updates = (
+        orders.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+    )
+    upsert_parquet_indexed(spark, updates, path, "o_orderkey", "o_orderdate")
+    # Plant a crash-orphan (pre-crash staged move, manifest never
+    # published) backdated past the retention floor, and a YOUNG one
+    # that must survive (could be an in-flight commit's staged file).
+    orders.limit(5).write.mode("overwrite").parquet(f"{path}/__orphan_src")
+    import glob as _glob
+
+    old_orphan = f"{path}/part-upsert-deadbeef-99999.parquet"
+    young_orphan = f"{path}/part-upsert-cafebabe-99998.parquet"
+    srcs = _glob.glob(f"{path}/__orphan_src/*.parquet")
+    shutil.copy(srcs[0], old_orphan)
+    shutil.copy(srcs[0], young_orphan)
+    shutil.rmtree(f"{path}/__orphan_src")
+    os.utime(old_orphan, (0, 0))  # ancient
+    removed = vacuum_orphans(path, min_age_seconds=3600)
+    assert removed == [os.path.basename(old_orphan)], removed
+    assert os.path.exists(young_orphan)
+    return (
+        read_indexed_table(spark, path)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )

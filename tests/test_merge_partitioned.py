@@ -407,3 +407,49 @@ def test_manifest_commit_crash_never_torn(spark, scattered_table):
     # Directory read and manifest read agree after the clean commit.
     dir_read = {(r["k"], r["v"]) for r in spark.read.parquet(scattered_table).collect()}
     assert dir_read == final
+
+
+def test_vacuum_orphans_rules(spark, tmp_path):
+    """Vacuum removes only aged unreferenced files: manifest-live files
+    and young orphans survive; a pre-manifest table is left alone."""
+    import glob
+    import os
+    import shutil
+
+    from spark_hudi_etl_pipeline_spark.operators.clustering import (
+        cluster_linear,
+        write_clustered,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        read_indexed_table,
+        upsert_parquet_indexed,
+        vacuum_orphans,
+    )
+
+    path = os.path.join(str(tmp_path), "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_clustered(cluster_linear(df, ["k"], 4), path)
+    batch = df.filter(F.col("k") % 10 == 0).withColumn("v", F.col("v") + 1)
+    upsert_parquet_indexed(spark, batch, path, "k", "v")
+    before = {r["k"]: r["v"] for r in read_indexed_table(spark, path).collect()}
+
+    live = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    old = os.path.join(path, "part-upsert-orphan-00001.parquet")
+    young = os.path.join(path, "part-upsert-orphan-00002.parquet")
+    shutil.copy(live[0], old)
+    shutil.copy(live[0], young)
+    os.utime(old, (0, 0))
+    removed = vacuum_orphans(path, min_age_seconds=60)
+    assert removed == [os.path.basename(old)]
+    assert os.path.exists(young) and not os.path.exists(old)
+    # live files intact, reads unchanged
+    after = {r["k"]: r["v"] for r in read_indexed_table(spark, path).collect()}
+    assert after == before
+
+    # pre-manifest table: nothing provable, nothing removed
+    plain = os.path.join(str(tmp_path), "plain")
+    df.write.mode("overwrite").parquet(plain)
+    os.utime(glob.glob(os.path.join(plain, "*.parquet"))[0], (0, 0))
+    assert vacuum_orphans(plain, min_age_seconds=60) == []
