@@ -25,7 +25,7 @@ import zlib
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text
@@ -1193,4 +1193,72 @@ def shared_window_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution (record linkage): match DIRTY records (typos,
+# truncations) against a CLEAN reference by blocking + edit-distance
+# verification — the data-cleaning twin of near-dup detection (dedup
+# asks "same record twice?", linkage asks "which master record is
+# this?").
+# --------------------------------------------------------------------------
+
+
+def record_linkage(
+    dirty: DataFrame,
+    clean: DataFrame,
+    *,
+    dirty_id: str,
+    clean_id: str,
+    dirty_name: str,
+    clean_name: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+) -> DataFrame:
+    """Best clean match per dirty record: candidates share the blocking
+    key (equi-join — NEVER all-pairs; the block plays the role LSH bands
+    play in fuzzy dedup), are verified by Levenshtein distance ≤
+    ``max_distance`` (JVM built-in, integer-exact — the same function
+    exists in DuckDB, so the whole pipeline is value-checkable), and the
+    per-dirty-record winner is the minimum (distance, clean_id) — a
+    deterministic argmin like every resolution step in this repo.
+
+    Output: (dirty_id, matched_id, distance); dirty records with no
+    candidate within the threshold are absent (an anti-join of the
+    output against the input lists the unmatched — the manual-review
+    queue of a real MDM pipeline).
+
+    Scale: one shuffle per side on the blocking key; candidate volume is
+    Σ block² bounded by block sizes, so skewed blocks need the same cap
+    treatment as LSH buckets (pre-aggregate or salt a hot block before
+    calling this).
+    """
+    d = dirty.select(
+        F.col(dirty_id).alias("__did"),
+        F.col(dirty_name).alias("__dname"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    c = clean.select(
+        F.col(clean_id).alias("__cid"),
+        F.col(clean_name).alias("__cname"),
+        *[F.col(col).alias(f"__b_{col}") for col in block_cols],
+    )
+    cand = d.join(c, [f"__b_{col}" for col in block_cols]).select(
+        "__did",
+        "__cid",
+        F.levenshtein("__dname", "__cname").alias("distance"),
+    )
+    w = Window.partitionBy("__did").orderBy(
+        F.asc("distance"), F.asc("__cid")
+    )
+    return (
+        cand.filter(F.col("distance") <= max_distance)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__did").alias("dirty_id"),
+            F.col("__cid").alias("matched_id"),
+            "distance",
+        )
     )

@@ -825,3 +825,68 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shared_window_pairs(
         corpus, "doc_id", "text", window=64, stride=32, max_bucket=64
     )
+
+
+# --------------------------------------------------------------------------
+# Record linkage (entity resolution): dirty customer records (a planted
+# deterministic typo — the 8th digit deleted) matched back to the clean
+# master by blocking on (nation, first 6 digits) + Levenshtein
+# verification. Both engines implement the same integer edit distance,
+# so every match and score is value-checked.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "record_linkage_customers",
+    oracle="""
+WITH dirty AS (
+  SELECT c_custkey + 5000000 AS dirty_id,
+         substr(c_name, 1, 16) || substr(c_name, 18) AS dname,
+         c_nationkey, substr(c_name, 10, 6) AS blk
+  FROM customer WHERE c_custkey % 7 = 0
+),
+clean AS (
+  SELECT c_custkey, c_name, c_nationkey, substr(c_name, 10, 6) AS blk
+  FROM customer
+),
+cand AS (
+  SELECT d.dirty_id, c.c_custkey AS matched_id,
+         levenshtein(d.dname, c.c_name) AS distance
+  FROM dirty d JOIN clean c
+    ON d.blk = c.blk AND d.c_nationkey = c.c_nationkey
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY dirty_id
+                               ORDER BY distance, matched_id) AS rn
+  FROM cand WHERE distance <= 2
+)
+SELECT dirty_id, matched_id, distance FROM best WHERE rn = 1
+ORDER BY dirty_id
+""",
+)
+def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 5000000).alias("id"),
+        F.concat(
+            F.substring("c_name", 1, 16), F.substring("c_name", 18, 10)
+        ).alias("name"),
+        "c_nationkey",
+        F.substring("c_name", 10, 6).alias("blk"),
+    )
+    clean = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 10, 6).alias("blk"),
+    )
+    return dedup.record_linkage(
+        dirty,
+        clean,
+        dirty_id="id",
+        clean_id="c_custkey",
+        dirty_name="name",
+        clean_name="c_name",
+        block_cols=["blk", "c_nationkey"],
+        max_distance=2,
+    ).orderBy("dirty_id")

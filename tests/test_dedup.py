@@ -562,3 +562,33 @@ def test_shared_window_pairs_copied_paragraph(spark):
     )
     p2 = shared_window_pairs(df2, "doc_id", "text").collect()
     assert len(p2) == 1 and p2[0]["n_shared"] >= 1
+
+
+def test_record_linkage_semantics(spark):
+    """Linkage matches each dirty record to its true master within the
+    block, scores by exact edit distance, ties to the lowest clean id,
+    and leaves out-of-threshold records unmatched."""
+    from spark_hudi_etl_pipeline_spark.operators.dedup import record_linkage
+
+    clean = spark.createDataFrame(
+        [(1, "acme corp", "us"), (2, "acme corpse", "us"),
+         (3, "zenith ltd", "uk")],
+        "cid long, name string, country string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "acme cor", "us"),     # 1 del from cid 1; 3 from cid 2
+         (11, "zenith ltd", "uk"),   # exact
+         (12, "completely other", "us"),  # no match within 2
+         (13, "acme corp", "de")],   # right name, wrong block
+        "did long, name string, country string",
+    )
+    got = {
+        r["dirty_id"]: (r["matched_id"], r["distance"])
+        for r in record_linkage(
+            dirty, clean,
+            dirty_id="did", clean_id="cid",
+            dirty_name="name", clean_name="name",
+            block_cols=["country"], max_distance=2,
+        ).collect()
+    }
+    assert got == {10: (1, 1), 11: (3, 0)}
