@@ -130,10 +130,93 @@ def bootstrap_timeline(
     return commit_ts
 
 
+_CLONE_FILE = "_clone.json"
+
+
+def _clone_info(path: str) -> tuple[str, int] | None:
+    """(source timeline path, clone-point instant) of a shallow clone,
+    or None."""
+    import json
+
+    p = os.path.join(path, _CLONE_FILE)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        d = json.load(fh)
+    return d["source"], int(d["as_of"])
+
+
+def shallow_clone(
+    spark,
+    source_path: str,
+    path: str,
+    *,
+    as_of: int | None = None,
+    pin_source: bool = False,
+) -> int:
+    """Delta-style ZERO-COPY shallow clone: create a new timeline at
+    ``path`` whose state equals the source timeline as of instant
+    ``as_of`` (latest when None) WITHOUT copying a single data file —
+    only a ``_clone.json`` marker referencing the source lands on disk.
+    Readers union the source's partition-pruned commits ≤ ``as_of`` with
+    the clone's own delta commits, so the clone diverges independently:
+    commits appended to the clone never touch the source, and source
+    commits after ``as_of`` are invisible to the clone (both directions
+    are partition filters, tested in ``tests/test_clone.py``).
+
+    At 100 TB this is the point of the operation — dev/test branches,
+    reproducible experiment snapshots, and blue/green restatements of a
+    huge table are O(metadata), not O(data) (Delta Lake's SHALLOW CLONE;
+    Hudi lacks it natively, which is why its users ask for it).
+
+    Lifecycle composition:
+    - ``compact_timeline(clone, up_to >= as_of)`` MATERIALIZES the clone
+      (folds the referenced source prefix + local deltas into a real
+      base commit and retires the marker — afterwards the clone is fully
+      self-contained); a partial compaction (``up_to < as_of``) raises.
+    - The clone is broken if the SOURCE later compacts past ``as_of``
+      (the referenced history is collapsed) — reads then raise rather
+      than return corrupt state. ``pin_source=True`` savepoints
+      ``as_of`` on the source so its cleaner can never do that (the
+      documented Delta hazard — VACUUM breaking clones — made a
+      detected, preventable error here).
+
+    Returns the clone-point instant."""
+    import json
+
+    src_instants = commit_instants(spark, source_path)
+    if not src_instants:
+        raise FileNotFoundError(
+            f"cannot clone empty timeline at {source_path!r}"
+        )
+    if as_of is None:
+        as_of = src_instants[-1]
+    if as_of not in src_instants:
+        raise ValueError(
+            f"as_of={as_of} is not a commit instant on the source "
+            f"timeline {source_path!r} (instants: {src_instants})"
+        )
+    _check_reconstructable(source_path, as_of, "as_of")
+    if commit_instants(spark, path) or _clone_info(path) is not None:
+        raise ValueError(
+            f"clone destination {path!r} is not empty — a clone must be "
+            "the first instant on its timeline"
+        )
+    if pin_source:
+        savepoint(spark, source_path, as_of)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _CLONE_FILE), "w") as fh:
+        json.dump({"source": source_path, "as_of": as_of}, fh)
+    return as_of
+
+
 def commit_instants(spark, path: str) -> list[int]:
     """The timeline: sorted commit instants present at ``path`` (from the
-    partition directory names plus the bootstrap marker — no data files
-    are read)."""
+    partition directory names plus the bootstrap/clone markers — no data
+    files are read). For a shallow clone the referenced source instants
+    ≤ the clone point ARE the clone's history, so they appear here (and
+    monotonicity checks in :func:`commit_append` therefore force clone
+    commits past the clone point)."""
     if not os.path.isdir(path):
         return []
     out = []
@@ -143,7 +226,11 @@ def commit_instants(spark, path: str) -> list[int]:
     boot = _bootstrap_info(path)
     if boot is not None:
         out.append(boot[1])
-    return sorted(out)
+    clone = _clone_info(path)
+    if clone is not None:
+        src, as_of = clone
+        out.extend(t for t in commit_instants(spark, src) if t <= as_of)
+    return sorted(set(out))
 
 
 def _read_log(spark, path: str) -> DataFrame:
@@ -170,6 +257,28 @@ def _read_log(spark, path: str) -> DataFrame:
         if has_deltas
         else None
     )
+    clone = _clone_info(path)
+    if clone is not None:
+        src, as_of = clone
+        src_bases = compaction_instants(src)
+        if src_bases and src_bases[-1] > as_of:
+            raise ValueError(
+                f"shallow clone at {path!r} is broken: its source "
+                f"{src!r} compacted past the clone point {as_of} "
+                f"(newest base {src_bases[-1]}) — the referenced history "
+                "was collapsed. pin_source=True at clone time prevents "
+                "this (the cleaner honors savepoints)."
+            )
+        # Both bounds are partition filters on the source scan: commits
+        # after the clone point are never read, and the recursion makes
+        # chained clones (clone of a clone) just work.
+        src_log = _read_log(spark, src).filter(F.col(COMMIT_COL) <= as_of)
+        if deltas is None:
+            return src_log
+        # allowMissingColumns: the clone may evolve its schema past the
+        # source's (and never the reverse — the source is read-only to
+        # the clone).
+        return deltas.unionByName(src_log, allowMissingColumns=True)
     if boot is None:
         if deltas is None:
             raise FileNotFoundError(f"empty timeline at {path!r}")
@@ -449,6 +558,18 @@ def compact_timeline(
     if target is None:
         return 0
     up_to = target
+    clone = _clone_info(path)
+    if clone is not None and up_to < clone[1]:
+        # A base below the clone point would overlap the still-referenced
+        # source commits and double-count on read. Materialization is
+        # all-or-nothing: fold the whole source prefix (+ local deltas up
+        # to the target) or nothing.
+        raise ValueError(
+            f"cannot partially compact shallow clone at {path!r}: "
+            f"effective target {up_to} is below the clone point "
+            f"{clone[1]} — compact at or past the clone point to "
+            "materialize the clone"
+        )
     instants = [t for t in commit_instants(spark, path) if t <= up_to]
     if not instants:
         return 0
@@ -479,6 +600,11 @@ def compact_timeline(
     boot = _bootstrap_info(path)
     if boot is not None and boot[1] <= up_to:
         os.remove(os.path.join(path, _BOOTSTRAP_FILE))
+    # Likewise a shallow clone whose whole referenced prefix is now
+    # collapsed into the local base is MATERIALIZED — retire the marker;
+    # the clone no longer depends on its source.
+    if clone is not None:
+        os.remove(os.path.join(path, _CLONE_FILE))
     return base.count()
 
 
@@ -632,6 +758,14 @@ def restore_to(spark, path: str, instant: int) -> list[int]:
             f"cannot restore to instant {instant}: not a commit on the "
             f"timeline at {path!r}"
         )
+    clone = _clone_info(path)
+    if clone is not None and instant < clone[1]:
+        raise ValueError(
+            f"cannot restore shallow clone at {path!r} to instant "
+            f"{instant}: it predates the clone point {clone[1]} — the "
+            "referenced source commits cannot be dropped from here "
+            "(restore the source, or re-clone at the earlier instant)"
+        )
     dropped = [t for t in instants if t > instant]
     for t in dropped:
         shutil.rmtree(f"{path}/{COMMIT_COL}={t}", ignore_errors=True)
@@ -654,6 +788,14 @@ def rollback_last(spark, path: str) -> int:
     if not instants:
         raise ValueError(f"empty timeline at {path!r}: nothing to roll back")
     last = instants[-1]
+    clone = _clone_info(path)
+    if clone is not None and last <= clone[1]:
+        raise ValueError(
+            f"latest instant {last} on the shallow clone at {path!r} "
+            "belongs to the referenced source — there is no local "
+            "commit to roll back (roll back the source, or drop the "
+            "clone)"
+        )
     boot = _bootstrap_info(path)
     if boot is not None and boot[1] == last:
         raise ValueError(

@@ -1727,3 +1727,99 @@ def retention_expire_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Shallow clone + divergence (operators/timeline.py::shallow_clone —
+# Delta-style zero-copy SHALLOW CLONE; Hudi users branch 100 TB tables
+# for dev/test/experiments without copying data). orders lands as commit
+# 1; the SOURCE then restates prices (keys %5, commit 2); the table is
+# cloned AT instant 1 (pin_source) so the clone never sees the
+# restatement; the CLONE flips statuses (keys %7, its own commit 2).
+# Output compares the two diverged states per touched key. The oracle
+# recomputes both end-states independently from the raw table: the
+# source state is base+price-restatement, the clone state is
+# base+status-flip — isolation in both directions is exactly what the
+# hash check proves.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "table_clone_divergence",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey,
+         o_orderstatus AS src_status,
+         round(CASE WHEN o_orderkey % 5 = 0
+                    THEN o_totalprice * 2.0 ELSE o_totalprice END,
+               2) AS src_price
+  FROM orders
+),
+cl AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN 'X' ELSE o_orderstatus END AS clone_status,
+         round(o_totalprice, 2) AS clone_price
+  FROM orders
+)
+SELECT src.o_orderkey, src_status, clone_status, src_price, clone_price,
+       (src_status <> clone_status OR src_price <> clone_price) AS diverged
+FROM src JOIN cl ON src.o_orderkey = cl.o_orderkey
+WHERE src.o_orderkey % 5 = 0 OR src.o_orderkey % 7 = 0
+ORDER BY src.o_orderkey
+""",
+)
+def table_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeline import (
+        commit_append,
+        read_realtime,
+        shallow_clone,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    src_path = _scratch(sf_dir, "clone_src")
+    dst_path = _scratch(sf_dir, "clone_dst")
+    commit_append(spark, orders, src_path, 1)
+    # Source-side restatement committed BEFORE the clone is taken —
+    # cloning at as_of=1 must still never see it (time-travel clone).
+    src_batch = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2.0
+    ).withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS"))
+    commit_append(spark, src_batch, src_path, 2)
+    shallow_clone(spark, src_path, dst_path, as_of=1, pin_source=True)
+    clone_batch = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    ).withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 20 DAYS"))
+    commit_append(spark, clone_batch, dst_path, 2)
+    src_state = read_realtime(
+        spark, src_path, ["o_orderkey"], "o_orderdate"
+    ).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("src_status"),
+        F.round("o_totalprice", 2).alias("src_price"),
+    )
+    clone_state = read_realtime(
+        spark, dst_path, ["o_orderkey"], "o_orderdate"
+    ).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("clone_status"),
+        F.round("o_totalprice", 2).alias("clone_price"),
+    )
+    return (
+        src_state.join(clone_state, "o_orderkey")
+        .filter(
+            (F.col("o_orderkey") % 5 == 0) | (F.col("o_orderkey") % 7 == 0)
+        )
+        .select(
+            "o_orderkey",
+            "src_status",
+            "clone_status",
+            "src_price",
+            "clone_price",
+            (
+                (F.col("src_status") != F.col("clone_status"))
+                | (F.col("src_price") != F.col("clone_price"))
+            ).alias("diverged"),
+        )
+        .orderBy("o_orderkey")
+    )
