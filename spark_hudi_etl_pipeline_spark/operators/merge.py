@@ -606,7 +606,8 @@ def read_indexed_table(spark, path: str) -> DataFrame:
 
 
 def _commit_staged(
-    spark, path: str, staging: str, version: int, kept: list[str]
+    spark, path: str, staging: str, version: int, kept: list[str],
+    *, clean: bool = True,
 ) -> tuple[list[str], int]:
     """Shared commit tail: move staged part files in under unique names
     (pre-commit — invisible until referenced), publish manifest
@@ -633,13 +634,17 @@ def _commit_staged(
     # Post-commit cleaner (Hudi's hoodie.clean.automatic): replaced files
     # are unreferenced by the new manifest; removing them is best-effort
     # hygiene, not correctness — a crash here leaves orphans that every
-    # manifest-based read ignores.
-    for f in glob.glob(os.path.join(path, "*.parquet")):
-        if os.path.basename(f) not in live:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
+    # manifest-based read ignores. clean=False preserves files referenced
+    # by OLDER manifest versions — required when a catalog pins an earlier
+    # version (operators/txn.py); those tables are reclaimed by the
+    # retention-aware orphan vacuum instead.
+    if clean:
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            if os.path.basename(f) not in live:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
     n_written = (
         spark.read.parquet(*[os.path.join(path, m) for m in moved]).count()
         if moved
@@ -656,6 +661,7 @@ def upsert_parquet_indexed(
     precombine: str,
     *,
     delete_col: str | None = None,
+    clean: bool = True,
 ) -> int:
     """File-level indexed upsert: merge ``batch`` into a flat (non-hive)
     parquet directory rewriting ONLY the files whose footer key range
@@ -741,7 +747,9 @@ def upsert_parquet_indexed(
     staging = f"{path}/.staging-{uuid.uuid4().hex}"
     merged.write.mode("overwrite").parquet(staging)
     kept = [f for f in live_files if f not in set(affected)]
-    _, n_written = _commit_staged(spark, path, staging, version + 1, kept)
+    _, n_written = _commit_staged(
+        spark, path, staging, version + 1, kept, clean=clean
+    )
     return n_written
 
 

@@ -1823,3 +1823,116 @@ def table_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Atomic multi-table transaction (operators/txn.py — catalog CAS above
+# the per-table manifest protocol; the Iceberg-REST/Nessie multi-table
+# commit Hudi lacks). A base orders table and its downstream status
+# aggregate are kept transactionally consistent: txn 1 seeds both, txn
+# 2 applies a price restatement to the base AND the matching refreshed
+# aggregate in ONE commit, then a TORN third write (per-table manifest
+# published, catalog CAS never reached — the crash window) hits the
+# base table only. Output reads BOTH tables through the catalog — the
+# aggregate as stored, and the same aggregate recomputed from the base
+# — under 'agg'/'base' source tags. The oracle recomputes ONE post-txn-2
+# aggregate from raw orders and emits it under both tags: a hash match
+# therefore proves (1) the torn write is invisible and (2) the two
+# tables agree — the invariant the transaction exists to protect. Money
+# sums run as DECIMAL(18,2) (bit-exact in both engines).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multi_table_txn_sync",
+    oracle="""
+WITH upd AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2.0
+              ELSE o_totalprice END AS p
+  FROM orders
+),
+agg AS (
+  SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM upd GROUP BY o_orderstatus
+)
+SELECT 'agg' AS src, o_orderstatus, n_orders, total_price FROM agg
+UNION ALL
+SELECT 'base' AS src, o_orderstatus, n_orders, total_price FROM agg
+ORDER BY src, o_orderstatus
+""",
+)
+def multi_table_txn_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import upsert_parquet_indexed
+    from ..operators.txn import read_table_at_catalog, txn_commit
+
+    root = _scratch(sf_dir, "txn_cat")
+    base_path = os.path.join(root, "orders_cow")
+    agg_path = os.path.join(root, "status_agg")
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+
+    def status_agg(df: DataFrame, ver: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.lit(ver).cast("long").alias("ver"),
+        )
+
+    # txn 1: seed base + aggregate together
+    txn_commit(
+        spark,
+        root,
+        [
+            ("orders_cow", base_path, orders, "o_orderkey", "o_orderdate"),
+            ("status_agg", agg_path, status_agg(orders, 1), "o_orderstatus", "ver"),
+        ],
+        expected_catalog_version=0,
+    )
+    # txn 2: price restatement on the base AND the refreshed aggregate,
+    # one atomic commit (the aggregate batch is derived from the same
+    # update expression — a writer sees its own in-flight writes).
+    restated = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") * 2.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    batch = restated.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 5 DAYS")
+    )
+    txn_commit(
+        spark,
+        root,
+        [
+            ("orders_cow", base_path, batch, "o_orderkey", "o_orderdate"),
+            ("status_agg", agg_path, status_agg(restated, 2), "o_orderstatus", "ver"),
+        ],
+        expected_catalog_version=1,
+    )
+    # TORN write: per-table manifest published, catalog CAS never
+    # reached — must stay invisible below.
+    torn = orders.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 3.0
+    ).withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 9 DAYS"))
+    upsert_parquet_indexed(
+        spark, torn, base_path, "o_orderkey", "o_orderdate", clean=False
+    )
+
+    agg_read = read_table_at_catalog(spark, root, "status_agg", agg_path).select(
+        F.lit("agg").alias("src"), "o_orderstatus", "n_orders", "total_price"
+    )
+    base_read = (
+        read_table_at_catalog(spark, root, "orders_cow", base_path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(F.lit("base").alias("src"), "o_orderstatus", "n_orders", "total_price")
+    )
+    return agg_read.unionByName(base_read).orderBy("src", "o_orderstatus")

@@ -1,0 +1,110 @@
+"""Atomic multi-table transactions (operators/txn.py): the catalog CAS
+is the single commit point across tables — torn per-table publishes are
+invisible to catalog readers, concurrent transactions serialize through
+the catalog version, and the read-set check rejects lost updates."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_hudi_etl_pipeline_spark.operators.merge import (
+    ConcurrentCommitError,
+    upsert_parquet_indexed,
+)
+from spark_hudi_etl_pipeline_spark.operators.txn import (
+    _catalog_publish,
+    catalog_latest,
+    read_table_at_catalog,
+    txn_commit,
+)
+
+SCHEMA = "k long, v string, prec long"
+
+
+def rows_of(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    """A catalog with two tables seeded in one transaction."""
+    root = str(tmp_path / "cat")
+    a, b = str(tmp_path / "ta"), str(tmp_path / "tb")
+    t1 = spark.createDataFrame([(1, "a1", 10), (2, "a2", 10)], SCHEMA)
+    t2 = spark.createDataFrame([(1, "b1", 10)], SCHEMA)
+    v = txn_commit(
+        spark,
+        root,
+        [("ta", a, t1, "k", "prec"), ("tb", b, t2, "k", "prec")],
+    )
+    assert v == 1
+    return root, a, b
+
+
+def test_txn_updates_all_tables_atomically(spark, cat):
+    root, a, b = cat
+    u1 = spark.createDataFrame([(2, "a2x", 20)], SCHEMA)
+    u2 = spark.createDataFrame([(1, "b1x", 20)], SCHEMA)
+    v = txn_commit(
+        spark, root, [("ta", a, u1, "k", "prec"), ("tb", b, u2, "k", "prec")]
+    )
+    assert v == 2
+    assert rows_of(read_table_at_catalog(spark, root, "ta", a)) == {
+        (1, "a1", 10),
+        (2, "a2x", 20),
+    }
+    assert rows_of(read_table_at_catalog(spark, root, "tb", b)) == {
+        (1, "b1x", 20)
+    }
+
+
+def test_torn_publish_is_invisible_to_catalog_readers(spark, cat):
+    root, a, b = cat
+    before_a = rows_of(read_table_at_catalog(spark, root, "ta", a))
+    # Simulate a transaction that crashed AFTER table ta's per-table
+    # manifest publish but BEFORE the catalog CAS: the table's own
+    # latest manifest advances, the catalog does not.
+    torn = spark.createDataFrame([(1, "TORN", 99)], SCHEMA)
+    upsert_parquet_indexed(spark, torn, a, "k", "prec", clean=False)
+    cv, tables = catalog_latest(root)
+    assert cv == 1
+    assert rows_of(read_table_at_catalog(spark, root, "ta", a)) == before_a
+    # Recovery: re-running the full transaction commits both tables and
+    # the change appears exactly once.
+    u2 = spark.createDataFrame([(1, "b-go", 30)], SCHEMA)
+    txn_commit(
+        spark,
+        root,
+        [("ta", a, torn, "k", "prec"), ("tb", b, u2, "k", "prec")],
+    )
+    assert rows_of(read_table_at_catalog(spark, root, "ta", a)) == {
+        (1, "TORN", 99),
+        (2, "a2", 10),
+    }
+
+
+def test_catalog_cas_rejects_concurrent_version(spark, cat):
+    root, _, _ = cat
+    with pytest.raises(ConcurrentCommitError, match="concurrent"):
+        _catalog_publish(root, {"ta": 1}, 1)
+
+
+def test_read_set_check_rejects_stale_transaction(spark, cat):
+    root, a, b = cat
+    u = spark.createDataFrame([(2, "win", 20)], SCHEMA)
+    txn_commit(spark, root, [("ta", a, u, "k", "prec")])  # cv -> 2
+    stale = spark.createDataFrame([(2, "lose", 21)], SCHEMA)
+    with pytest.raises(ConcurrentCommitError, match="moved"):
+        txn_commit(
+            spark,
+            root,
+            [("ta", a, stale, "k", "prec")],
+            expected_catalog_version=1,
+        )
+
+
+def test_unknown_table_and_fresh_catalog(spark, cat, tmp_path):
+    root, a, _ = cat
+    with pytest.raises(KeyError):
+        read_table_at_catalog(spark, root, "nope", a)
+    assert catalog_latest(str(tmp_path / "fresh")) == (0, {})
