@@ -581,6 +581,18 @@ def _manifest_publish(path: str, files: list[str], version: int) -> None:
         os.unlink(tmp)
 
 
+def manifest_files_at(path: str, version: int) -> list[str]:
+    """Live data files of a SPECIFIC committed manifest version — the
+    read side of version pinning (catalog pins in ``operators/txn.py``,
+    branch heads, time travel over manifests). Metadata-scale."""
+    import json
+    import os
+
+    mf = os.path.join(path, _MANIFEST_DIR, f"v{version}.json")
+    with open(mf) as fh:
+        return json.load(fh)["files"]
+
+
 def table_live_files(path: str) -> tuple[int, list[str]]:
     """(manifest version, live data files) — latest manifest when one
     exists, else (0, directory listing) for pre-manifest tables."""
@@ -662,6 +674,7 @@ def upsert_parquet_indexed(
     *,
     delete_col: str | None = None,
     clean: bool = True,
+    base_version: int | None = None,
 ) -> int:
     """File-level indexed upsert: merge ``batch`` into a flat (non-hive)
     parquet directory rewriting ONLY the files whose footer key range
@@ -693,6 +706,13 @@ def upsert_parquet_indexed(
 
     Single-column key (the range index is one-dimensional); returns rows
     written.
+
+    ``base_version`` merges against THAT committed manifest version's
+    file set instead of the latest (still publishing at latest+1 — the
+    version sequence is pure allocation; lineage lives in whoever pins
+    the result, e.g. a catalog branch head in ``operators/txn.py``).
+    This is what lets two branches write the same table without seeing
+    each other: each merges from its own pinned snapshot.
     """
     import os
     import uuid
@@ -707,6 +727,12 @@ def upsert_parquet_indexed(
         return merged.count()
 
     version, live_files = table_live_files(path)
+    if base_version is not None and base_version != version:
+        live_files = manifest_files_at(path, base_version)
+        # The post-commit cleaner keys off the NEW manifest alone; with a
+        # non-latest base it would delete files other versions (other
+        # branch heads) still reference. Never clean on a branched write.
+        clean = False
     bounds = [
         b
         for b in file_column_bounds(path, [key], files=live_files)

@@ -1936,3 +1936,110 @@ def multi_table_txn_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("base").alias("src"), "o_orderstatus", "n_orders", "total_price")
     )
     return agg_read.unionByName(base_read).orderBy("src", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# Catalog branches (operators/txn.py::create_branch/merge_branch — the
+# Nessie/Iceberg-REST ref model the reference's single-table Hudi
+# timeline has no answer to). Main seeds 'orders_cow' (txn 1); branch
+# 'restate' forks it zero-copy and applies a price restatement (%4 keys
+# doubled) ON THE BRANCH; main meanwhile keeps reading its snapshot.
+# The output aggregates orders by status under three tags read at three
+# points: 'main_pre' (main while the branch diverges — MUST still be
+# the original: write isolation), 'branch' (the restated fork), and
+# 'main_post' (main after merge_branch — the fast-forward makes it the
+# branch's state: atomicity of publish). Oracle recomputes the original
+# and restated aggregates from raw orders and emits them under the
+# matching tags, so a hash match proves isolation before the merge AND
+# exact adoption after it. DECIMAL(18,2) sums are bit-exact cross-engine.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "branch_merge_isolation",
+    oracle="""
+WITH orig AS (
+  SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM orders GROUP BY o_orderstatus
+),
+restated AS (
+  SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2.0
+                            ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT 'branch' AS src, * FROM restated
+UNION ALL
+SELECT 'main_post' AS src, * FROM restated
+UNION ALL
+SELECT 'main_pre' AS src, * FROM orig
+ORDER BY src, o_orderstatus
+""",
+)
+def branch_merge_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txn import (
+        create_branch,
+        merge_branch,
+        read_table_at_catalog,
+        txn_commit,
+    )
+
+    root = _scratch(sf_dir, "txn_branch")
+    path = os.path.join(root, "orders_cow")
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+
+    def tagged_agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(
+                F.lit(tag).alias("src"),
+                "o_orderstatus",
+                "n_orders",
+                "total_price",
+            )
+        )
+
+    txn_commit(
+        spark, root, [("orders_cow", path, orders, "o_orderkey", "o_orderdate")]
+    )
+    create_branch(root, "restate")
+    batch = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 5 DAYS"))
+    )
+    txn_commit(
+        spark,
+        root,
+        [("orders_cow", path, batch, "o_orderkey", "o_orderdate")],
+        branch="restate",
+    )
+    # Read main WHILE the branch has diverged — isolation evidence must
+    # be materialized NOW (the merge below changes what main resolves).
+    # The aggregate is |statuses| rows: snapshot it to the driver rather
+    # than cache() (nothing to unpersist, nothing recomputed post-merge).
+    pre_df = tagged_agg(
+        read_table_at_catalog(spark, root, "orders_cow", path), "main_pre"
+    )
+    main_pre = spark.createDataFrame(pre_df.collect(), pre_df.schema)
+    branch_read = tagged_agg(
+        read_table_at_catalog(spark, root, "orders_cow", path, branch="restate"),
+        "branch",
+    )
+    merge_branch(root, "restate")
+    main_post = tagged_agg(
+        read_table_at_catalog(spark, root, "orders_cow", path), "main_post"
+    )
+    return (
+        branch_read.unionByName(main_post)
+        .unionByName(main_pre)
+        .orderBy("src", "o_orderstatus")
+    )

@@ -12,8 +12,12 @@ from spark_hudi_etl_pipeline_spark.operators.merge import (
     upsert_parquet_indexed,
 )
 from spark_hudi_etl_pipeline_spark.operators.txn import (
+    BranchMergeConflict,
     _catalog_publish,
     catalog_latest,
+    create_branch,
+    delete_branch,
+    merge_branch,
     read_table_at_catalog,
     txn_commit,
 )
@@ -108,3 +112,82 @@ def test_unknown_table_and_fresh_catalog(spark, cat, tmp_path):
     with pytest.raises(KeyError):
         read_table_at_catalog(spark, root, "nope", a)
     assert catalog_latest(str(tmp_path / "fresh")) == (0, {})
+
+
+def test_branch_write_isolation_and_merge(spark, cat):
+    root, a, b = cat
+    assert create_branch(root, "dev") == 1
+    # Branch write to ta: invisible on main, visible on dev.
+    u = spark.createDataFrame([(2, "dev-edit", 20)], SCHEMA)
+    txn_commit(spark, root, [("ta", a, u, "k", "prec")], branch="dev")
+    assert rows_of(read_table_at_catalog(spark, root, "ta", a)) == {
+        (1, "a1", 10),
+        (2, "a2", 10),
+    }
+    assert rows_of(
+        read_table_at_catalog(spark, root, "ta", a, branch="dev")
+    ) == {(1, "a1", 10), (2, "dev-edit", 20)}
+    # Main writes a DIFFERENT table meanwhile: no conflict.
+    m = spark.createDataFrame([(7, "b-main", 20)], SCHEMA)
+    txn_commit(spark, root, [("tb", b, m, "k", "prec")])
+    merge_branch(root, "dev")
+    # Post-merge main sees BOTH: dev's ta edit and its own tb write.
+    assert rows_of(read_table_at_catalog(spark, root, "ta", a)) == {
+        (1, "a1", 10),
+        (2, "dev-edit", 20),
+    }
+    assert rows_of(read_table_at_catalog(spark, root, "tb", b)) == {
+        (1, "b1", 10),
+        (7, "b-main", 20),
+    }
+
+
+def test_branches_same_table_do_not_see_each_other(spark, cat):
+    root, a, _ = cat
+    create_branch(root, "x")
+    create_branch(root, "y")
+    ux = spark.createDataFrame([(1, "from-x", 20)], SCHEMA)
+    uy = spark.createDataFrame([(2, "from-y", 20)], SCHEMA)
+    txn_commit(spark, root, [("ta", a, ux, "k", "prec")], branch="x")
+    txn_commit(spark, root, [("ta", a, uy, "k", "prec")], branch="y")
+    # Each branch merged from ITS pinned snapshot, not the other's head.
+    assert rows_of(
+        read_table_at_catalog(spark, root, "ta", a, branch="x")
+    ) == {(1, "from-x", 20), (2, "a2", 10)}
+    assert rows_of(
+        read_table_at_catalog(spark, root, "ta", a, branch="y")
+    ) == {(1, "a1", 10), (2, "from-y", 20)}
+
+
+def test_merge_conflict_on_both_sides_changed(spark, cat):
+    root, a, _ = cat
+    create_branch(root, "dev")
+    u1 = spark.createDataFrame([(1, "dev", 20)], SCHEMA)
+    u2 = spark.createDataFrame([(1, "main", 21)], SCHEMA)
+    txn_commit(spark, root, [("ta", a, u1, "k", "prec")], branch="dev")
+    txn_commit(spark, root, [("ta", a, u2, "k", "prec")])
+    with pytest.raises(BranchMergeConflict, match="ta"):
+        merge_branch(root, "dev")
+
+
+def test_branch_ref_rules(spark, cat, tmp_path):
+    root, a, _ = cat
+    with pytest.raises(ValueError):
+        create_branch(root, "main")
+    with pytest.raises(KeyError):
+        create_branch(str(tmp_path / "empty"), "dev")
+    with pytest.raises(KeyError):
+        txn_commit(
+            spark,
+            root,
+            [("ta", a, spark.createDataFrame([(9, "z", 1)], SCHEMA), "k", "prec")],
+            branch="ghost",
+        )
+    create_branch(root, "dead")
+    delete_branch(root, "dead")
+    with pytest.raises(KeyError):
+        read_table_at_catalog(spark, root, "ta", a, branch="dead")
+    with pytest.raises(ValueError):
+        delete_branch(root, "main")
+    with pytest.raises(ValueError):
+        merge_branch(root, "main")  # main has no fork record
