@@ -184,6 +184,17 @@ def txn_commit(
     each table merges from the version THE BRANCH pins (``base_version``)
     — never from another branch's latest — so branches are fully
     write-isolated until :func:`merge_branch`.
+
+    A write may carry a sixth element naming a boolean delete-flag
+    column (Hudi ``_hoodie_is_deleted`` semantics, see
+    :func:`~.merge.merge_upsert`): flagged batch rows REMOVE their keys.
+    This is the right-to-be-forgotten shape — erase a subject's rows
+    from every table of the family in ONE atomic commit, so no reader
+    ever sees the subject half-deleted. Logical erasure is immediate;
+    PHYSICAL erasure additionally needs the retention vacuum to reclaim
+    the pre-delete files that older manifest versions still reference
+    (and any savepoint/branch pinning those versions blocks it — audit
+    refs before attesting deletion).
     """
     cv, tables = catalog_latest(root, branch)
     if branch != _MAIN and cv == 0:
@@ -198,10 +209,13 @@ def txn_commit(
             "transaction's reads; retry against the new snapshot"
         )
     new_tables = dict(tables)
-    for name, path, batch, key, precombine in writes:
+    for w in writes:
+        name, path, batch, key, precombine = w[:5]
+        delete_col = w[5] if len(w) > 5 else None
         upsert_parquet_indexed(
             spark, batch, path, key, precombine,
             clean=False, base_version=tables.get(name),
+            delete_col=delete_col,
         )
         m = _manifest_latest(path)
         assert m is not None  # the upsert above always publishes one

@@ -2043,3 +2043,107 @@ def branch_merge_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(main_pre)
         .orderBy("src", "o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# GDPR / right-to-be-forgotten erasure (operators/txn.py delete-flag
+# writes): subjects (custkeys % 97 == 0) are erased from BOTH the
+# customer table and their orders in ONE atomic catalog commit — no
+# reader can ever observe the subject half-deleted (deleted from
+# customer, still in orders). Delete records ride the same precombine
+# merge as updates (Hudi _hoodie_is_deleted), so the erasure is an
+# ordinary indexed COW write per table + one catalog CAS. The output
+# reads both tables back through the catalog and reports, per table,
+# the remaining rowcount, a DECIMAL-exact amount sum, and `leaked` =
+# how many erased-subject rows are still visible; the oracle filters
+# the raw tables by the same predicate and emits leaked=0 literally —
+# a hash match IS the proof of complete erasure. (Logical erasure:
+# physical file reclamation is the retention vacuum's job, and any
+# savepoint/branch pinning pre-delete versions blocks it — see
+# txn_commit's docstring.)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "gdpr_erase_subject",
+    oracle="""
+SELECT 'customer' AS tbl, count(*) AS n_rows,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+       CAST(0 AS BIGINT) AS leaked
+FROM customer WHERE c_custkey % 97 <> 0
+UNION ALL
+SELECT 'orders' AS tbl, count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+       CAST(0 AS BIGINT) AS leaked
+FROM orders WHERE o_custkey % 97 <> 0
+ORDER BY tbl
+""",
+)
+def gdpr_erase_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txn import read_table_at_catalog, txn_commit
+
+    root = _scratch(sf_dir, "txn_gdpr")
+    cust_path = os.path.join(root, "customer_cow")
+    ord_path = os.path.join(root, "orders_cow")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    txn_commit(
+        spark,
+        root,
+        [
+            ("customer_cow", cust_path, customer, "c_custkey", "c_custkey"),
+            ("orders_cow", ord_path, orders, "o_orderkey", "o_orderdate"),
+        ],
+    )
+    # Erasure transaction: delete records for the subject's rows in both
+    # tables (equal precombine — batch rows beat existing on ties).
+    cust_del = (
+        read_table_at_catalog(spark, root, "customer_cow", cust_path)
+        .filter(F.col("c_custkey") % 97 == 0)
+        .withColumn("_erase", F.lit(True))
+    )
+    ord_del = (
+        read_table_at_catalog(spark, root, "orders_cow", ord_path)
+        .filter(F.col("o_custkey") % 97 == 0)
+        .withColumn("_erase", F.lit(True))
+    )
+    txn_commit(
+        spark,
+        root,
+        [
+            ("customer_cow", cust_path, cust_del, "c_custkey", "c_custkey", "_erase"),
+            ("orders_cow", ord_path, ord_del, "o_orderkey", "o_orderdate", "_erase"),
+        ],
+        expected_catalog_version=1,
+    )
+
+    def audit(df: DataFrame, tbl: str, subj_col: str, amt_col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(amt_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_amount"),
+            F.sum(
+                F.when(F.col(subj_col) % 97 == 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("leaked"),
+        ).select(
+            F.lit(tbl).alias("tbl"), "n_rows", "total_amount", "leaked"
+        )
+
+    return (
+        audit(
+            read_table_at_catalog(spark, root, "customer_cow", cust_path),
+            "customer", "c_custkey", "c_acctbal",
+        )
+        .unionByName(
+            audit(
+                read_table_at_catalog(spark, root, "orders_cow", ord_path),
+                "orders", "o_custkey", "o_totalprice",
+            )
+        )
+        .orderBy("tbl")
+    )

@@ -114,6 +114,21 @@ def test_unknown_table_and_fresh_catalog(spark, cat, tmp_path):
     assert catalog_latest(str(tmp_path / "fresh")) == (0, {})
 
 
+def test_txn_delete_records_across_tables(spark, cat):
+    """Right-to-be-forgotten shape: flagged delete records erase a
+    subject's keys from BOTH tables in one atomic commit."""
+    root, a, b = cat
+    da = spark.createDataFrame([(1, "a1", 10, True)], SCHEMA + ", gone boolean")
+    db = spark.createDataFrame([(1, "b1", 10, True)], SCHEMA + ", gone boolean")
+    txn_commit(
+        spark,
+        root,
+        [("ta", a, da, "k", "prec", "gone"), ("tb", b, db, "k", "prec", "gone")],
+    )
+    assert rows_of(read_table_at_catalog(spark, root, "ta", a)) == {(2, "a2", 10)}
+    assert rows_of(read_table_at_catalog(spark, root, "tb", b)) == set()
+
+
 def test_branch_write_isolation_and_merge(spark, cat):
     root, a, b = cat
     assert create_branch(root, "dev") == 1
