@@ -917,3 +917,71 @@ def tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min heavy hitters (operators/sketch.py — Cormode &
+# Muthukrishnan 2005). The 100-TB frequent-items shape: sketch state is
+# depth×width cells REGARDLESS of corpus size (here 3×512), built in
+# one bounded-key-space shuffle whose map-side partials are already
+# complete local sketches; estimation broadcasts the tiny cell
+# relation. Output = the top-20 tokens with BOTH their exact count and
+# their CMS estimate, so the one-sided guarantee (estimate ≥ truth,
+# overshoot = hash-collision mass) is itself value-checked: the oracle
+# rebuilds the identical sketch cell-for-cell from the same md5 bucket
+# arithmetic. Production swaps md5 for xxhash64 — one cheaper hash,
+# the same plan.
+# --------------------------------------------------------------------------
+
+_CMS_W = 512
+_CMS_D = 3
+
+
+def _cms_cell_sql(item: str, row: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({row} AS VARCHAR) || '|' || {item}), "
+        f"1, 8)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+),
+truth AS (SELECT token, count(*) AS true_cnt FROM toks GROUP BY token),
+top AS (SELECT token, true_cnt FROM truth ORDER BY true_cnt DESC, token LIMIT 20),
+rows_ AS (SELECT unnest([0, 1, 2]) AS r),
+cells AS (
+  SELECT r, {_cms_cell_sql('token', 'r')} AS c, count(*) AS cnt
+  FROM toks CROSS JOIN rows_ GROUP BY 1, 2
+),
+est AS (
+  SELECT t.token, t.true_cnt, min(coalesce(cl.cnt, 0)) AS cms_cnt
+  FROM top t
+  CROSS JOIN rows_ r
+  LEFT JOIN cells cl
+    ON cl.r = r.r AND cl.c = {_cms_cell_sql('t.token', 'r.r')}
+  GROUP BY t.token, t.true_cnt
+)
+SELECT token, true_cnt, cms_cnt FROM est ORDER BY true_cnt DESC, token
+""",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build, cms_estimate
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(text.tokens("text")).alias("token"))
+    )
+    truth_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "token")
+        .limit(20)
+    )
+    cms = cms_build(toks, "token", width=_CMS_W, depth=_CMS_D)
+    return cms_estimate(
+        cms, truth_top, "token", width=_CMS_W, depth=_CMS_D
+    ).orderBy(F.desc("true_cnt"), "token")
