@@ -1977,3 +1977,95 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC time-series downsampling + fixed-point EWMA (the TimescaleDB
+# continuous-aggregate / financial-bars shape). Raw events collapse to
+# one bar per (event_type, day): open/close are the values at the
+# MIN/MAX of a deterministic order key — zero-padded epoch-micros ‖
+# event_id rendered as a string, because lexicographic order on the
+# padding equals numeric order and both engines' arg_min/min_by accept
+# VARCHAR keys (ties at identical timestamps break by event_id, so the
+# bars are reproducible under any partitioning). volume sums as
+# DECIMAL(18,2). ewma_num is a 10-bar half-life-1 exponential moving
+# average in PURE INTEGER form: sum of lag-j cents × 2^(9-j) — the
+# 2^k weights make the usual order-dependent FP recurrence an exact
+# integer (divide by 102400.0 client-side for the float EWMA). One
+# groupBy shuffle for the bars + one window exchange on event_type for
+# the EWMA; at 100 TB bars are ~types×days rows — tiny — so the window
+# runs on the DOWNSAMPLED relation, never the raw events.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_ohlc_daily",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type, date_trunc('day', ts) AS bar_ts, value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+  FROM events
+),
+bars AS (
+  SELECT event_type, bar_ts,
+         arg_min(value, ok) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         arg_max(value, ok) AS close,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+  FROM keyed GROUP BY event_type, bar_ts
+),
+ew AS (
+  SELECT *,
+    (SELECT CAST(sum(CAST(floor(b2.close * 100 + 0.5) AS BIGINT)
+                     * CAST(pow(2, 9 - (b.rn - b2.rn)) AS BIGINT)) AS BIGINT)
+     FROM (SELECT event_type, bar_ts, close,
+                  row_number() OVER (PARTITION BY event_type ORDER BY bar_ts) AS rn
+           FROM bars) b2
+     WHERE b2.event_type = b.event_type
+       AND b2.rn BETWEEN b.rn - 9 AND b.rn) AS ewma_num
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bar_ts) AS rn
+        FROM bars) b
+)
+SELECT event_type, bar_ts, open, high, low, close, n_events, volume, ewma_num
+FROM ew ORDER BY event_type, bar_ts
+""",
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ok = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bars = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("bar_ts"),
+            "value",
+            ok.alias("ok"),
+        )
+        .groupBy("event_type", "bar_ts")
+        .agg(
+            F.min_by("value", F.col("ok")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ok")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("bar_ts")
+    cents = F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long")
+    ewma = None
+    for j in range(10):
+        term = F.coalesce(F.lag(cents, j).over(w) * (1 << (9 - j)), F.lit(0))
+        ewma = term if ewma is None else ewma + term
+    # The first 9 bars of each series average over fewer than 10 terms
+    # in BOTH engines identically (missing lags contribute nothing).
+    return bars.withColumn("ewma_num", ewma).orderBy("event_type", "bar_ts")

@@ -422,3 +422,40 @@ def test_hll_rolling_estimate_tracks_exact(spark):
     assert set(exact) == set(approx)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, n, approx[day])
+
+
+def test_ohlc_bars_invariants(spark):
+    """OHLC bars: low <= {open, close} <= high on every bar; event and
+    volume totals are conserved against the raw table; the first bar of
+    each series carries ewma_num == 512 * close_cents (only the j=0
+    term of the 2^(9-j) kernel exists); every later bar's ewma_num is a
+    convex-ish combination bounded by 1023 * [min, max] close_cents of
+    its trailing 10-bar window."""
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    bars = QUERIES["events_ohlc_daily"](spark, SF_SMALL).collect()
+    assert bars, "no bars produced"
+    for b in bars:
+        assert b["low"] <= b["open"] <= b["high"], b
+        assert b["low"] <= b["close"] <= b["high"], b
+
+    ev = load_table(spark, SF_SMALL, "events")
+    raw_n = ev.count()
+    assert sum(b["n_events"] for b in bars) == raw_n
+    raw_sum = ev.agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s")
+    ).collect()[0]["s"]
+    assert abs(sum(b["volume"] for b in bars) - float(raw_sum)) < 1e-6 * max(
+        1.0, float(raw_sum)
+    )
+
+    by_type: dict[str, list] = {}
+    for b in sorted(bars, key=lambda r: (r["event_type"], r["bar_ts"])):
+        by_type.setdefault(b["event_type"], []).append(b)
+    for series in by_type.values():
+        cents = [int(b["close"] * 100 + 0.5) for b in series]
+        assert series[0]["ewma_num"] == 512 * cents[0], series[0]
+        for i, b in enumerate(series):
+            window = cents[max(0, i - 9) : i + 1]
+            wsum = sum(1 << (9 - j) for j in range(min(10, i + 1)))
+            assert wsum * min(window) <= b["ewma_num"] <= wsum * max(window), b
