@@ -1,0 +1,224 @@
+"""Persisted file-level column statistics — the Hudi metadata-table
+``column_stats`` partition / Delta per-file-stats shape, as a sidecar
+above this repo's manifest protocol.
+
+The reference pipeline leans on Hudi's metadata table so query planning
+never lists-and-footers the data files themselves
+(``pipeline_architecture.py:179-194`` enables the metadata-table-backed
+writers; Hudi's ``hoodie.metadata.index.column.stats.enable`` is the
+public knob). The economics at 100 TB: a table is O(100k) files, and a
+planner that opens every footer per query pays 100k small reads before
+the first byte of data — the stats sidecar amortizes that harvest into
+ONE tiny parquet (files × stat columns), read in a single metadata-scale
+scan. Three operations:
+
+- :func:`build_table_stats` — table service (Hudi async-indexer shape):
+  harvest per-file row counts + min/max from parquet FOOTERS of the
+  manifest-live file set, persist as ``_stats``. Footer-only; no data
+  pages are read.
+- :func:`read_stats_range` — range scan that consults the sidecar to
+  prune files whose [min, max] cannot intersect the predicate, with the
+  residual filter always applied (pruning affects cost, never results).
+- :func:`group_count_from_stats` — the metadata-only aggregate: on a
+  layout clustered by the group column, files with min == max
+  contribute their counts FROM THE SIDECAR ALONE; only boundary files
+  (min != max) are scanned. ``SELECT status, count(*)`` touches a
+  handful of straddling files instead of the table.
+
+Staleness is self-healing, same contract as the bloom sidecars in
+``operators/merge.py``: readers validate the sidecar's file set against
+the live manifest and silently fall back to footer harvesting on any
+mismatch, so a sidecar that lags a commit can never change results —
+only pruning efficiency.
+
+Scale note: the harvest loop is driver-side over the FILE LISTING
+(metadata-scale — one footer per file, no data). At true 100k-file
+scale the same harvest distributes trivially: parallelize the file list
+and run the identical pyarrow footer read per partition (the output
+schema is unchanged); the sidecar write and both read paths below are
+already metadata-scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from .clustering import file_column_bounds
+from .merge import table_live_files
+
+_STATS_DIR = "_stats"
+
+
+def _stats_schema(spark: SparkSession, path: str, first: str, cols: list[str]):
+    base = spark.read.parquet(os.path.join(path, first)).select(*cols).schema
+    fields = [
+        StructField("file", StringType(), False),
+        StructField("rows", LongType(), False),
+    ]
+    for f in base:
+        fields.append(StructField(f"min_{f.name}", f.dataType, True))
+        fields.append(StructField(f"max_{f.name}", f.dataType, True))
+    return StructType(fields)
+
+
+def build_table_stats(spark: SparkSession, path: str, cols: list[str]) -> int:
+    """Harvest per-file stats for ``cols`` from the live files' parquet
+    footers and persist the ``_stats`` sidecar. Returns the number of
+    files indexed. Rerun after commits (table service); readers
+    self-heal on staleness rather than require it."""
+    _, live = table_live_files(path)
+    if not live:
+        raise FileNotFoundError(f"no data files at {path!r}")
+    bounds = file_column_bounds(path, cols, files=live)
+    rows = [
+        tuple([b["file"], b["rows"]] + [v for c in cols for v in b[c]])
+        for b in bounds
+    ]
+    df = spark.createDataFrame(rows, _stats_schema(spark, path, live[0], cols))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, _STATS_DIR)
+    )
+    return len(live)
+
+
+def _valid_stats(
+    spark: SparkSession, path: str, live: list[str]
+) -> DataFrame | None:
+    """The sidecar relation when present AND exactly covering the live
+    manifest file set, else None (fall back to footers)."""
+    sdir = os.path.join(path, _STATS_DIR)
+    if not os.path.isdir(sdir):
+        return None
+    df = spark.read.parquet(sdir)
+    have = {r["file"] for r in df.select("file").distinct().collect()}
+    return df if have == set(live) else None
+
+
+def stats_candidate_files(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[list[str], list[str]]:
+    """(candidate files whose [min, max] may intersect [lo, hi], all
+    live files). Files with no usable stats (all-null column, stat-less
+    row group) are conservatively kept. Exposed for tests and for
+    composing custom pruned readers."""
+    _, live = table_live_files(path)
+    stats = _valid_stats(spark, path, live)
+    if stats is not None:
+        keep = ~(
+            (F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi))
+        )
+        cand = [
+            r["file"]
+            for r in stats.filter(F.coalesce(keep, F.lit(True)))
+            .select("file")
+            .collect()
+        ]
+        return sorted(cand), live
+    bounds = file_column_bounds(path, [col], files=live)
+    sample = next((b[col][0] for b in bounds if b[col][0] is not None), None)
+    lo, hi = _promote(sample, lo), _promote(sample, hi)
+    cand = [
+        b["file"]
+        for b in bounds
+        if b[col][0] is None or not (b[col][1] < lo or b[col][0] > hi)
+    ]
+    return sorted(cand), live
+
+
+def _promote(bound_sample, v):
+    """Align a probe value's python type with the footer statistics'
+    (a DATE probe against a TIMESTAMP column becomes midnight of that
+    day — the same coercion Spark applies to the residual filter)."""
+    import datetime
+
+    if (
+        isinstance(bound_sample, datetime.datetime)
+        and isinstance(v, datetime.date)
+        and not isinstance(v, datetime.datetime)
+    ):
+        return datetime.datetime(v.year, v.month, v.day)
+    return v
+
+
+def read_stats_range(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> DataFrame:
+    """Range scan ``col BETWEEN lo AND hi`` reading ONLY the sidecar's
+    candidate files. The residual predicate always applies (candidate
+    ranges may merely overlap), so results are exact no matter how well
+    — or whether — pruning worked."""
+    cand, live = stats_candidate_files(spark, path, col, lo, hi)
+    reader = spark.read.parquet(
+        *[os.path.join(path, f) for f in (cand or [live[0]])]
+    )
+    out = reader.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    return out.limit(0) if not cand else out
+
+
+def group_count_from_stats(
+    spark: SparkSession, path: str, col: str
+) -> DataFrame:
+    """``SELECT col, count(*) GROUP BY col`` answered mostly from
+    metadata: on a layout clustered by ``col``, every file with
+    min == max is PURE — its whole row count attributes to that single
+    value straight from the sidecar — and only the boundary files
+    straddling two values are scanned. Returns ``(col, n_rows)``.
+
+    Requires a valid sidecar (raises on missing/stale: a metadata-only
+    aggregate with no metadata is a contradiction — callers fall back
+    to a plain groupBy themselves)."""
+    _, live = table_live_files(path)
+    stats = _valid_stats(spark, path, live)
+    if stats is None:
+        raise FileNotFoundError(
+            f"no manifest-consistent {_STATS_DIR!r} sidecar at {path!r}; "
+            "run build_table_stats after the latest commit"
+        )
+    mn, mx = f"min_{col}", f"max_{col}"
+    pure = (
+        stats.filter(F.col(mn) == F.col(mx))
+        .groupBy(F.col(mn).alias(col))
+        .agg(F.sum("rows").alias("n_rows"))
+    )
+    boundary = [
+        r["file"]
+        for r in stats.filter(
+            F.col(mn).isNull() | (F.col(mn) != F.col(mx))
+        )
+        .select("file")
+        .collect()
+    ]
+    if not boundary:
+        return pure.orderBy(col)
+    scanned = (
+        spark.read.parquet(*[os.path.join(path, f) for f in boundary])
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        pure.unionByName(scanned)
+        .groupBy(col)
+        .agg(F.sum("n_rows").alias("n_rows"))
+        .orderBy(col)
+    )
+
+
+def boundary_files_for_group(spark: SparkSession, path: str, col: str) -> list[str]:
+    """The files :func:`group_count_from_stats` would actually scan —
+    exposed so tests can assert the metadata-only claim (boundary set ≪
+    live set on a clustered layout)."""
+    _, live = table_live_files(path)
+    stats = _valid_stats(spark, path, live)
+    if stats is None:
+        return sorted(live)
+    mn, mx = f"min_{col}", f"max_{col}"
+    return sorted(
+        r["file"]
+        for r in stats.filter(F.col(mn).isNull() | (F.col(mn) != F.col(mx)))
+        .select("file")
+        .collect()
+    )

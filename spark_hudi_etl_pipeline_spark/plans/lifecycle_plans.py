@@ -2147,3 +2147,78 @@ def gdpr_erase_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted column-stats sidecar (operators/stats.py — the Hudi
+# metadata-table column_stats / Delta per-file-stats shape). Two read
+# paths over a linear-clustered orders table:
+#   stats_skipping_range_scan — a date-window scan planned from the
+#     sidecar (files whose [min, max] can't intersect are never opened;
+#     residual predicate keeps results exact regardless of pruning);
+#   stats_metadata_group_counts — count-by-group answered mostly from
+#     METADATA: pure files (min == max on the cluster column) contribute
+#     their sidecar row counts without being read, only the straddling
+#     boundary files are scanned.
+# Both oracles are the plain predicate/GROUP BY over the raw table —
+# the sidecar must be invisible in results, visible only in cost.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_skipping_range_scan",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-05-31'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def stats_skipping_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import cluster_linear, write_clustered
+    from ..operators.stats import build_table_stats, read_stats_range
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    path = _scratch(sf_dir, "stats_range")
+    write_clustered(
+        cluster_linear(orders, ["o_orderdate", "o_orderkey"], 24), path
+    )
+    build_table_stats(spark, path, ["o_orderdate"])
+    import datetime
+
+    lo, hi = datetime.date(1995, 3, 1), datetime.date(1995, 5, 31)
+    return (
+        read_stats_range(spark, path, "o_orderdate", lo, hi)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "stats_metadata_group_counts",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n_rows
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def stats_metadata_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import cluster_linear, write_clustered
+    from ..operators.stats import build_table_stats, group_count_from_stats
+
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    path = _scratch(sf_dir, "stats_groupcount")
+    write_clustered(
+        cluster_linear(orders, ["o_orderstatus", "o_orderkey"], 12), path
+    )
+    build_table_stats(spark, path, ["o_orderstatus"])
+    return group_count_from_stats(spark, path, "o_orderstatus")
