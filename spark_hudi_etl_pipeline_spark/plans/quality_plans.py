@@ -393,3 +393,72 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ratio_delta_q)"
         )
     ).orderBy("column_name")
+
+
+# --------------------------------------------------------------------------
+# k-anonymity release gate (operators/privacy.py) — the governance twin
+# of gdpr_erase_subject: no row leaves the lakehouse unless its quasi-
+# identifier combination (market segment × fixed-width balance decile)
+# is shared by >= k released rows. Failing rows coarsen the balance
+# decile to a quintile-of-deciles and re-form classes among themselves;
+# still-failing rows publish nothing. Balance bins are pure integer
+# arithmetic on half-up-rounded cents — bit-identical in both engines.
+# Two window passes = two quasi-key exchanges, no joins, no collect.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "k_anon_customer_release",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor((floor(c_acctbal * 100 + 0.5) + 100000) / 110000)
+              AS BIGINT) AS bal_bin
+  FROM customer
+),
+l0 AS (
+  SELECT *, count(*) OVER (PARTITION BY c_mktsegment, bal_bin) AS n0
+  FROM base
+),
+l1 AS (
+  SELECT *, count(CASE WHEN n0 < 4 THEN 1 END) OVER (
+           PARTITION BY c_mktsegment, CAST(floor(bal_bin / 5) AS BIGINT)
+         ) AS n1
+  FROM l0
+)
+SELECT c_custkey,
+       CASE WHEN n0 >= 4 THEN 0 WHEN n1 >= 4 THEN 1 ELSE -1 END
+         AS released_level,
+       CASE WHEN n0 >= 4 OR n1 >= 4 THEN c_mktsegment END AS pub_segment,
+       CASE WHEN n0 >= 4 THEN bal_bin
+            WHEN n1 >= 4 THEN CAST(floor(bal_bin / 5) AS BIGINT)
+       END AS pub_bal_bin,
+       CASE WHEN n0 >= 4 THEN n0 WHEN n1 >= 4 THEN n1 END AS group_n
+FROM l1 ORDER BY c_custkey
+""",
+)
+def k_anon_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import k_anonymize_two_level
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(
+            (F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)) + 100000) / 110000
+        )
+        .cast("long")
+        .alias("bal_bin"),
+    )
+    out = k_anonymize_two_level(
+        cust,
+        quasi=["c_mktsegment", "bal_bin"],
+        k=4,
+        coarsen={"bal_bin": F.floor(F.col("bal_bin") / 5).cast("long")},
+    )
+    return out.select(
+        "c_custkey",
+        "released_level",
+        F.col("pub_c_mktsegment").alias("pub_segment"),
+        "pub_bal_bin",
+        "group_n",
+    ).orderBy("c_custkey")

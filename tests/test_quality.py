@@ -117,3 +117,66 @@ def test_quarantine_split_partition(spark):
         5: "price_positive",  # NULL comparison fails closed
     }
     assert good.count() + bad.count() == df.count()
+
+
+def test_k_anonymity_class_sizes(spark):
+    """Every released equivalence class (level, published quasi combo)
+    must reach k; suppressed rows publish nothing."""
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["k_anon_customer_release"](spark, SF_SMALL).collect()
+    assert rows
+    seen_levels = {r["released_level"] for r in rows}
+    assert seen_levels <= {0, 1, -1}
+    classes: dict = {}
+    for r in rows:
+        if r["released_level"] == -1:
+            assert r["pub_segment"] is None
+            assert r["pub_bal_bin"] is None
+            assert r["group_n"] is None
+        else:
+            key = (r["released_level"], r["pub_segment"], r["pub_bal_bin"])
+            classes.setdefault(key, []).append(r["group_n"])
+    for key, ns in classes.items():
+        assert len(ns) >= 4, (key, ns)
+        assert all(n == len(ns) for n in ns), (key, ns)
+
+
+def test_k_anonymity_coarse_class_excludes_released(spark):
+    """A coarse class must count ONLY level-0 failures: rows released at
+    full detail cannot pad a coarse class to k."""
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.privacy import (
+        k_anonymize_two_level,
+    )
+
+    # One fine class of 5 (passes k=4) and a sibling fine class of 3
+    # (fails) that coarsens into the SAME bucket as the passing class.
+    data = [("a", 0)] * 5 + [("a", 1)] * 3
+    df = spark.createDataFrame(data, ["seg", "bin"])
+    out = k_anonymize_two_level(
+        df, ["seg", "bin"], 4, {"bin": F.floor(F.col("bin") / 2).cast("long")}
+    ).collect()
+    fine = [r for r in out if r["bin"] == 0]
+    assert all(r["released_level"] == 0 and r["group_n"] == 5 for r in fine)
+    # The 3 failures alone don't reach k even though 5 released rows
+    # share their coarse bucket — they must be suppressed, not padded.
+    coarse = [r for r in out if r["bin"] == 1]
+    assert all(r["released_level"] == -1 for r in coarse)
+
+
+def test_k_anonymity_arg_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.privacy import (
+        k_anonymize_two_level,
+    )
+
+    df = spark.createDataFrame([("a", 1)], ["seg", "bin"])
+    with pytest.raises(ValueError):
+        k_anonymize_two_level(df, ["seg"], 0, {})
+    with pytest.raises(ValueError):
+        k_anonymize_two_level(df, ["seg"], 2, {"bin": F.col("bin")})
