@@ -941,3 +941,67 @@ def kmeans_lloyd_quantized(
         centroids.update(moved)  # emptied clusters keep previous centroid
 
     return assign(xq).drop("xq")
+
+
+def hard_negative_pairs(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_subspaces: int = 2,
+    lo: float = 0.05,
+    hi: float = 0.2,
+    per_anchor: int = 3,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor, the
+    ``per_anchor`` most-similar vectors that are NOT near-duplicates —
+    the pairs a contrastive objective (SimCLR/DPR-style) learns most
+    from, since easy negatives contribute vanishing gradient and
+    near-dups are false negatives.
+
+    Candidate generation is BLOCKED on the first ``block_subspaces`` PQ
+    codes (:func:`pq_encode` — same seed-free codebook as the ADC
+    queries): coarsely-similar vectors collide, so the self-join costs
+    Σ block² instead of n² — the same bounding trick as the LSH band
+    join and the SemDeDup cluster blocking. At larger corpora, raise
+    ``block_subspaces`` (block count is n_codes^m) to keep blocks
+    bounded; recall degrades only for pairs whose similarity the first
+    subspaces don't see, which for hard-NEGATIVE mining is acceptable
+    by construction — we want representative hard pairs, not an exact
+    top-k (use knn_* for that).
+
+    Within a block, exact cosine (functions/vectors.py chain), rounded
+    to 4 digits BEFORE the band filter and the ranking so threshold
+    membership and tie order are bit-identical cross-engine. Band:
+    ``lo <= cos < hi`` (above noise, below the dedup threshold); rank
+    per anchor by (cosine DESC, negative id).
+    """
+    coded = pq_encode(df.select(id_col, vec_col), codebook)
+    blocks = [f"pq_{s}" for s in range(block_subspaces)]
+    a = coded.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__va"),
+        *[F.col(b).alias(f"__a_{b}") for b in blocks],
+    )
+    b = coded.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("__vb"),
+        *[F.col(c).alias(f"__b_{c}") for c in blocks],
+    )
+    cond = F.col("anchor_id") != F.col("negative_id")
+    for c in blocks:
+        cond = cond & (F.col(f"__a_{c}") == F.col(f"__b_{c}"))
+    pairs = (
+        a.join(b, cond)
+        .withColumn("cosine", F.round(vectors.cosine("__va", "__vb"), 4))
+        .filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= per_anchor)
+        .select("anchor_id", "negative_id", "cosine", "rnk")
+    )

@@ -911,3 +911,69 @@ def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         k=5,
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive hard-negative mining (operators/similarity.py::
+# hard_negative_pairs): per anchor, the 3 most-similar non-duplicate
+# vectors — candidates blocked on the first 2 PQ codes (Σ block² pair
+# cost, the LSH-band/SemDeDup-cluster bounding trick), exact cosine
+# rounded to 4 digits before both the band filter and the ranking so
+# threshold membership and tie order match the oracle bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def _hard_neg_oracle() -> str:
+    cases = "\n           ".join(
+        f"WHEN {s} THEN {_pq_sq_chain(s)}" for s in range(2)
+    )
+    return f"""
+WITH cw AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+dists AS (
+  SELECT e.vec_id, t.s, cw.k,
+         CASE t.s
+           {cases}
+         END AS d
+  FROM embeddings e
+  CROSS JOIN generate_series(0, 1) AS t(s)
+  CROSS JOIN cw
+),
+best AS (
+  SELECT vec_id, s, k,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) AS rn
+  FROM dists
+),
+codes AS (
+  SELECT vec_id,
+         max(CASE WHEN s = 0 THEN k END) AS c0,
+         max(CASE WHEN s = 1 THEN k END) AS c1
+  FROM best WHERE rn = 1 GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         round({_cos_u('ea.embedding', 'eb.embedding')}, 4) AS cosine
+  FROM codes a
+  JOIN codes b ON a.c0 = b.c0 AND a.c1 = b.c1 AND a.vec_id != b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+banded AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rnk
+  FROM pairs WHERE cosine >= 0.05 AND cosine < 0.2
+)
+SELECT anchor_id, negative_id, cosine, rnk
+FROM banded WHERE rnk <= 3 ORDER BY anchor_id, rnk
+"""
+
+
+@query("contrastive_hard_negatives", oracle=_hard_neg_oracle())
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb)
+    return similarity.hard_negative_pairs(
+        emb, cb, lo=0.05, hi=0.2, per_anchor=3
+    ).orderBy("anchor_id", "rnk")

@@ -698,3 +698,38 @@ def test_semantic_dedup_two_level_switch(spark):
     got = {r["vid"]: (r["canonical_id"], r["keep"]) for r in out}
     assert got[0] == (0, True) and got[1] == (0, False)  # planted dup folds
     assert all(c == i if k else True for i, (c, k) in got.items())
+
+
+def test_hard_negatives_structure(spark):
+    """Per anchor: ranks contiguous from 1, cosine non-increasing and
+    inside the [lo, hi) band, no self-pairs, and every pair really
+    collides on the blocking PQ codes."""
+    from spark_hudi_etl_pipeline_spark.operators import similarity
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["contrastive_hard_negatives"](spark, SF_SMALL).collect()
+    assert rows
+    per_anchor: dict = {}
+    for r in rows:
+        assert r["anchor_id"] != r["negative_id"]
+        assert 0.05 <= r["cosine"] < 0.2
+        per_anchor.setdefault(r["anchor_id"], []).append(r)
+    for aid, rs in per_anchor.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True), (aid, cosines)
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cb = similarity.pq_codebook(emb)
+    codes = {
+        r["vec_id"]: (r["pq_0"], r["pq_1"])
+        for r in similarity.pq_encode(emb, cb)
+        .select("vec_id", "pq_0", "pq_1")
+        .collect()
+    }
+    for r in rows:
+        assert codes[r["anchor_id"]] == codes[r["negative_id"]], r
