@@ -2069,3 +2069,82 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The first 9 bars of each series average over fewer than 10 terms
     # in BOTH engines identically (missing lags contribute nothing).
     return bars.withColumn("ewma_num", ewma).orderBy("event_type", "bar_ts")
+
+
+# --------------------------------------------------------------------------
+# Cascading rollup (the TimescaleDB continuous-aggregate hierarchy /
+# materialized-rollup reuse): MONTHLY bars are derived from the DAILY
+# bars' mergeable partial state — never from the raw events. The daily
+# state carries its arg keys (ok at the open, ok at the close), so the
+# monthly open/close are min_by/max_by over DAILY rows on those carried
+# keys — exactly the merge a partial-aggregate combiner performs. At
+# 100 TB the raw relation is touched once for the daily tier; every
+# coarser tier is a metadata-scale fold over ~types×days rows. The
+# oracle computes monthly bars DIRECTLY from raw events: a hash match
+# proves the cascade is lossless, i.e. the state really is mergeable.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_ohlc_monthly_cascade",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type, date_trunc('month', ts) AS m, value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+  FROM events
+)
+SELECT event_type, CAST(m AS DATE) AS month,
+       arg_min(value, ok) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ok) AS close,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM keyed GROUP BY event_type, m
+ORDER BY event_type, month
+""",
+)
+def events_ohlc_monthly_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ok = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    # Daily tier: the one raw-relation pass. Carries the arg keys so
+    # its state merges exactly into any coarser granularity.
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("bar_ts"),
+            "value",
+            ok.alias("ok"),
+        )
+        .groupBy("event_type", "bar_ts")
+        .agg(
+            F.min_by("value", F.col("ok")).alias("open"),
+            F.min("ok").alias("ok_open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ok")).alias("close"),
+            F.max("ok").alias("ok_close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("vol_dec"),
+        )
+    )
+    # Monthly tier: a fold over the DAILY partials only.
+    return (
+        daily.groupBy(
+            "event_type",
+            F.date_trunc("month", "bar_ts").cast("date").alias("month"),
+        )
+        .agg(
+            F.min_by("open", F.col("ok_open")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("ok_close")).alias("close"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("vol_dec").cast("double").alias("volume"),
+        )
+        .orderBy("event_type", "month")
+    )

@@ -459,3 +459,39 @@ def test_ohlc_bars_invariants(spark):
             window = cents[max(0, i - 9) : i + 1]
             wsum = sum(1 << (9 - j) for j in range(min(10, i + 1)))
             assert wsum * min(window) <= b["ewma_num"] <= wsum * max(window), b
+
+
+def test_ohlc_cascade_equals_direct(spark):
+    """The monthly cascade (fold over daily partials) must equal the
+    direct monthly aggregation over raw events — the mergeability
+    property, asserted inside Spark independent of the DuckDB oracle."""
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    cascade = QUERIES["events_ohlc_monthly_cascade"](spark, SF_SMALL)
+    ev = load_table(spark, SF_SMALL, "events")
+    ok = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    direct = (
+        ev.select(
+            "event_type",
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            "value",
+            ok.alias("ok"),
+        )
+        .groupBy("event_type", "month")
+        .agg(
+            F.min_by("value", F.col("ok")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ok")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+        )
+    )
+    a = {tuple(r) for r in cascade.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b
