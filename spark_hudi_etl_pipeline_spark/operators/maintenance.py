@@ -354,3 +354,59 @@ def compaction_plan(
         .filter(F.col("n_files") >= 2)
         .orderBy(partition_col, "bin_id")
     )
+
+
+def ohlc_partial(
+    df: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-(type, day) OHLC partial state over ``df`` — the mergeable
+    form: open/close travel WITH their arg keys (zero-padded
+    epoch-μs‖id, globally unique, so any later merge re-derives the
+    true first/last event deterministically under any batch split),
+    volume as exact DECIMAL. Closed under :func:`merge_ohlc`:
+    ``merge(partial(A), partial(B)) == partial(A ∪ B)``."""
+    ok = F.concat(
+        F.lpad(F.unix_micros(ts_col).cast("string"), 20, "0"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    )
+    return (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("day", ts_col).alias("bar_ts"),
+            F.col(val_col).alias("value"),
+            ok.alias("ok"),
+        )
+        .groupBy("event_type", "bar_ts")
+        .agg(
+            F.min_by("value", F.col("ok")).alias("open"),
+            F.min("ok").alias("ok_open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ok")).alias("close"),
+            F.max("ok").alias("ok_close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("vol_dec"),
+        )
+    )
+
+
+def merge_ohlc(partials: DataFrame) -> DataFrame:
+    """Merge OHLC partial rows sharing (event_type, bar_ts) into one —
+    the combiner step, also the shape of a coarser-granularity rollup
+    (group by month instead of bar_ts). Output schema == input schema,
+    so merges chain."""
+    return partials.groupBy("event_type", "bar_ts").agg(
+        F.min_by("open", F.col("ok_open")).alias("open"),
+        F.min("ok_open").alias("ok_open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", F.col("ok_close")).alias("close"),
+        F.max("ok_close").alias("ok_close"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("vol_dec").cast("decimal(18,2)").alias("vol_dec"),
+    )

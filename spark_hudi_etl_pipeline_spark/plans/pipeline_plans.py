@@ -1930,3 +1930,80 @@ def vacuum_scan_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming OHLC ingest: the deltastreamer-into-continuous-aggregate
+# shape — two availableNow runs drain disjoint halves of the events
+# table through foreach_batch_ohlc_append (operators/maintenance.py
+# partial state + streaming/windows.py sink); each micro-batch appends
+# its per-(type, day) PARTIAL bars tagged by micro-batch id (replays
+# skip — sums would double-count), and the final read folds partials
+# with merge_ohlc. Because open/close travel with globally-unique arg
+# keys, the fold is batch-assignment-invariant: ANY split of events
+# into micro-batches converges to the oracle's direct daily bars.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_ohlc_ingest",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS bar_ts, value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+  FROM events
+)
+SELECT event_type, bar_ts,
+       arg_min(value, ok) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ok) AS close,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM keyed GROUP BY event_type, bar_ts
+ORDER BY event_type, bar_ts
+""",
+)
+def streaming_ohlc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import merge_ohlc
+    from ..streaming.windows import foreach_batch_ohlc_append
+    from .lifecycle_plans import _scratch
+
+    ev = load_table(spark, sf_dir, "events")
+    state = _scratch(sf_dir, "strm_ohlc_state")
+    for run, batch in enumerate(
+        (
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(F.col("event_id") % 2 == 1),
+        ),
+        start=1,
+    ):
+        stage = _scratch(sf_dir, f"strm_ohlc_b{run}")
+        chk = _scratch(sf_dir, f"strm_ohlc_chk{run}")
+        batch.write.mode("overwrite").parquet(stage)
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(stage)
+            .writeStream.foreachBatch(
+                foreach_batch_ohlc_append(state, run_tag=f"run{run}")
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        merge_ohlc(spark.read.parquet(state).drop("src"))
+        .select(
+            "event_type",
+            F.col("bar_ts").cast("date").alias("bar_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            F.col("vol_dec").cast("double").alias("volume"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )

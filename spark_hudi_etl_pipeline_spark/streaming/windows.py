@@ -328,3 +328,33 @@ def foreach_batch_dedup_store(
             verdicts.write.mode("append").parquet(verdict_path)
 
     return apply
+
+
+def foreach_batch_ohlc_append(state_path: str, *, run_tag: str = "run"):
+    """foreachBatch sink maintaining OHLC bar state incrementally (the
+    deltastreamer-into-continuous-aggregate shape): each micro-batch
+    APPENDS its per-(type, day) partial bars tagged with
+    ``run_tag:batch_id``; readers fold the partials with
+    :func:`operators.maintenance.merge_ohlc`, so the state stays
+    mergeable and O(types × days × batches-touching-the-day) — never
+    re-reading raw events.
+
+    Exactly-once under checkpoint recovery: a replayed micro-batch id
+    finds its own ``src`` tag already committed and skips — the same
+    replay-idempotence contract as foreach_batch_dedup_store (sums
+    would double-count otherwise; min/max alone wouldn't care)."""
+    from ..operators.maintenance import ohlc_partial, read_state_if_exists
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        src = f"{run_tag}:{batch_id}"
+        existing = read_state_if_exists(spark, state_path)
+        if (
+            existing is not None
+            and existing.filter(F.col("src") == src).limit(1).count() > 0
+        ):
+            return
+        partial = ohlc_partial(batch_df).withColumn("src", F.lit(src))
+        partial.write.mode("append").parquet(state_path)
+
+    return apply

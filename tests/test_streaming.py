@@ -367,3 +367,51 @@ def test_interval_join_derived_anti_equals_native_on_batch(spark):
         r["id"] for r in native.collect()
     } == {2, 3}
     assert derived.columns == left.columns
+
+
+def test_ohlc_state_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch id must not double-count: applying the
+    same (batch_df, batch_id) twice leaves the state identical."""
+    from spark_hudi_etl_pipeline_spark.operators.maintenance import merge_ohlc
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+    from spark_hudi_etl_pipeline_spark.streaming.windows import (
+        foreach_batch_ohlc_append,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").limit(200)
+    state = str(tmp_path / "state")
+    sink = foreach_batch_ohlc_append(state, run_tag="t")
+    sink(ev, 0)
+    once = sorted(
+        tuple(r) for r in merge_ohlc(spark.read.parquet(state).drop("src")).collect()
+    )
+    sink(ev, 0)  # checkpoint-recovery replay
+    twice = sorted(
+        tuple(r) for r in merge_ohlc(spark.read.parquet(state).drop("src")).collect()
+    )
+    assert once == twice
+    # A genuinely new batch id DOES land.
+    sink(ev, 1)
+    n_src = (
+        spark.read.parquet(state).select("src").distinct().count()
+    )
+    assert n_src == 2
+
+
+def test_ohlc_partial_merge_split_invariant(spark):
+    """merge(partial(A), partial(B)) == partial(A ∪ B) for an arbitrary
+    split — the mergeability contract the streaming ingest rests on."""
+    from spark_hudi_etl_pipeline_spark.operators.maintenance import (
+        merge_ohlc,
+        ohlc_partial,
+    )
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    whole = sorted(tuple(r) for r in ohlc_partial(ev).collect())
+    a = ohlc_partial(ev.filter(F.col("event_id") % 3 == 0))
+    b = ohlc_partial(ev.filter(F.col("event_id") % 3 != 0))
+    merged = sorted(tuple(r) for r in merge_ohlc(a.unionByName(b)).collect())
+    assert whole == merged
