@@ -949,7 +949,8 @@ def hard_negative_pairs(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_subspaces: int = 2,
+    block_subspaces: int | None = None,
+    target_block: int = 64,
     lo: float = 0.05,
     hi: float = 0.2,
     per_anchor: int = 3,
@@ -964,12 +965,18 @@ def hard_negative_pairs(
     codes (:func:`pq_encode` — same seed-free codebook as the ADC
     queries): coarsely-similar vectors collide, so the self-join costs
     Σ block² instead of n² — the same bounding trick as the LSH band
-    join and the SemDeDup cluster blocking. At larger corpora, raise
-    ``block_subspaces`` (block count is n_codes^m) to keep blocks
-    bounded; recall degrades only for pairs whose similarity the first
-    subspaces don't see, which for hard-NEGATIVE mining is acceptable
-    by construction — we want representative hard pairs, not an exact
-    top-k (use knn_* for that).
+    join and the SemDeDup cluster blocking. At a FIXED granularity the
+    expected block size grows with the corpus and the pair cost turns
+    quadratic, so the default ``block_subspaces=None`` AUTO-SCALES it
+    (the SemDeDup auto-k rule applied to blocking): the smallest m with
+    ``n_codes^m · target_block ≥ n``, keeping expected block size
+    ≤ ``target_block`` as the corpus grows. Recall degrades only for
+    pairs whose similarity the first subspaces don't see, which for
+    hard-NEGATIVE mining is acceptable by construction — we want
+    representative hard pairs, not an exact top-k (use knn_* for
+    that). Pass an explicit ``block_subspaces`` to pin the granularity
+    (the oracle-checked query does, so its SQL twin stays valid at
+    every fixture scale).
 
     Within a block, exact cosine (functions/vectors.py chain), rounded
     to 4 digits BEFORE the band filter and the ranking so threshold
@@ -977,6 +984,15 @@ def hard_negative_pairs(
     ``lo <= cos < hi`` (above noise, below the dedup threshold); rank
     per anchor by (cosine DESC, negative id).
     """
+    if block_subspaces is None:
+        n = df.count()
+        n_codes = len(codebook[0])
+        block_subspaces = 1
+        while (
+            n_codes**block_subspaces * target_block < n
+            and block_subspaces < len(codebook)
+        ):
+            block_subspaces += 1
     coded = pq_encode(df.select(id_col, vec_col), codebook)
     blocks = [f"pq_{s}" for s in range(block_subspaces)]
     a = coded.select(

@@ -98,24 +98,45 @@ def _valid_stats(
     return df if have == set(live) else None
 
 
+def _sidecar_rows(path: str, live: list[str]) -> list[dict] | None:
+    """The sidecar rows as plain python dicts — a DRIVER-SIDE pyarrow
+    read of the one tiny stats parquet, no Spark job: query PLANNING
+    must stay metadata-scale (a fixed-overhead distributed job per
+    planning decision would cost more than the footer storm it
+    replaces). None when missing or stale (file sets differ)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(glob.glob(os.path.join(path, _STATS_DIR, "*.parquet")))
+    if not parts:
+        return None
+    rows: list[dict] = []
+    for p in parts:
+        rows.extend(pq.read_table(p).to_pylist())
+    return rows if {r["file"] for r in rows} == set(live) else None
+
+
 def stats_candidate_files(
     spark: SparkSession, path: str, col: str, lo, hi
 ) -> tuple[list[str], list[str]]:
     """(candidate files whose [min, max] may intersect [lo, hi], all
     live files). Files with no usable stats (all-null column, stat-less
     row group) are conservatively kept. Exposed for tests and for
-    composing custom pruned readers."""
+    composing custom pruned readers. Pure driver-side planning: one
+    sidecar read (or the per-file footer fallback), no Spark job."""
     _, live = table_live_files(path)
-    stats = _valid_stats(spark, path, live)
-    if stats is not None:
-        keep = ~(
-            (F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi))
+    rows = _sidecar_rows(path, live)
+    if rows is not None:
+        mn, mx = f"min_{col}", f"max_{col}"
+        sample = next(
+            (r[mn] for r in rows if r[mn] is not None), None
         )
+        plo, phi = _promote(sample, lo), _promote(sample, hi)
         cand = [
             r["file"]
-            for r in stats.filter(F.coalesce(keep, F.lit(True)))
-            .select("file")
-            .collect()
+            for r in rows
+            if r[mn] is None or not (r[mx] < plo or r[mn] > phi)
         ]
         return sorted(cand), live
     bounds = file_column_bounds(path, [col], files=live)

@@ -975,5 +975,5 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cb = similarity.pq_codebook(emb)
     return similarity.hard_negative_pairs(
-        emb, cb, lo=0.05, hi=0.2, per_anchor=3
+        emb, cb, block_subspaces=2, lo=0.05, hi=0.2, per_anchor=3
     ).orderBy("anchor_id", "rnk")

@@ -733,3 +733,34 @@ def test_hard_negatives_structure(spark):
     }
     for r in rows:
         assert codes[r["anchor_id"]] == codes[r["negative_id"]], r
+
+
+def test_hard_negatives_auto_blocking(spark):
+    """Default block_subspaces auto-scales: smallest m with
+    16^m * target_block >= n. With a tiny target_block the rule is
+    forced up a level, and every emitted pair still collides on all m
+    blocking codes."""
+    from spark_hudi_etl_pipeline_spark.operators import similarity
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    cb = similarity.pq_codebook(emb)
+    target = 4
+    m = 1
+    while 16**m * target < n and m < 8:
+        m += 1
+    assert m >= 2  # the fixture is big enough to force an escalation
+    rows = similarity.hard_negative_pairs(
+        emb, cb, target_block=target, lo=-1.0, hi=2.0, per_anchor=2
+    ).collect()
+    assert rows
+    codes = {
+        r["vec_id"]: tuple(r[f"pq_{s}"] for s in range(m))
+        for r in similarity.pq_encode(emb, cb)
+        .select("vec_id", *[f"pq_{s}" for s in range(m)])
+        .collect()
+    }
+    for r in rows:
+        assert codes[r["anchor_id"]] == codes[r["negative_id"]], r

@@ -1016,8 +1016,162 @@ def main() -> None:
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def probe_hardneg_stats(base: str) -> None:
+    """Round-7 probe: (A) hard-negative mining at 1×/4×/16× embeddings,
+    FIXED 2-code blocking vs the AUTO rule — fixed granularity lets
+    expected block size grow with the corpus (Σ block² turns
+    quadratic); auto escalates block_subspaces to hold block size at
+    target_block, so wall should stay near-linear. Replicas are
+    dimension-rotated (verbatim copies would plant replicas² band
+    pairs). (B) column-stats sidecar planning cost at 64/512-file
+    tables: candidate selection from the ONE sidecar parquet vs the
+    per-file footer fallback — the footer path grows with the file
+    count, the sidecar read should not. Appends/replaces a SCALE.md
+    section. Usage: python tools/scale_probe.py --r7ops
+    """
+    import datetime
+    import os
+    import re
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.clustering import (
+        cluster_linear,
+        write_clustered,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.similarity import (
+        hard_negative_pairs,
+        pq_codebook,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.stats import (
+        _STATS_DIR,
+        build_table_stats,
+        stats_candidate_files,
+    )
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("scale-probe-r7ops")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()  # warm JVM
+
+    factors = (1, 4, 16)
+    hn: dict[str, dict[int, float]] = {"fixed2": {}, "auto": {}}
+    hn_rows: dict[str, dict[int, int]] = {k: {} for k in hn}
+    for factor in factors:
+        e_base = spark.read.parquet(f"{base}/embeddings.parquet")
+        parts = []
+        for r in range(factor):
+            d = e_base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(r * 100_000_000)
+            )
+            if r:
+                sft = r % 63 + 1
+                d = d.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {sft + 1}, {64 - sft}), "
+                        f"slice(embedding, 1, {sft}))"
+                    ),
+                )
+            parts.append(d)
+        e = parts[0]
+        for pt in parts[1:]:
+            e = e.unionByName(pt)
+        epath = f"{SCRATCH}/hn_{factor}x"
+        e.write.mode("overwrite").parquet(epath)
+        e = spark.read.parquet(epath)
+        cb = pq_codebook(e)
+        for key, kw in (("fixed2", {"block_subspaces": 2}), ("auto", {})):
+            for _ in range(2):  # warm second run recorded
+                t0 = _time.perf_counter()
+                out = hard_negative_pairs(e, cb, **kw)
+                out.write.mode("overwrite").format("noop").save()
+                hn[key][factor] = _time.perf_counter() - t0
+            hn_rows[key][factor] = hard_negative_pairs(e, cb, **kw).count()
+        print(f"hardneg factor {factor}x done", flush=True)
+
+    orders = spark.read.parquet(f"{base}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    st: dict[str, dict[int, float]] = {"sidecar": {}, "footers": {}}
+    lo, hi = datetime.date(1995, 3, 1), datetime.date(1995, 3, 31)
+    for n_files in (64, 512):
+        tpath = f"{SCRATCH}/stats_{n_files}f"
+        write_clustered(
+            cluster_linear(orders, ["o_orderdate", "o_orderkey"], n_files),
+            tpath,
+        )
+        build_table_stats(spark, tpath, ["o_orderdate"])
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            stats_candidate_files(spark, tpath, "o_orderdate", lo, hi)
+            st["sidecar"][n_files] = _time.perf_counter() - t0
+        os.rename(
+            os.path.join(tpath, _STATS_DIR), os.path.join(tpath, "_gone")
+        )
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            stats_candidate_files(spark, tpath, "o_orderdate", lo, hi)
+            st["footers"][n_files] = _time.perf_counter() - t0
+        print(f"stats {n_files} files done", flush=True)
+
+    lines = [
+        "",
+        "## round-7 ops probe (hard negatives 1×/4×/16×; stats planning 64/512 files)",
+        "",
+        "Hard negatives: FIXED 2-code blocking lets expected block size",
+        "grow with the corpus (pair cost Σ block² → quadratic); the AUTO",
+        "rule escalates block_subspaces (16^m · 64 ≥ n) so block size —",
+        "and wall — stay bounded. Replicas dimension-rotated.",
+        "",
+        "| variant | out-rows @1×/4×/16× | t(1×) s | t(4×) s | t(16×) s | t16/t1 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for key in hn:
+        r, n = hn[key], hn_rows[key]
+        lines.append(
+            f"| {key} | {n[1]}/{n[4]}/{n[16]} | {r[1]:.2f} | {r[4]:.2f} "
+            f"| {r[16]:.2f} | {r[16] / r[1]:.1f}× |"
+        )
+    lines += [
+        "",
+        "Stats-sidecar planning (candidate-file selection only): the",
+        "sidecar is ONE tiny parquet read regardless of file count; the",
+        "footer fallback opens every footer.",
+        "On local NVMe both paths are milliseconds; the gap that matters is",
+        "an object store's, where the footer path is one GET round-trip PER",
+        "FILE (~100 ms × 100k files per planned query) and the sidecar stays",
+        "one GET total. Locally the footer path already grows ~linearly in",
+        "the file count while the sidecar does not.",
+        "",
+        "| path | t(64 files) s | t(512 files) s |",
+        "|---|---|---|",
+        f"| sidecar | {st['sidecar'][64]:.2f} | {st['sidecar'][512]:.2f} |",
+        f"| footers | {st['footers'][64]:.2f} | {st['footers'][512]:.2f} |",
+        "",
+    ]
+    with open("/root/repo/SCALE.md") as f:
+        content = f.read()
+    content = re.sub(
+        r"\n## round-7 ops probe.*?(?=\n## |\Z)", "", content, flags=re.S
+    )
+    content += "\n".join(lines)
+    with open("/root/repo/SCALE.md", "w") as f:
+        f.write(content)
+    print("appended round-7 ops section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+
 if __name__ == "__main__":
-    if "--novelty" in sys.argv:
+    if "--r7ops" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        probe_hardneg_stats(base_dir)
+    elif "--novelty" in sys.argv:
         base_dir = next(
             (a for a in sys.argv[1:] if not a.startswith("--")),
             "/root/testdata/sf0.1",
