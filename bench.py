@@ -75,7 +75,24 @@ CURATION = [
     "tfidf_similar_docs",
 ]
 
-HEADLINE = CORE + LIFECYCLE + CURATION
+#: Time-series + governance tier added late in round 7 (timed
+#: separately as timeseries_sec): OHLC downsampling with the integer
+#: EWMA kernel, the monthly cascade over daily partials, the
+#: stats-sidecar pruned range scan, the k-anonymity release gate, and
+#: PQ-blocked contrastive hard-negative mining.
+#: Note: stats_skipping_range_scan's bench time is dominated by its
+#: own staging (clustered rewrite + sidecar build), not the pruned
+#: scan — same convention as the lifecycle tier, which also times its
+#: table-service writes.
+TIMESERIES = [
+    "events_ohlc_daily",
+    "events_ohlc_monthly_cascade",
+    "stats_skipping_range_scan",
+    "k_anon_customer_release",
+    "contrastive_hard_negatives",
+]
+
+HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES
 
 
 def main() -> None:
@@ -148,6 +165,9 @@ def main() -> None:
                 ),
                 "curation_sec": round(
                     sum(timings[n] for n in CURATION), 3
+                ),
+                "timeseries_sec": round(
+                    sum(timings[n] for n in TIMESERIES), 3
                 ),
                 "queries": timings,
                 "sf": sf_num,
