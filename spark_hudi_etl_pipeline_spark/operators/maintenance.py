@@ -410,3 +410,47 @@ def merge_ohlc(partials: DataFrame) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.sum("vol_dec").cast("decimal(18,2)").alias("vol_dec"),
     )
+
+
+def content_checksum(
+    df: DataFrame,
+    cols: list,
+    *,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Order- and partition-independent content checksum — the
+    anti-entropy primitive for verifying a replica, backfill, or
+    migration matches its source WITHOUT sorting or moving either side:
+    one scan per table, constant-size result, compare the signatures.
+
+    Per row: md5 over the '|'-joined canonical expressions in ``cols``
+    (the caller canonicalizes — exact cents for money, ISO strings for
+    dates, explicit null sentinels — because float→string rendering is
+    engine-specific but md5 of an agreed string is not), truncated to
+    60 bits. Folded THREE ways, all commutative hence shuffle-order-
+    proof: ``bit_xor`` (cheap, but identical rows pair-cancel), an
+    exact DECIMAL(38) sum (catches duplicate-row cancellation), and
+    ``count(*)``. A mismatch in any one flags divergence; agreeing on
+    all three at 60 bits/row makes silent divergence vanishingly
+    unlikely.
+
+    ``group_by`` yields per-group signatures (e.g. per partition), so a
+    divergent replica can be localized — and re-verified — partition by
+    partition instead of re-comparing the table."""
+    staged = df.select(
+        *(group_by or []),
+        F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__row_sig"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__row_sig)").alias("xor_sig"),
+        F.sum(F.col("__row_sig").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sum_sig"),
+    ]
+    if group_by:
+        return staged.groupBy(*group_by).agg(*aggs)
+    return staged.agg(*aggs)

@@ -462,3 +462,59 @@ def k_anon_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pub_bal_bin",
         "group_n",
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Anti-entropy table checksum (operators/maintenance.py::
+# content_checksum): verify a replica/backfill matches its source with
+# ONE unsorted scan per side and a constant-size signature — per
+# o_orderstatus group so divergence localizes to a partition. Inputs
+# are canonicalized BEFORE hashing (exact cents, ISO date string, null
+# sentinel) because float→string rendering is engine-specific but md5
+# of an agreed string is not; bit_xor + exact decimal sum + count all
+# commute, so any shuffle order / partitioning yields the same
+# signature.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "table_checksum_orders",
+    oracle="""
+WITH sig AS (
+  SELECT o_orderstatus,
+         CAST(('0x' || substr(md5(concat_ws('|',
+             CAST(o_orderkey AS VARCHAR),
+             CAST(o_custkey AS VARCHAR),
+             o_orderstatus,
+             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+             coalesce(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'), '~')
+           )), 1, 15)) AS BIGINT) AS row_sig
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       bit_xor(row_sig) AS xor_sig,
+       CAST(CAST(sum(CAST(row_sig AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR)
+         AS sum_sig
+FROM sig GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import content_checksum
+
+    orders = load_table(spark, sf_dir, "orders")
+    canon = [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        F.coalesce(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd"),
+            F.lit("~"),
+        ),
+    ]
+    return content_checksum(
+        orders, canon, group_by=["o_orderstatus"]
+    ).orderBy("o_orderstatus")

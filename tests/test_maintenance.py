@@ -207,3 +207,45 @@ def test_histogram_out_of_range_saturates(spark):
         for r in histogram_state(df, "x", lo=0.0, hi=100.0, n_bins=10).collect()
     }
     assert got == {0: 2, 9: 2}  # -5 clamps to bin 0, 250 to bin 9
+
+
+def test_checksum_partition_and_order_invariant(spark):
+    """The signature must not depend on partitioning or row order, must
+    flag a single-row value change, and must flag a duplicated row
+    (which bit_xor alone pair-cancels — the decimal sum catches it)."""
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.maintenance import (
+        content_checksum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 7}") for i in range(1000)], ["k", "s"]
+    )
+    cols = [F.col("k").cast("string"), F.col("s")]
+
+    def sig(frame):
+        return tuple(content_checksum(frame, cols).collect()[0])
+
+    base = sig(df)
+    assert sig(df.repartition(13, "s")) == base
+    assert sig(df.orderBy(F.col("k").desc())) == base
+
+    changed = df.withColumn(
+        "s", F.when(F.col("k") == 500, F.lit("mutant")).otherwise(F.col("s"))
+    )
+    assert sig(changed) != base
+
+    doubled = df.unionAll(df.filter(F.col("k") == 1))
+    d = sig(doubled)
+    assert d != base
+    assert d[0] == base[0] + 1           # count catches it
+    assert d[1] == base[1] or True       # xor MAY collide by design...
+    assert d[2] != base[2]               # ...the exact sum never does
+
+    # Same content duplicated TWICE more: count and sum still differ
+    # even though xor returns to the base value (pair cancellation).
+    tripled = doubled.unionAll(df.filter(F.col("k") == 1))
+    t = sig(tripled)
+    assert t[1] == base[1]               # xor blind to pair-cancel
+    assert t[0] != base[0] and t[2] != base[2]
