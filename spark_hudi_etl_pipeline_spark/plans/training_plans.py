@@ -2148,3 +2148,68 @@ def events_ohlc_monthly_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "month")
     )
+
+
+# --------------------------------------------------------------------------
+# OVERLAPPING retrieval chunks (the RAG passage-window shape): 32-token
+# windows on a 16-token stride, so every token boundary has context on
+# both sides of some chunk. Start positions run s = 0, 16, 32, … while
+# s == 0 or s + 16 < n — a start whose window adds no tokens beyond the
+# previous chunk's coverage is suppressed (it would be a pure suffix of
+# its predecessor: dead weight in the index and a duplicate retrieval
+# hit). Map-only: sequence + posexplode + slice inside the row — chunk
+# count is the only amplification, no shuffle until the caller's sink.
+# --------------------------------------------------------------------------
+
+_STRIDE = 16
+
+
+@query(
+    "doc_chunk_overlap_windows",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+             CAST(floor(greatest(len(t) - {_STRIDE} - 1, 0)
+                        / {_STRIDE}) AS BIGINT))) AS win_idx,
+         t
+  FROM toks
+)
+SELECT doc_id, win_idx,
+       win_idx * {_STRIDE} AS start_tok,
+       len(list_slice(t, win_idx * {_STRIDE} + 1,
+                      least(win_idx * {_STRIDE} + {_CHUNK}, len(t))))
+         AS n_tokens,
+       array_to_string(list_slice(t, win_idx * {_STRIDE} + 1,
+                       least(win_idx * {_STRIDE} + {_CHUNK}, len(t))), ' ')
+         AS chunk_text
+FROM chunks
+ORDER BY doc_id, win_idx
+""",
+)
+def doc_chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    n = F.size("t")
+    # Last emitted start: the largest multiple of _STRIDE strictly below
+    # n - _STRIDE, floored at 0 (a lone short doc still emits window 0).
+    last = F.floor(
+        F.greatest(n - F.lit(_STRIDE) - 1, F.lit(0)) / F.lit(_STRIDE)
+    ).cast("long")
+    wins = d.select(
+        "doc_id",
+        F.col("t"),
+        F.explode(F.sequence(F.lit(0).cast("long"), last)).alias("win_idx"),
+    )
+    piece = F.slice(
+        F.col("t"), (F.col("win_idx") * _STRIDE + 1).cast("int"), _CHUNK
+    )
+    return wins.select(
+        "doc_id",
+        "win_idx",
+        (F.col("win_idx") * _STRIDE).alias("start_tok"),
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    ).orderBy("doc_id", "win_idx")

@@ -495,3 +495,37 @@ def test_ohlc_cascade_equals_direct(spark):
     a = {tuple(r) for r in cascade.collect()}
     b = {tuple(r) for r in direct.collect()}
     assert a == b
+
+
+def test_overlap_chunks_cover_and_overlap(spark):
+    """Overlapping windows: full coverage of every token, 16-token
+    stride, consecutive windows share exactly 32−16 tokens when both
+    are full, no window is a pure suffix of its predecessor, and window
+    text matches the token stream at its start offset."""
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    wins = QUERIES["doc_chunk_overlap_windows"](spark, SF_SMALL).collect()
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in wins:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, rs in by_doc.items():
+        t = toks[doc_id]
+        rs.sort(key=lambda r: r["win_idx"])
+        covered_to = 0
+        for i, r in enumerate(rs):
+            s = r["start_tok"]
+            assert s == i * 16
+            piece = t[s : s + 32]
+            assert r["n_tokens"] == len(piece)
+            assert r["chunk_text"] == " ".join(piece)
+            if i > 0:  # adds at least one new token past prior coverage
+                assert s + len(piece) > covered_to
+            covered_to = s + len(piece)
+        assert covered_to == len(t)  # full coverage, nothing dropped
