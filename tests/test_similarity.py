@@ -764,3 +764,40 @@ def test_hard_negatives_auto_blocking(spark):
     }
     for r in rows:
         assert codes[r["anchor_id"]] == codes[r["negative_id"]], r
+
+
+def test_int8_quantization_bounds(spark):
+    """Codes live in [-128, 127]; the reconstruction error of every
+    vector is at most half a quantization step of the widest dimension
+    (the SQ8 error bound); constant dims code to 0."""
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators import similarity
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = similarity.quantize_embeddings_int8(emb).collect()
+    assert len(out) == emb.count()
+    ranges = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg((F.max("x") - F.min("x")).alias("r"))
+        .collect()
+    )
+    half_step = max(r["r"] for r in ranges) / 255.0 / 2.0
+    for r in out:
+        assert all(-128 <= c <= 127 for c in r["codes"]), r["vec_id"]
+        assert r["max_abs_err"] <= half_step * (1 + 1e-9), (
+            r["vec_id"],
+            r["max_abs_err"],
+            half_step,
+        )
+
+    const = spark.createDataFrame(
+        [(1, [5.0] * 64), (2, [5.0] * 64)], ["vec_id", "embedding"]
+    )
+    crows = similarity.quantize_embeddings_int8(const).collect()
+    for r in crows:
+        assert r["codes"] == [0] * 64
+        assert r["max_abs_err"] == 0.0
