@@ -291,3 +291,46 @@ def retention_delete(
             )
             shutil.rmtree(f"{path}/__retention_tmp", ignore_errors=True)
     return dropped, deleted
+
+
+def export_symlink_manifest(path: str) -> str:
+    """Export the table's live-file set as a SYMLINK-FORMAT manifest —
+    the Hudi/Delta interop handoff (Hudi's symlink manifests, Delta's
+    ``GENERATE symlink_format_manifest``) that lets engines which speak
+    only "list of parquet files" (Presto/Athena/DuckDB-style external
+    tables) read a snapshot-consistent view WITHOUT understanding the
+    manifest/timeline protocol.
+
+    Writes ``_symlink_manifest/manifest`` under the table path: one
+    absolute file URI per line, exactly the files the latest committed
+    manifest references — orphaned pre-crash files and files removed by
+    compaction/clean are absent, so the external engine can never read
+    a torn commit. Metadata-only (no data scanned); rerun after commits
+    like any table service. The write is tmp-then-rename so a
+    concurrent external reader sees the old manifest or the new one,
+    never a partial line. Returns the manifest file path."""
+    import os
+
+    from .merge import table_live_files
+
+    _, live = table_live_files(path)
+    if not live:
+        raise FileNotFoundError(f"no data files at {path!r}")
+    out_dir = os.path.join(path, "_symlink_manifest")
+    os.makedirs(out_dir, exist_ok=True)
+    target = os.path.join(out_dir, "manifest")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        for name in sorted(live):
+            f.write("file://" + os.path.abspath(os.path.join(path, name)) + "\n")
+    os.replace(tmp, target)
+    return target
+
+
+def read_via_symlink_manifest(spark, manifest_file: str):
+    """Read a table THROUGH its symlink manifest — exactly what an
+    external engine does: take the file list at face value, scan those
+    parquet files, know nothing of manifests or timelines."""
+    with open(manifest_file) as f:
+        uris = [line.strip() for line in f if line.strip()]
+    return spark.read.parquet(*[u.removeprefix("file://") for u in uris])

@@ -2222,3 +2222,79 @@ def stats_metadata_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build_table_stats(spark, path, ["o_orderstatus"])
     return group_count_from_stats(spark, path, "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# Symlink-format manifest export (operators/tableops.py::
+# export_symlink_manifest — Hudi symlink manifests / Delta GENERATE
+# symlink_format_manifest): the interop handoff for engines that speak
+# only "list of parquet files". The query upserts a keyed table (old
+# file versions stay on disk), plants a crash-orphan, exports the
+# manifest, and reads the table BACK through the file list alone — the
+# external engine's view must equal the upsert fold, proving the
+# export is snapshot-consistent and orphan-blind.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "symlink_manifest_read",
+    oracle="""
+WITH batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate, 1 AS is_batch
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, 0 AS is_batch
+  FROM orders
+  UNION ALL
+  SELECT * FROM batch
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price, o_orderdate
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def symlink_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from ..operators.clustering import cluster_linear, write_clustered
+    from ..operators.merge import upsert_parquet_indexed
+    from ..operators.tableops import (
+        export_symlink_manifest,
+        read_via_symlink_manifest,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    path = _scratch(sf_dir, "symlink_tbl")
+    write_clustered(cluster_linear(orders, ["o_orderkey"], 8), path)
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+    )
+    upsert_parquet_indexed(spark, updates, path, "o_orderkey", "o_orderdate")
+    # A crash-orphan the external engine must never see.
+    orders.limit(5).write.mode("overwrite").parquet(f"{path}/__orphan_src")
+    src = _glob.glob(f"{path}/__orphan_src/*.parquet")[0]
+    shutil.copy(src, f"{path}/part-upsert-0rphan00-99999.parquet")
+    shutil.rmtree(f"{path}/__orphan_src")
+    manifest = export_symlink_manifest(path)
+    return (
+        read_via_symlink_manifest(spark, manifest)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -886,3 +886,57 @@ def test_savepoint_survives_restore_after_maybe_compact(spark, tmp_table):
     # The savepoint guarantee: restore_to the pinned instant still works.
     restore_to(spark, tmp_table, 1)
     assert _rows(read_realtime(spark, tmp_table, KEYS, PRE)) == pinned
+
+
+def test_symlink_manifest_atomic_and_exact(spark, tmp_path):
+    """The exported manifest lists exactly the live file set (orphans
+    absent), re-export after a commit swaps atomically (no .tmp left
+    behind), and an external-style read through the manifest equals the
+    manifest-consistent read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        read_indexed_table,
+        table_live_files,
+        upsert_parquet_indexed,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.tableops import (
+        export_symlink_manifest,
+        read_via_symlink_manifest,
+    )
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, SF_SMALL, "orders").select(*cols)
+    path = str(tmp_path / "tbl")
+    upsert_parquet_indexed(
+        spark, orders, path, "o_orderkey", "o_orderdate"
+    )
+    m1 = export_symlink_manifest(path)
+    _, live1 = table_live_files(path)
+    listed1 = {
+        os.path.basename(line.strip())
+        for line in open(m1)
+        if line.strip()
+    }
+    assert listed1 == set(live1)
+
+    upd = orders.limit(50).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    ).withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAYS"))
+    upsert_parquet_indexed(spark, upd, path, "o_orderkey", "o_orderdate")
+    m2 = export_symlink_manifest(path)
+    assert m2 == m1  # same target path, atomically replaced
+    assert not os.path.exists(m2 + ".tmp")
+    _, live2 = table_live_files(path)
+    listed2 = {
+        os.path.basename(line.strip()) for line in open(m2) if line.strip()
+    }
+    assert listed2 == set(live2)
+
+    a = sorted(tuple(r) for r in read_via_symlink_manifest(spark, m2).collect())
+    b = sorted(tuple(r) for r in read_indexed_table(spark, path).collect())
+    assert a == b
