@@ -2263,3 +2263,65 @@ def frequency_cap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# Co-purchase affinity pairs (pairwise frequent itemsets / the
+# market-basket building block): distinct (order, part) first, then the
+# within-order self-join emits each unordered pair once (a < b) — pair
+# cost is Σ basket(basket−1)/2, bounded by real basket sizes (max 13 in
+# the fixture; a hot-basket cap would bound adversarial data the same
+# way the LSH bucket cap does), NEVER parts². One shuffle for the
+# distinct, one for the pair count; top-20 via TakeOrdered, no global
+# sort.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "copurchase_pairs_topk",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_orders
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           ORDER BY n_orders DESC, part_a, part_b) AS rnk
+  FROM pairs
+)
+SELECT part_a, part_b, n_orders, rnk FROM ranked
+WHERE rnk <= 20 ORDER BY rnk
+""",
+)
+def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    top = pairs.orderBy(
+        F.col("n_orders").desc(), "part_a", "part_b"
+    ).limit(20)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+    return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")

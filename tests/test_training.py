@@ -554,3 +554,28 @@ def test_frequency_cap_semantics(spark):
         .collect()
     )
     assert len(ev) == heavy["n_events"]
+
+
+def test_copurchase_pairs_counts(spark):
+    """Emitted pairs are genuine: recount the top pair's co-occurrence
+    directly; ranks are 1..20 and counts non-increasing."""
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    rows = QUERIES["copurchase_pairs_topk"](spark, SF_SMALL).collect()
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["n_orders"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    top = rows[0]
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    oa = {
+        r["l_orderkey"]
+        for r in li.filter(F.col("l_partkey") == top["part_a"]).collect()
+    }
+    ob = {
+        r["l_orderkey"]
+        for r in li.filter(F.col("l_partkey") == top["part_b"]).collect()
+    }
+    assert len(oa & ob) == top["n_orders"]
+    assert top["part_a"] < top["part_b"]
