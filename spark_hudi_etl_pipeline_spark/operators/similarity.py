@@ -1056,6 +1056,11 @@ def quantize_embeddings_int8(
     mn = [0.0] * dim
     mx = [0.0] * dim
     for r in stats:
+        if r["i"] >= dim:
+            raise ValueError(
+                f"vector component {r['i']} out of range: pass dim >= "
+                f"the actual vector length (got dim={dim})"
+            )
         mn[r["i"]], mx[r["i"]] = r["mn"], r["mx"]
     mns = F.array(*[F.lit(v) for v in mn])
     mxs = F.array(*[F.lit(v) for v in mx])

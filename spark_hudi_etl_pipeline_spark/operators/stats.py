@@ -124,7 +124,13 @@ def stats_candidate_files(
     live files). Files with no usable stats (all-null column, stat-less
     row group) are conservatively kept. Exposed for tests and for
     composing custom pruned readers. Pure driver-side planning: one
-    sidecar read (or the per-file footer fallback), no Spark job."""
+    sidecar read (or the per-file footer fallback), no Spark job.
+
+    ``lo``/``hi`` must be of the column's python value type; the one
+    supported coercion is DATE probes against a TIMESTAMP column
+    (promoted to midnight — matching Spark's coercion of the residual
+    filter). Mixed types otherwise raise rather than silently
+    mis-prune."""
     _, live = table_live_files(path)
     rows = _sidecar_rows(path, live)
     if rows is not None:
@@ -243,3 +249,54 @@ def boundary_files_for_group(spark: SparkSession, path: str, col: str) -> list[s
         .select("file")
         .collect()
     )
+
+
+def update_table_stats(spark: SparkSession, path: str, cols: list[str]) -> int:
+    """Incremental sidecar maintenance — the async-indexer delta path:
+    harvest footers ONLY for live files the sidecar doesn't know yet,
+    drop rows for files no longer live (cleaned/compacted away), and
+    rewrite the (tiny) sidecar. Cost is O(new files), not O(table
+    files) — after a commit that adds a handful of files to a 100k-file
+    table, the full rebuild re-opens every footer for nothing.
+
+    Falls back to a full :func:`build_table_stats` when no sidecar
+    exists or its column set doesn't cover ``cols``. Returns the number
+    of files freshly harvested."""
+    _, live = table_live_files(path)
+    if not live:
+        raise FileNotFoundError(f"no data files at {path!r}")
+    sdir = os.path.join(path, _STATS_DIR)
+    existing = None
+    if os.path.isdir(sdir):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        parts = sorted(glob.glob(os.path.join(sdir, "*.parquet")))
+        if parts:
+            rows: list[dict] = []
+            for p in parts:
+                rows.extend(pq.read_table(p).to_pylist())
+            wanted = {f"min_{c}" for c in cols} | {f"max_{c}" for c in cols}
+            if rows and wanted <= set(rows[0].keys()):
+                existing = rows
+    if existing is None:
+        return build_table_stats(spark, path, cols)
+    known = {r["file"] for r in existing}
+    new_files = sorted(set(live) - known)
+    kept = [r for r in existing if r["file"] in set(live)]
+    fresh = []
+    if new_files:
+        for b in file_column_bounds(path, cols, files=new_files):
+            row = {"file": b["file"], "rows": b["rows"]}
+            for c in cols:
+                row[f"min_{c}"], row[f"max_{c}"] = b[c]
+            fresh.append(row)
+    schema = _stats_schema(spark, path, live[0], cols)
+    ordered = [
+        tuple(r[f.name] for f in schema.fields) for r in (kept + fresh)
+    ]
+    spark.createDataFrame(ordered, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(sdir)
+    return len(new_files)
