@@ -80,6 +80,8 @@ CURATION = [
 #: EWMA kernel, the monthly cascade over daily partials, the
 #: stats-sidecar pruned range scan, the k-anonymity release gate, and
 #: PQ-blocked contrastive hard-negative mining.
+#: End-of-round-7 reference numbers at sf0.1 (min-of-3, warm):
+#: core19 18.9s, lifecycle 5.4s, curation 7.3s, timeseries 10.2s.
 #: Note: stats_skipping_range_scan's bench time is dominated by its
 #: own staging (clustered rewrite + sidecar build), not the pruned
 #: scan — same convention as the lifecycle tier, which also times its
