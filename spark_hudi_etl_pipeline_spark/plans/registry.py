@@ -38,68 +38,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in iteration order. Round-7 window (frozen at round start, BEFORE any new
-# registrations, per COVERAGE.md §Rotation): the 2 queries added in round 6
-# after that round's freeze — the only registrations with no CORRECTNESS row
-# in r1-r6 (computed against the six ledgers; both oracle-bearing) — plus the
-# 48 least-recently-attested proven greens (last driver rows r3, plus the 5
-# oldest r4 rows) as cross-round regression canaries. Any query registered
-# later this round appends AFTER the window and rotates in next round.
-# Everything NOT in the window still passes the identical local gate
-# (``tools/oracle_check.py`` runs all of them).
+# in iteration order. Round-8 window (frozen at round start, BEFORE any new
+# registrations, per COVERAGE.md §Rotation): the 33 round-7 post-freeze
+# registrations (the only ones with no CORRECTNESS row in r1-r7), plus the
+# two multimodal decoders whose oracles were upgraded from rows-only to
+# exact DuckDB SQL in r7 (re-rotation upgrades their ledger rows to
+# hash-matched), plus the 15 least-recently-attested proven greens (last
+# driver row r4, alphabetically first of that 36-query cohort) as
+# cross-round regression canaries. Any query registered later this round
+# appends AFTER the window and rotates in r9. Everything NOT in the window
+# still passes the identical local gate (``tools/oracle_check.py`` runs all
+# of them).
 PRIORITY_WINDOW: list[str] = [
-    # round-6 additions never driver-checked (2)
-    "dedup_incremental_batch",
-    "ivf_upsert_probe",
-    # least-recently-attested canaries (last driver row r3, then oldest r4)
-    "events_props_map",
-    "collect_statuses_by_segment",
-    "q15_top_supplier",
-    "supplier_pareto_cumshare",
-    "decimal_exact_totals",
-    "q9_profit_by_nation_year",
-    "q11_important_part_value",
-    "q16_supplier_relationship",
-    "q20_majority_supplier",
-    "extract_full_load",
-    "watermark_lookup",
-    "status_report_window",
-    "events_sessionize",
-    "asof_purchase_prior_click",
-    "streaming_tumbling_counts",
-    "multimodal_metadata_prune",
-    "session_window_stats",
-    "streaming_dedup_within_watermark",
-    "streaming_interval_join",
-    "upsert_precombine_delete",
-    "upsert_partition_pruned",
-    "upsert_file_indexed",
-    "streaming_static_enrich",
-    "dedup_exact_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_resolve_canonical",
-    "leakage_safe_split",
-    "incremental_agg_refresh",
-    "snapshot_diff_cdc",
-    "timeline_as_of",
-    "clustered_scan_bands",
-    "train_test_split_hash",
-    "stratified_sample_events",
-    "knn_bruteforce_cosine",
-    "embedding_neardup_blocked",
-    "embedding_centroids",
-    "text_quality_scores",
-    "text_language_id",
-    "text_repetition_filters",
-    "corpus_curation_pipeline",
-    "validate_constraints",
-    "profile_orders",
-    "pagerank_cust_supp_top20",
-    "approx_distinct_customers",
-    "approx_percentiles_price",
-    "salted_join_segment_volume",
-    "recursive_ancestor_walk",
-    "events_json_extract",
+    # round-7 additions never driver-checked (33)
+    "streaming_dedup_store",
+    "knn_ivfpq_adc",
+    "weighted_sample_pps",
+    "bigram_lm_score",
+    "dedup_shared_spans",
+    "compaction_plan_monthly",
+    "asof_purchase_next_click",
+    "tfidf_similar_docs",
+    "retention_expire_orders",
+    "profile_drift_orders",
+    "streaming_interval_join_anti",
+    "vacuum_scan_invariance",
+    "record_linkage_customers",
+    "table_clone_divergence",
+    "graph_triangle_top20",
+    "multi_table_txn_sync",
+    "branch_merge_isolation",
+    "gdpr_erase_subject",
+    "heavy_hitters_cms",
+    "events_ohlc_daily",
+    "events_ohlc_monthly_cascade",
+    "streaming_ohlc_ingest",
+    "stats_skipping_range_scan",
+    "stats_metadata_group_counts",
+    "k_anon_customer_release",
+    "contrastive_hard_negatives",
+    "table_checksum_orders",
+    "doc_chunk_overlap_windows",
+    "embedding_int8_codes",
+    "symlink_manifest_read",
+    "schema_evolution_upsert",
+    "frequency_cap_events",
+    "copurchase_pairs_topk",
+    # multimodal decoders: oracles upgraded r7 rows-only -> exact (2)
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    # least-recently-attested canaries (last driver row r4; 15)
+    "attribution_last_touch",
+    "cohort_retention_daily",
+    "compacted_scan_invariance",
+    "corpus_vocab_topk",
+    "decontaminate_ngram_overlap",
+    "dedup_chunk_apply",
+    "dedup_chunk_exact",
+    "doc_chunk_token_windows",
+    "embedding_assign_nearest",
+    "embedding_dim_stats",
+    "embedding_quantize_int8",
+    "events_anomaly_zscore",
+    "events_gapfill_daily",
+    "funnel_conversion_stages",
+    "hist_token_counts",
 ]
 
 
