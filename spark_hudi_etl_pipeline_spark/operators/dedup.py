@@ -119,10 +119,20 @@ def fingerprint_store_ingest(
     exists = spark.catalog.tableExists(store_table)
     within = batch.groupBy(fp_col).agg(F.min(id_col).alias("_batch_first"))
     if exists:
-        store = spark.table(store_table).select(
+        store_df = spark.table(store_table)
+        # Migration path: stores created before src_batch tracking lack
+        # the column; treat their rows as foreign-batch (pre-tracking
+        # semantics) instead of failing the probe with an
+        # AnalysisException.
+        src_batch = (
+            F.col("src_batch")
+            if "src_batch" in store_df.columns
+            else F.lit(None).cast("string")
+        )
+        store = store_df.select(
             fp_col,
             F.col("first_id").alias("_store_first"),
-            F.col("src_batch").alias("_store_batch"),
+            src_batch.alias("_store_batch"),
         )
         probed = within.join(store, fp_col, "left")
     else:
@@ -138,6 +148,10 @@ def fingerprint_store_ingest(
         F.col("_batch_first").alias("first_id"),
         F.lit(batch_id).cast("string").alias("src_batch"),
     )
+    if exists and "src_batch" not in spark.table(store_table).columns:
+        # Appends to a legacy store must match its schema; its rows stay
+        # batch-unattributed (replay idempotence starts at migration).
+        new_fps = new_fps.drop("src_batch")
     write_bucketed(
         new_fps,
         store_table,

@@ -17,6 +17,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_right_value_names(
+    left: DataFrame, right_values: list[str]
+) -> None:
+    """As-of outputs are (all left columns) + (right_values unprefixed);
+    a right value sharing a name with a left column would emit a
+    duplicate column name — legal to construct, ambiguous at the first
+    downstream reference. Fail at build time with the fix spelled out."""
+    clash = [v for v in right_values if v in set(left.columns)]
+    if clash:
+        raise ValueError(
+            f"right_values {clash} collide with left columns; alias them "
+            "on the right side before the as-of join (e.g. "
+            ".withColumnRenamed) so the output names are unambiguous"
+        )
+
+
 def latest_per_key(
     df: DataFrame,
     keys: list[str],
@@ -52,6 +68,7 @@ def asof_join(
     input size — no (left × right-within-range) blowup, so it scales to
     fact-fact sizes where a theta join would be quadratic.
     """
+    _check_right_value_names(left, right_values)
     lcols = left.columns
     side = F.lit(0)
     l_tag = left.select(
@@ -107,6 +124,7 @@ def asof_join_forward(
     whenever timestamps can collide; without it Spark picks an arbitrary
     concurrent row (like any unordered first()).
     """
+    _check_right_value_names(left, right_values)
     lcols = left.columns
     tb = [tiebreak] if tiebreak else []
     carried_cols = list(dict.fromkeys(right_values + tb))

@@ -369,10 +369,39 @@ def ohlc_partial(
     epoch-μs‖id, globally unique, so any later merge re-derives the
     true first/last event deterministically under any batch split),
     volume as exact DECIMAL. Closed under :func:`merge_ohlc`:
-    ``merge(partial(A), partial(B)) == partial(A ∪ B)``."""
-    ok = F.concat(
-        F.lpad(F.unix_micros(ts_col).cast("string"), 20, "0"),
-        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    ``merge(partial(A), partial(B)) == partial(A ∪ B)``.
+
+    The zero-pad sorts numerically ONLY for ids in ``[0, 10^12)`` and
+    timestamps at/after the epoch (``lpad`` TRUNCATES over-width input,
+    and '-' sorts before digits) — rows outside that domain raise
+    rather than silently corrupting the open/close selection."""
+    in_domain = (
+        (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(1_000_000_000_000))
+        & (F.unix_micros(ts_col) >= 0)
+    )
+    ok = F.when(
+        in_domain,
+        F.concat(
+            F.lpad(F.unix_micros(ts_col).cast("string"), 20, "0"),
+            F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"ohlc_partial: ({id_col}, {ts_col}) = ("
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(", "),
+                F.col(ts_col).cast("string"),
+                F.lit(
+                    ") outside the order-key domain: id must be in "
+                    "[0, 10^12) and ts at/after the epoch for the "
+                    "zero-padded key to sort numerically"
+                ),
+            )
+        )
     )
     return (
         df.select(

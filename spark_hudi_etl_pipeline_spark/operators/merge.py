@@ -33,6 +33,8 @@ Scale design (100 TB table, small incremental batch):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -665,6 +667,18 @@ def _commit_staged(
     return moved, n_written
 
 
+class IndexedUpsertResult(NamedTuple):
+    """What an indexed upsert committed: row count plus THE manifest
+    version this write published. Callers that pin versions (the
+    multi-table catalog in ``operators/txn.py``) must use ``version``
+    rather than re-reading the latest manifest — a concurrent publish
+    landing between the upsert's commit and a re-read would be silently
+    adopted otherwise."""
+
+    rows_written: int
+    version: int
+
+
 def upsert_parquet_indexed(
     spark,
     batch: DataFrame,
@@ -675,7 +689,7 @@ def upsert_parquet_indexed(
     delete_col: str | None = None,
     clean: bool = True,
     base_version: int | None = None,
-) -> int:
+) -> IndexedUpsertResult:
     """File-level indexed upsert: merge ``batch`` into a flat (non-hive)
     parquet directory rewriting ONLY the files whose footer key range
     intersects a batch key — Hudi's indexed COW write
@@ -704,8 +718,10 @@ def upsert_parquet_indexed(
     construction; readers via :func:`read_indexed_table` can never see a
     torn mix of old and new files.
 
-    Single-column key (the range index is one-dimensional); returns rows
-    written.
+    Single-column key (the range index is one-dimensional); returns
+    :class:`IndexedUpsertResult` — (rows written, THE manifest version
+    this call published). Version-pinning callers must use that version,
+    never a post-hoc re-read of the latest manifest.
 
     ``base_version`` merges against THAT committed manifest version's
     file set instead of the latest (still publishing at latest+1 — the
@@ -724,7 +740,7 @@ def upsert_parquet_indexed(
         merged.write.mode("overwrite").parquet(path)
         version, live = table_live_files(path)
         _manifest_publish(path, live, version + 1)
-        return merged.count()
+        return IndexedUpsertResult(merged.count(), version + 1)
 
     version, live_files = table_live_files(path)
     if base_version is not None and base_version != version:
@@ -776,7 +792,7 @@ def upsert_parquet_indexed(
     _, n_written = _commit_staged(
         spark, path, staging, version + 1, kept, clean=clean
     )
-    return n_written
+    return IndexedUpsertResult(n_written, version + 1)
 
 
 #: Bloom-index sizing: 65536 bits (8 KiB) / 5 hashes per file ⇒ <0.5%
@@ -1297,8 +1313,18 @@ def vacuum_orphans(
     publish leaves files no manifest references (invisible to every
     reader, but paying storage forever).
 
-    Deletes ``*.parquet`` files that are (a) NOT referenced by the
-    latest committed manifest and (b) older than ``min_age_seconds``.
+    Deletes ``*.parquet`` files that are (a) NOT referenced by ANY
+    committed manifest version still on disk and (b) older than
+    ``min_age_seconds``. The live set is the UNION across every
+    ``_manifest/v*.json`` — not just the latest — because older
+    versions stay addressable: catalogs and branches pin specific
+    versions (``operators/txn.py::read_table_at_catalog`` resolves
+    through ``manifest_files_at``), and time travel reads them
+    directly. A file referenced only by an old version is HISTORY, not
+    an orphan; reclaiming history is the cleaner's job (it retires the
+    old manifests first, at which point their exclusively-referenced
+    files genuinely become orphans for this vacuum).
+
     The age guard is the same safety rule as Delta's retention check:
     a CONCURRENT in-flight commit has already moved its staged files in
     (pre-commit, unreferenced until its manifest publishes), and only
@@ -1310,14 +1336,22 @@ def vacuum_orphans(
     alone entirely (nothing can be proven orphaned).
     """
     import glob
+    import json
     import os
     import time
 
-    m = _manifest_latest(path)
-    if m is None:
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
         return []
-    _, live = m
-    live_set = set(live)
+    live_set: set[str] = set()
+    any_manifest = False
+    for mf in os.listdir(mdir):
+        if mf.startswith("v") and mf.endswith(".json"):
+            any_manifest = True
+            with open(os.path.join(mdir, mf)) as fh:
+                live_set.update(json.load(fh)["files"])
+    if not any_manifest:
+        return []
     now = time.time()
     removed = []
     for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
@@ -1332,3 +1366,47 @@ def vacuum_orphans(
         except OSError:
             pass
     return removed
+
+
+def retire_manifests(
+    path: str, *, pinned: set[int], keep_latest: int = 1
+) -> list[int]:
+    """The history CLEANER for manifest-committed tables — the step
+    between "older version" and "vacuumable orphan": delete manifest
+    versions that (a) are not in ``pinned`` (versions any catalog
+    version or branch still references — compute with
+    ``operators/txn.py::catalog_pinned_versions``; pass every
+    savepoint/time-travel target you want readable too) and (b) are not
+    among the newest ``keep_latest`` versions.
+
+    Only AFTER a manifest version is retired do the files it exclusively
+    referenced stop appearing in :func:`vacuum_orphans`'s live-set union
+    and become reclaimable. Retiring only metadata keeps the two steps
+    independently safe: a crash between them merely delays reclamation.
+
+    Returns the retired version numbers. The latest version is always
+    kept regardless of ``pinned``.
+    """
+    import os
+
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1 (the table head)")
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    keep = set(versions[-keep_latest:]) | set(pinned)
+    retired = []
+    for v in versions:
+        if v in keep:
+            continue
+        try:
+            os.remove(os.path.join(mdir, f"v{v}.json"))
+            retired.append(v)
+        except OSError:
+            pass
+    return retired

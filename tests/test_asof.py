@@ -80,3 +80,31 @@ def test_scd2_pit_join_no_future_leakage(spark):
         ).collect()
     }
     assert got == {100: None, 101: "bronze", 102: "gold", 103: "gold"}
+
+
+def test_asof_right_value_name_collision_raises(spark):
+    """right_values sharing a name with a left column would emit
+    duplicate output columns (ambiguous downstream) — both as-of
+    variants refuse at build time (r7 ADVICE, latest.py:87)."""
+    import pytest
+
+    from spark_hudi_etl_pipeline_spark.operators.latest import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, 5.0)], "k long, ts long, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, 9, 7.0)], "k long, rts long, value double"
+    )
+    for fn in (asof_join, asof_join_forward):
+        with pytest.raises(ValueError, match="collide"):
+            fn(left, right, ["k"], "ts", "rts", ["value"])
+    # Renamed right value: joins fine, names unambiguous.
+    out = asof_join(
+        left, right.withColumnRenamed("value", "r_value"),
+        ["k"], "ts", "rts", ["r_value"],
+    ).collect()
+    assert [(r["value"], r["r_value"]) for r in out] == [(5.0, 7.0)]

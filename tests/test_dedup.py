@@ -592,3 +592,37 @@ def test_record_linkage_semantics(spark):
         ).collect()
     }
     assert got == {10: (1, 1), 11: (3, 0)}
+
+
+def test_fingerprint_store_legacy_schema_migrates(spark):
+    """Stores created before src_batch tracking (fp, first_id only) stay
+    probe-able: their hits dedup as foreign-batch, and appends match the
+    legacy schema instead of failing (r7 ADVICE, dedup.py:125)."""
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        fingerprint_store_ingest,
+    )
+    from spark_hudi_etl_pipeline_spark.sources.writers import write_bucketed
+
+    tbl = "fp_store_legacy"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        legacy = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "fp string, first_id long"
+        )
+        write_bucketed(legacy, tbl, bucket_cols=["fp"], n_buckets=32,
+                       mode="overwrite")
+        batch = spark.createDataFrame(
+            [(10, "a"), (11, "c")], "doc_id long, fp string"
+        )
+        v = {
+            r["doc_id"]: (r["is_dup"], r["canonical_id"])
+            for r in fingerprint_store_ingest(
+                batch, tbl, batch_id="run-1"
+            ).collect()
+        }
+        assert v == {10: (1, 1), 11: (0, 11)}
+        store = {r["fp"]: r["first_id"] for r in spark.table(tbl).collect()}
+        assert store == {"a": 1, "b": 2, "c": 11}
+        assert "src_batch" not in spark.table(tbl).columns
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

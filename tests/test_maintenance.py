@@ -249,3 +249,47 @@ def test_checksum_partition_and_order_invariant(spark):
     t = sig(tripled)
     assert t[1] == base[1]               # xor blind to pair-cancel
     assert t[0] != base[0] and t[2] != base[2]
+
+
+def test_ohlc_partial_order_key_domain(spark):
+    """ids outside [0, 10^12) (or pre-epoch timestamps) would make the
+    zero-padded order key sort wrong (lpad truncates; '-' sorts before
+    digits) — ohlc_partial raises instead of silently corrupting the
+    open/close selection (r7 ADVICE)."""
+    import pytest
+
+    from spark_hudi_etl_pipeline_spark.operators.maintenance import (
+        ohlc_partial,
+    )
+
+    schema = "event_type string, ts timestamp, value double, event_id long"
+    ok_rows = [
+        ("a", "2024-01-01 00:00:01", 5.0, 0),
+        ("a", "2024-01-01 00:00:02", 7.0, 10**12 - 1),  # widest legal id
+    ]
+    good = spark.createDataFrame(
+        [(t, __import__("datetime").datetime.fromisoformat(ts), v, i)
+         for t, ts, v, i in ok_rows],
+        schema,
+    )
+    bars = {r["event_type"]: (r["open"], r["close"])
+            for r in ohlc_partial(good).collect()}
+    assert bars == {"a": (5.0, 7.0)}
+
+    import datetime
+
+    for bad_id, bad_ts in [
+        (10**12, "2024-01-01 00:00:03"),   # one past the pad width
+        (-1, "2024-01-01 00:00:03"),       # '-' would sort before digits
+    ]:
+        bad = spark.createDataFrame(
+            [("a", datetime.datetime.fromisoformat(bad_ts), 1.0, bad_id)],
+            schema,
+        )
+        with pytest.raises(Exception, match="order-key domain"):
+            ohlc_partial(bad).collect()
+    pre_epoch = spark.createDataFrame(
+        [("a", datetime.datetime(1969, 12, 31), 1.0, 1)], schema
+    )
+    with pytest.raises(Exception, match="order-key domain"):
+        ohlc_partial(pre_epoch).collect()

@@ -453,3 +453,73 @@ def test_vacuum_orphans_rules(spark, tmp_path):
     df.write.mode("overwrite").parquet(plain)
     os.utime(glob.glob(os.path.join(plain, "*.parquet"))[0], (0, 0))
     assert vacuum_orphans(plain, min_age_seconds=60) == []
+
+
+def test_vacuum_keeps_files_older_manifests_reference(spark, tmp_path):
+    """clean=False writes leave history files referenced only by OLDER
+    manifest versions (catalog/branch pins, time travel). Vacuum must
+    treat those as history, not orphans (r7 ADVICE high) — only files
+    NO manifest version references are reclaimable."""
+    import glob
+    import os
+
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        manifest_files_at,
+        read_indexed_table,
+        retire_manifests,
+        upsert_parquet_indexed,
+        vacuum_orphans,
+    )
+
+    path = os.path.join(str(tmp_path), "t")
+    df = spark.createDataFrame(
+        [(i, i * 2, 1) for i in range(50)], "k long, v long, prec long"
+    )
+    r1 = upsert_parquet_indexed(spark, df, path, "k", "prec")
+    upd = df.filter("k < 10").withColumn("v", F.col("v") + 1)
+    r2 = upsert_parquet_indexed(spark, upd, path, "k", "prec", clean=False)
+    assert (r1.version, r2.version) == (1, 2)
+    v1_only = set(manifest_files_at(path, 1)) - set(manifest_files_at(path, 2))
+    assert v1_only  # the rewrite really replaced files
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        os.utime(f, (0, 0))  # age everything past the floor
+    assert vacuum_orphans(path, min_age_seconds=60) == []
+    assert {os.path.basename(f) for f in glob.glob(os.path.join(path, "*.parquet"))} >= v1_only
+    # v1 still fully readable (time travel / a pinning catalog).
+    old = spark.read.parquet(
+        *[os.path.join(path, f) for f in manifest_files_at(path, 1)]
+    )
+    assert {(r["k"], r["v"]) for r in old.collect()} == {
+        (i, i * 2) for i in range(50)
+    }
+    # Retire v1 (nothing pins it) -> its exclusive files become true
+    # orphans and the vacuum reclaims exactly those.
+    assert retire_manifests(path, pinned=set()) == [1]
+    removed = set(vacuum_orphans(path, min_age_seconds=60))
+    assert removed == v1_only
+    after = {(r["k"], r["v"]) for r in read_indexed_table(spark, path).collect()}
+    assert after == {(i, i * 2 + (1 if i < 10 else 0)) for i in range(50)}
+
+
+def test_retire_manifests_rules(spark, tmp_path):
+    """The cleaner never touches the latest version or a pinned one."""
+    import os
+
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        retire_manifests,
+        upsert_parquet_indexed,
+    )
+
+    path = os.path.join(str(tmp_path), "t")
+    df = spark.createDataFrame([(1, 1, 1)], "k long, v long, prec long")
+    for i in range(4):
+        upsert_parquet_indexed(
+            spark, df.withColumn("v", F.lit(i)), path, "k", "prec", clean=False
+        )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retire_manifests(path, pinned=set(), keep_latest=0)
+    assert retire_manifests(path, pinned={2}) == [1, 3]
+    mdir = os.path.join(path, "_manifest")
+    assert sorted(os.listdir(mdir)) == ["v2.json", "v4.json"]

@@ -206,3 +206,87 @@ def test_branch_ref_rules(spark, cat, tmp_path):
         delete_branch(root, "main")
     with pytest.raises(ValueError):
         merge_branch(root, "main")  # main has no fork record
+
+
+def test_txn_pins_the_version_its_own_upsert_published(spark, cat, monkeypatch):
+    """A concurrent per-table publish landing between a transaction's
+    upsert and its catalog CAS must NOT be adopted: the catalog pins the
+    manifest version the upsert itself returned (r7 ADVICE, txn.py:220)."""
+    import spark_hudi_etl_pipeline_spark.operators.txn as txn_mod
+    from spark_hudi_etl_pipeline_spark.operators.merge import (
+        _manifest_latest,
+        _manifest_publish,
+        manifest_files_at,
+    )
+
+    root, a, b = cat
+    real = upsert_parquet_indexed
+
+    def upsert_then_interloper(spark_, batch, path, key, precombine, **kw):
+        res = real(spark_, batch, path, key, precombine, **kw)
+        # Interloper: another writer publishes the NEXT version (same
+        # files — content is irrelevant, the pin is what matters).
+        _manifest_publish(
+            path, manifest_files_at(path, res.version), res.version + 1
+        )
+        return res
+
+    monkeypatch.setattr(txn_mod, "upsert_parquet_indexed", upsert_then_interloper)
+    u = spark.createDataFrame([(2, "mine", 20)], SCHEMA)
+    txn_commit(spark, root, [("ta", a, u, "k", "prec")])
+    _, tables = catalog_latest(root)
+    latest_v, _ = _manifest_latest(a)
+    assert tables["ta"] == latest_v - 1  # pinned OUR publish, not the interloper's
+
+
+def test_catalog_reclaim_honors_branch_and_snapshot_pins(spark, cat):
+    """End-to-end reclamation: retire_manifests + vacuum_orphans via
+    catalog_reclaim never delete anything a catalog version, branch
+    head, or fork base can still resolve (r7 ADVICE high: vacuum must
+    not break committed snapshot reads)."""
+    import glob
+    import os
+
+    from spark_hudi_etl_pipeline_spark.operators.txn import (
+        catalog_pinned_versions,
+        catalog_reclaim,
+    )
+
+    root, a, b = cat
+    # Branch pins ta@v1; main moves ta twice more (v2, v3).
+    create_branch(root, "audit")
+    branch_rows = rows_of(read_table_at_catalog(spark, root, "ta", a, branch="audit"))
+    for s in ("m2", "m3"):
+        u = spark.createDataFrame([(1, s, 99)], SCHEMA)
+        txn_commit(spark, root, [("ta", a, u, "k", "prec")])
+    pins = catalog_pinned_versions(root)
+    assert 1 in pins["ta"] and max(pins["ta"]) >= 3
+    # Age every data file past the retention floor so only pins protect.
+    for f in glob.glob(os.path.join(a, "*.parquet")):
+        os.utime(f, (0, 0))
+    out = catalog_reclaim(root, {"ta": a, "tb": b}, min_age_seconds=60)
+    # Every pinned version survived; reads on BOTH refs are unchanged.
+    assert rows_of(
+        read_table_at_catalog(spark, root, "ta", a, branch="audit")
+    ) == branch_rows
+    assert rows_of(read_table_at_catalog(spark, root, "ta", a)) == {
+        (1, "m3", 99),
+        (2, "a2", 10),
+    }
+    # Now delete the branch and its old catalog versions: v1 becomes
+    # retirable, and reclaim removes the files only v1 held.
+    delete_branch(root, "audit")
+    cdir = os.path.join(root, "_catalog")
+    for f in os.listdir(cdir):
+        if f.startswith("v") and f.endswith(".json") and f != "v3.json":
+            os.remove(os.path.join(cdir, f))
+    for f in glob.glob(os.path.join(a, "*.parquet")):
+        os.utime(f, (0, 0))
+    retired, removed = catalog_reclaim(
+        root, {"ta": a}, min_age_seconds=60
+    )["ta"]
+    assert retired  # old history actually went away
+    assert rows_of(read_table_at_catalog(spark, root, "ta", a)) == {
+        (1, "m3", 99),
+        (2, "a2", 10),
+    }
