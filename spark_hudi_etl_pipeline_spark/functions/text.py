@@ -137,6 +137,16 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(normalize(col))
 
 
+def portable_hash60(col: str | Column) -> Column:
+    """Engine-portable 60-bit string hash: the first 15 hex digits of
+    md5 as a long (< 2^60, ANSI-safe headroom for modular arithmetic).
+    Bit-identical in DuckDB (``CAST('0x'||substr(md5(x),1,15) AS
+    BIGINT)``) and Python (``int(md5(x).hexdigest()[:15], 16)``) — the
+    hash family that makes MinHash/SimHash value-checkable against a SQL
+    oracle instead of rows-only (xxhash64 has no cross-engine twin)."""
+    return F.conv(F.substring(F.md5(_col(col)), 1, 15), 16, 10).cast("long")
+
+
 def shingles(col: str | Column, k: int = 5) -> Column:
     """Word k-shingles of the normalized text → array<string>; the input
     unit for MinHash/Jaccard dedup. Documents shorter than ``k`` words

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import random
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -186,9 +185,17 @@ def fingerprint_store_ingest(
 
 
 def shingle_hashes(text_col, k: int = 5):
-    """Column expr: distinct word-k-shingles → 31-bit hash values."""
+    """Column expr: distinct word-k-shingles → 31-bit hash values.
+
+    Base hash is the engine-portable md5-60bit family
+    (:func:`..functions.text.portable_hash60`), so MinHash signatures —
+    and therefore LSH banding — are bit-identical in DuckDB: the
+    candidate-pair pipeline is value-checkable by an exact SQL oracle
+    rather than rows-only."""
     sh = F.array_distinct(text.shingles(text_col, k))
-    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME_31)))
+    return F.transform(
+        sh, lambda s: F.pmod(text.portable_hash60(s), F.lit(MERSENNE_PRIME_31))
+    )
 
 
 def _let(bound_expr, body):
@@ -253,13 +260,14 @@ def minhash_signature_arrow(num_hashes: int = 32, k: int = 5):
     this numpy formulation (measured: 6.6s vs 0.66s for 5k docs); at
     100 TB the signature scan is the dominant cost, so the Arrow path is
     the default. Same shingling semantics as functions.text.shingles
-    (Java-regex-compatible ASCII normalize); crc32 base hash (stable
-    across processes), same seeded universal-hash coefficients. The two
-    implementations produce different signature VALUES (different base
-    hash) but statistically identical LSH behavior; downstream verify
-    uses exact shingle Jaccard either way, so final pair outputs agree
-    at equal recall.
+    (Java-regex-compatible ASCII normalize), same md5-60bit portable
+    base hash as :func:`shingle_hashes`, same seeded universal-hash
+    coefficients — the two implementations produce BIT-IDENTICAL
+    signatures (asserted in tests/test_dedup.py), so either path
+    hash-matches the DuckDB oracle.
     """
+    import hashlib
+
     from pyspark.sql.types import ArrayType, LongType
 
     # Mirror Java regex \w (ASCII) — Python \w is unicode-wide.
@@ -278,7 +286,12 @@ def minhash_signature_arrow(num_hashes: int = 32, k: int = 5):
             else:
                 sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
             h = np.fromiter(
-                (zlib.crc32(x.encode()) for x in sh), dtype=np.int64, count=len(sh)
+                (
+                    int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+                    for x in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
             ) % MERSENNE_PRIME_31
             out.append((coeff_a * h[None, :] + coeff_b) % MERSENNE_PRIME_31)
             out[-1] = out[-1].min(axis=1)

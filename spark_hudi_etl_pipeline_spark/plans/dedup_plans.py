@@ -135,11 +135,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic by design
+#: The 32 seeded universal-hash permutation mins, interpolated with the
+#: SHARED MINHASH_COEFFS constants — the oracle computes the exact same
+#: signatures as the Spark plan (portable md5-60bit base hash; a*h stays
+#: < 2^62, ANSI/overflow-safe in both engines).
+_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(hashes, h -> ({a}*h + {b}) % {dedup.MERSENNE_PRIME_31}))"
+    for a, b in dedup.MINHASH_COEFFS[:32]
+) + "]"
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle="WITH "
+    + _NEAR_CORPUS_SQL
+    + f""",
+sh AS (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM corpus),
+hs AS (
+  SELECT doc_id, sh,
+         list_transform(
+           sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                    % {dedup.MERSENNE_PRIME_31}) AS hashes
+  FROM sh
+),
+sig AS (SELECT doc_id, sh, {_SIG_SQL} AS sig FROM hs),
+banded AS (
+  SELECT doc_id, j.j AS band,
+         list_slice(sig, 4 * j.j + 1, 4 * j.j + 4) AS bkey
+  FROM sig, range(8) j(j)
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded
+  ) WHERE bsz <= 1000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a
+  JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ha.sh, hb.sh)) AS common,
+         len(ha.sh) AS sa, len(hb.sh) AS sb
+  FROM cands
+  JOIN sig ha ON ha.doc_id = id_a
+  JOIN sig hb ON hb.doc_id = id_b
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa + sb - common), 4) AS jaccard
+FROM verified
+WHERE round(common * 1.0 / (sa + sb - common), 4) >= 0.3
+ORDER BY id_a, id_b
+""",
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs, exact
-    shingle-Jaccard verified ≥ 0.3. Recall vs the exact operator is
-    asserted in tests/test_dedup.py."""
+    shingle-Jaccard verified ≥ 0.3. Value-checked END-TO-END: the
+    md5-60bit base hash (functions.text.portable_hash60) and shared
+    MINHASH_COEFFS make signatures — and therefore banding, the bucket
+    cap, candidate pairs, and verified output — bit-reproducible in
+    DuckDB. (The Spark side buckets on xxhash64 of the band slice;
+    equal slices always hash equal, so candidates are identical up to
+    astronomically-unlikely 64-bit collisions, and exact verification
+    makes the final output insensitive even to those.) Recall floors vs
+    the exact operator are additionally asserted in tests/test_dedup.py."""
     corpus = _with_near_dups(spark, sf_dir)
     return dedup.minhash_dedup_pairs(
         corpus, "doc_id", "text", threshold=0.3, num_hashes=32, bands=8, k=5

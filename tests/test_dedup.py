@@ -626,3 +626,33 @@ def test_fingerprint_store_legacy_schema_migrates(spark):
         assert "src_batch" not in spark.table(tbl).columns
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_minhash_arrow_and_expression_signatures_identical(spark):
+    """The Arrow hot path and the Catalyst expression path share the
+    md5-60bit portable base hash and MINHASH_COEFFS — signatures must be
+    BIT-IDENTICAL (this is what makes dedup_minhash_lsh oracle-checkable
+    regardless of which path runs)."""
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "Punctuation, CASE and   whitespace; should not matter!"),
+            (3, "short doc"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        minhash_signature("text", 32, 5).alias("expr_sig"),
+        minhash_signature_arrow(32, 5)(F.col("text")).alias("arrow_sig"),
+    ).collect()
+    for r in out:
+        assert r["expr_sig"] == r["arrow_sig"], r["doc_id"]
