@@ -538,25 +538,30 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
-#: Bit masks for the 64 simhash bits; bit 63's mask is long-min (the sign
-#: bit) so all arithmetic stays in ANSI-safe long range.
-_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
+#: SimHash width: 60 bits — exactly the md5-60bit portable hash width,
+#: so every simhash bit is an honest hash bit and the whole pipeline is
+#: reproducible in DuckDB (the old 64-bit xxhash64 form had no SQL twin).
+#: All masks positive (< 2^60), no sign-bit special case.
+SIMHASH_BITS = 60
+_BIT_MASKS = [1 << i for i in range(SIMHASH_BITS)]
 
 
 def simhash_expr(text_col):
-    """Column expr: 64-bit SimHash — xxhash64 each normalized token,
-    per-bit majority vote, reassembled into one long.
+    """Column expr: 60-bit SimHash — portable-md5-hash each normalized
+    token, per-bit majority vote, reassembled into one long.
 
     Entirely map-side (single ``aggregate`` pass over the token hashes;
     no explode, no shuffle): at 100 TB simhash is a plain projection that
-    pipelines with the scan."""
+    pipelines with the scan. Base hash is
+    :func:`..functions.text.portable_hash60`, so values are
+    bit-reproducible in DuckDB (exact oracle in plans/dedup_plans.py)."""
     masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
     token_hashes = F.transform(
-        text.tokens(text.normalize(text_col)), lambda t: F.xxhash64(t)
+        text.tokens(text.normalize(text_col)), lambda t: text.portable_hash60(t)
     )
     votes = F.aggregate(
         token_hashes,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
             masks,
@@ -574,17 +579,19 @@ def simhash_expr(text_col):
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document 64-bit SimHash (see :func:`simhash_expr`)."""
+    """Per-document 60-bit SimHash (see :func:`simhash_expr`)."""
     return df.select(F.col(id_col), simhash_expr(text_col).alias("simhash"))
 
 
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit
+    """Near-dup pairs by SimHash: band the 60-bit hash into 4×15-bit
     chunks; by pigeonhole any pair within hamming distance ≤ 3 shares at
     least one chunk → join on (chunk_idx, chunk), verify with
-    ``bit_count(xor) <= max_hamming``. Same no-O(n²) shape as MinHash-LSH.
+    ``bit_count(xor) <= max_hamming``. Same no-O(n²) shape as MinHash-LSH;
+    with the portable base hash the whole pipeline has an exact DuckDB
+    twin (plans/dedup_plans.py::dedup_simhash).
     """
     # Generate barrier: the 4 chunk expressions + the passthrough column
     # reference the simhash attribute instead of CollapseProject inlining
@@ -602,8 +609,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("cidx"),
-                        F.shiftrightunsigned("simhash", j * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", j * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("chunk"),
                     )
                     for j in range(4)

@@ -207,10 +207,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+@query(
+    "dedup_simhash",
+    oracle="WITH "
+    + _NEAR_CORPUS_SQL
+    + f""",
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           string_split({NORM_SQL}, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hashes
+  FROM corpus
+),
+sim AS (
+  SELECT doc_id,
+         list_sum(list_transform(range({dedup.SIMHASH_BITS}), j ->
+           CASE WHEN list_sum(list_transform(
+                       hashes,
+                       h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END
+                     )) > 0
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS simhash
+  FROM hs
+),
+chunks AS (
+  SELECT doc_id, simhash, j.j AS cidx,
+         (simhash >> (15 * j.j)) & 32767 AS chunk
+  FROM sim, range(4) j(j)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM chunks a
+  JOIN chunks b ON a.cidx = b.cidx AND a.chunk = b.chunk
+                AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+ORDER BY id_a, id_b
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 of 64) over the near-dup
-    corpus; banded chunk join, no O(n²)."""
+    """SimHash near-dup pairs (hamming ≤ 3 of 60) over the near-dup
+    corpus; banded 4×15-bit chunk join, no O(n²). Value-checked
+    END-TO-END: the portable md5-60bit token hash makes the per-bit
+    majority votes, the banding, and the hamming verification
+    bit-reproducible in DuckDB."""
     corpus = _with_near_dups(spark, sf_dir)
     return dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=3)
 
