@@ -67,6 +67,74 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
 
 
+#: Fixed-point quantization scale for the PORTABLE sign-LSH sketch:
+#: embeddings quantize to integers via half-up rounding before the dot
+#: product, so sign decisions are integer-exact — identical in Catalyst,
+#: numpy, and a DuckDB oracle, with no summation-order float hazard at
+#: the sign boundary. 64 dims × 10^6 × |e|≤O(10) stays far below 2^63.
+EMB_QUANT = 1_000_000
+
+
+def _rademacher_planes(dim: int, n_bits: int, seed: int = 101) -> list[list[int]]:
+    """Seeded ±1 hyperplanes. For sign-LSH, Rademacher entries are a
+    standard drop-in for Gaussians (Achlioptas-style sparse/signed
+    projections preserve the collision-probability ∝ angle property);
+    integer entries are what make the sketch portable."""
+    rng = random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
+        for _ in range(n_bits)
+    ]
+
+
+def quantize_embedding(vec_col):
+    """array<float> → array<long>: half-up fixed-point at EMB_QUANT.
+    floor(x*Q + 0.5) is the same IEEE-double op sequence in Spark,
+    numpy, and DuckDB, so quantized values are bit-identical."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * EMB_QUANT + F.lit(0.5)).cast("long"),
+    )
+
+
+def rp_sketch_portable(vec_col, dim: int, n_bits: int = 8, seed: int = 101):
+    """Column expr: PORTABLE sign-LSH sketch — bit i = (q(v) · s_i > 0)
+    for seeded Rademacher plane s_i over the quantized embedding. Pure
+    integer arithmetic end-to-end ⇒ bit-reproducible in DuckDB (exact
+    oracle for knn_lsh_ann in plans/similarity_plans.py)."""
+    planes = _rademacher_planes(dim, n_bits, seed)
+    q = quantize_embedding(vec_col)
+    sketch = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        signs = F.array(*[F.lit(s).cast("long") for s in plane])
+        d = F.aggregate(
+            F.zip_with(q, signs, lambda e, s: e * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sketch = sketch + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sketch
+
+
+def rp_sketch_portable_arrow(dim: int, n_bits: int = 8, seed: int = 101):
+    """Arrow twin of :func:`rp_sketch_portable` — integer GEMM, so it is
+    BIT-IDENTICAL to the expression path (no float sign-boundary drift),
+    unlike the Gaussian float pair rp_sketch/rp_sketch_arrow."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_rademacher_planes(dim, n_bits, seed), dtype=np.int64)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def sketch(vecs):
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        q = np.floor(m * EMB_QUANT + 0.5).astype(np.int64)
+        bits = (q @ planes.T) > 0
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return F.pandas_udf(sketch, "long")
+
+
 def rp_sketch(vec_col, dim: int, n_bits: int = 8, seed: int = 42):
     """Column expr: sign-LSH sketch — an int in [0, 2^n_bits) whose bit i
     is sign(v · r_i) for seeded Gaussian hyperplane r_i. Deterministic
@@ -91,6 +159,7 @@ def rp_lsh_ann(
     n_bits: int = 8,
     k: int = 10,
     multiprobe: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare each query only against corpus vectors
     whose LSH sketch matches one of the query's probe sketches (own
@@ -100,8 +169,18 @@ def rp_lsh_ann(
     (2^n_bits distinct values), so the probe is a bucket join touching
     ~(1+n_bits)/2^n_bits of the corpus per query instead of all of it;
     exact cosine + window re-rank inside the candidates.
+
+    ``portable=True`` sketches with the integer Rademacher family
+    (:func:`rp_sketch_portable_arrow`) instead of Gaussian floats —
+    same recall characteristics, but bucket assignments are
+    bit-reproducible in DuckDB, which is what upgrades knn_lsh_ann
+    from rows-only to an exact-oracle query.
     """
-    sketch_udf = rp_sketch_arrow(dim, n_bits)
+    sketch_udf = (
+        rp_sketch_portable_arrow(dim, n_bits)
+        if portable
+        else rp_sketch_arrow(dim, n_bits)
+    )
     c = corpus.select(
         F.col(corpus_id).alias("cid"),
         F.col(vec_col).alias("cv"),

@@ -54,10 +54,64 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_lsh_ann")  # rows-only: ANN recall is probabilistic by design
+#: The 8 seeded Rademacher planes of the portable sketch, interpolated
+#: as ±1 literal arrays — the oracle recomputes the exact same integer
+#: dot-product sign bits as the Spark plan (quantized embeddings, no
+#: float summation-order hazard at the sign boundary).
+_RP_SKETCH_SQL = " + ".join(
+    f"""(CASE WHEN list_sum(list_transform(
+            list_zip(ev, {plane}),
+            x -> x[1] * x[2])) > 0 THEN {1 << i} ELSE 0 END)"""
+    for i, plane in enumerate(similarity._rademacher_planes(64, 8))
+)
+
+_LSH_PROBES_SQL = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << i})" for i in range(8)
+) + "]"
+
+
+@query(
+    "knn_lsh_ann",
+    oracle=f"""
+WITH eq AS (
+  SELECT vec_id, embedding,
+         list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.EMB_QUANT}
+                           + 0.5) AS BIGINT)) AS ev
+  FROM embeddings
+),
+sk AS (SELECT vec_id, embedding, CAST({_RP_SKETCH_SQL} AS BIGINT) AS bucket FROM eq),
+qp AS (
+  SELECT vec_id AS qid, embedding AS qemb, {_LSH_PROBES_SQL} AS probes
+  FROM sk WHERE vec_id < 10
+),
+scored AS (
+  SELECT qp.qid, c.vec_id AS cid,
+         round(
+           list_sum(list_transform(list_zip(qp.qemb, c.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(qp.qemb,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         4) AS cosine
+  FROM qp JOIN sk c ON list_contains(qp.probes, c.bucket)
+)
+SELECT qid, cid, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via 8-bit random-hyperplane LSH with hamming-1
-    multi-probe; recall vs brute force asserted in tests."""
+    multi-probe — the PORTABLE integer Rademacher sketch, so bucket
+    assignment, probing, and the cosine re-rank are value-checked
+    against an exact DuckDB oracle (recall vs brute force additionally
+    asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.rp_lsh_ann(
@@ -69,6 +123,7 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         n_bits=8,
         k=5,
+        portable=True,
     )
 
 

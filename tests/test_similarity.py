@@ -801,3 +801,34 @@ def test_int8_quantization_bounds(spark):
     for r in crows:
         assert r["codes"] == [0] * 64
         assert r["max_abs_err"] == 0.0
+
+
+def test_portable_sketch_paths_identical_and_recall(spark, emb):
+    """The portable Rademacher sketch's expression and Arrow paths are
+    bit-identical (integer arithmetic end-to-end — this is what makes
+    knn_lsh_ann oracle-checkable), and the portable ANN keeps the same
+    practical recall floor as the Gaussian family."""
+    both = emb.select(
+        "vec_id",
+        similarity.rp_sketch_portable("embedding", 64, 8).alias("expr_b"),
+        similarity.rp_sketch_portable_arrow(64, 8)(F.col("embedding")).alias(
+            "arrow_b"
+        ),
+    ).collect()
+    assert all(r["expr_b"] == r["arrow_b"] for r in both)
+    assert {r["expr_b"] for r in both} != {both[0]["expr_b"]}  # not degenerate
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.topk_cosine(
+        emb, queries, corpus_id="vec_id", query_id="vec_id", k=5
+    )
+    ann = similarity.rp_lsh_ann(
+        emb, queries, corpus_id="vec_id", query_id="vec_id",
+        dim=64, n_bits=8, k=5, portable=True,
+    )
+    exact_set = {(r["qid"], r["cid"]) for r in exact.collect()}
+    ann_set = {(r["qid"], r["cid"]) for r in ann.collect()}
+    recall = len(exact_set & ann_set) / len(exact_set)
+    assert recall >= 0.25, f"portable ANN recall {recall} below floor"
+    for qid in range(20):
+        assert (qid, qid) in ann_set
