@@ -52,7 +52,15 @@ def quantile_codes(
     tmp = [f"__dbl_{c}" for c in cols]
     out = [f"__code_{c}" for c in cols]
     for c, t in zip(cols, tmp):
-        df = df.withColumn(t, F.col(c).cast("double"))
+        # Temporal columns order by their epoch value (date/timestamp
+        # have no direct double cast); everything else casts directly.
+        dt = df.schema[c].dataType.typeName()
+        src = (
+            F.col(c).cast("timestamp")
+            if dt in ("date", "timestamp_ntz")
+            else F.col(c)
+        )
+        df = df.withColumn(t, src.cast("double"))
     disc = QuantileDiscretizer(
         numBucketsArray=[n] * len(cols),
         inputCols=tmp,
@@ -72,13 +80,28 @@ def zorder_value(xcode: Column, ycode: Column, *, bits: int = _BITS) -> Column:
     """Interleave two ``bits``-bit codes into a Morton (z-order) value:
     bit i of x lands at position 2i, bit i of y at 2i+1. Pure integer
     shift/mod expressions — whole-stage codegen, no UDF."""
+    return zorder_value_nd([xcode, ycode], bits=bits)
+
+
+def zorder_value_nd(codes: list[Column], *, bits: int = _BITS) -> Column:
+    """Round-robin bit interleave of N ``bits``-bit codes into one Morton
+    value: bit i of dimension j lands at position i*N + j, so every
+    dimension's low bits stay low — each file covers a small N-D box and
+    predicates on ANY clustered column skip files. Pure integer
+    shift/mod expressions (whole-stage codegen, no UDF); N*bits must fit
+    a long, which :func:`cluster_zorder_nd` guarantees by shrinking bits
+    per dimension as N grows (Hudi's N-column
+    ``hoodie.clustering.plan.strategy.sort.columns`` z-order mode)."""
+    n = len(codes)
+    if n * bits > 62:
+        raise ValueError(
+            f"{n} dims x {bits} bits = {n * bits} interleaved bits "
+            "exceeds the ANSI-safe long range; lower bits per dimension"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(xcode, i) % 2, 2 * i)
-            + F.shiftleft(F.shiftright(ycode, i) % 2, 2 * i + 1)
-        )
+        for j, code in enumerate(codes):
+            z = z + F.shiftleft(F.shiftright(code, i) % 2, i * n + j)
     return z
 
 
@@ -97,13 +120,33 @@ def cluster_zorder(
     """Z-order clustering on two columns: order by the Morton code of
     their quantile codes, range-split into ``n_files`` files. The code
     columns are dropped before write."""
-    coded = quantile_codes(df, [xcol, ycol])
-    xz, yz = f"__code_{xcol}", f"__code_{ycol}"
+    return cluster_zorder_nd(df, [xcol, ycol], n_files)
+
+
+def cluster_zorder_nd(
+    df: DataFrame, cols: list[str], n_files: int, *, bits: int | None = None
+) -> DataFrame:
+    """N-dimensional z-order clustering (Hudi's clustering service
+    accepts N sort columns): order by the round-robin Morton code of the
+    columns' quantile codes, range-split into ``n_files`` files.
+
+    Bits per dimension default to ``min(8, 62 // N)`` — the full 256
+    buckets/dim through 7 dims, degrading gracefully beyond (coarser
+    boxes, never overflow). The curse of dimensionality is real: each
+    added dimension halves per-dimension skipping power, so 2-4 columns
+    is the sweet spot — but the operator no longer caps at 2."""
+    if not cols or len(set(cols)) != len(cols):
+        raise ValueError(f"cols must be non-empty and distinct: {cols}")
+    if bits is None:
+        bits = min(_BITS, 62 // len(cols))
+    coded = quantile_codes(df, cols, bits=bits)
+    code_cols = [f"__code_{c}" for c in cols]
+    zv = zorder_value_nd([F.col(c) for c in code_cols], bits=bits)
     return (
-        coded.withColumn("__zval", zorder_value(F.col(xz), F.col(yz)))
+        coded.withColumn("__zval", zv)
         .repartitionByRange(n_files, F.col("__zval"))
         .sortWithinPartitions("__zval")
-        .drop("__zval", xz, yz)
+        .drop("__zval", *code_cols)
     )
 
 

@@ -376,6 +376,61 @@ def clustered_scan_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# N-dimensional z-order clustering (Hudi's clustering service takes N
+# sort columns; operators/clustering.py::cluster_zorder_nd): orders is
+# rewritten z-ordered on THREE columns, then a selective 3-D band
+# predicate scans the clustered layout. The oracle runs the same
+# predicate on the original table — equality proves the N-D rewrite is
+# a pure layout change (footer-level skipping on all three columns is
+# asserted in tests/test_clustering.py).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "zorder_nd_scan_bands",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_totalprice BETWEEN 40000 AND 180000
+  AND o_custkey % 7 = 2
+  AND o_orderdate >= DATE '1994-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def zorder_nd_scan_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import cluster_zorder_nd, write_clustered
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/zorder_nd_{tag}"
+    write_clustered(
+        cluster_zorder_nd(
+            orders, ["o_totalprice", "o_custkey", "o_orderdate"], 16
+        ),
+        path,
+    )
+    clustered = spark.read.parquet(path)
+    return (
+        clustered.filter(
+            F.col("o_totalprice").between(40000, 180000)
+            & (F.col("o_custkey") % 7 == 2)
+            & (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental JOIN-view maintenance: the delta rule ΔV = ΔA⋈B ∪ A⋈ΔB ∪
 # ΔA⋈ΔB folds append-only batches of BOTH join inputs into a
 # materialized orders⋈customer view without ever re-joining full
