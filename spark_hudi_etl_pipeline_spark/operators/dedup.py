@@ -1296,3 +1296,70 @@ def record_linkage(
             "distance",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Blocked edit-distance (typo-level) dedup
+# --------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_edits: int = 4,
+    block_tokens: int = 5,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Typo-level near-dup pairs: threshold-bounded Levenshtein within
+    HEAD blocks — docs sharing the md5 fingerprint of their first
+    ``block_tokens`` normalized tokens. Complements the shingle family:
+    Jaccard barely moves under a 2-character typo (it perturbs only k
+    shingles) while edit distance counts it exactly; conversely a
+    reordered paragraph destroys edit distance but not Jaccard.
+
+    Blocking is by construction (same opening words), not pigeonhole —
+    a doc whose typo falls inside the head lands in a different block
+    and is missed, the standard recall/cost trade of blocked linkage
+    (same contract as ``embedding_neardup_pairs``'s block_col).
+    ``max_block`` drops degenerate blocks (boilerplate openings) so one
+    hot block cannot go quadratic. The Levenshtein itself is
+    threshold-bounded (O(max_edits·len) banded DP, not O(len²)), and
+    only intra-block pairs are ever scored — never all pairs.
+
+    Output: (id_a, id_b, edits), id_a < id_b, edits <= max_edits.
+    Exact DuckDB oracle in plans/dedup_plans.py (md5 blocking +
+    levenshtein are engine-portable)."""
+    norm = text.normalize(text_col)
+    head = F.md5(
+        F.array_join(F.slice(F.split(norm, " "), 1, block_tokens), " ")
+    )
+    t = df.select(
+        F.col(id_col).alias("id"), norm.alias("__norm"), head.alias("__head")
+    )
+    t = t.localCheckpoint(eager=True)  # normalize once, feed both sides
+    counts = t.groupBy("__head").count()
+    small = t.join(
+        F.broadcast(
+            counts.filter(F.col("count") <= max_block).select("__head")
+        ),
+        on="__head",
+    )
+    a = small.select(
+        "__head", F.col("id").alias("id_a"), F.col("__norm").alias("__na")
+    )
+    b = small.select(
+        "__head", F.col("id").alias("id_b"), F.col("__norm").alias("__nb")
+    )
+    return (
+        a.join(b, on="__head")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__na", "__nb", max_edits).alias("edits"),
+        )
+        .filter(F.col("edits") >= 0)
+        .orderBy("id_a", "id_b")
+    )

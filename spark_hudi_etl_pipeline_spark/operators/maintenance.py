@@ -483,3 +483,62 @@ def content_checksum(
     if group_by:
         return staged.groupBy(*group_by).agg(*aggs)
     return staged.agg(*aggs)
+
+
+def twap_daily(
+    df: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-(type, day) TIME-WEIGHTED average — the companion to the
+    OHLC bars: each observation holds until the next one, so its weight
+    is its duration, not its count (a price quoted for 23 hours must
+    not be averaged 1:1 against one quoted for a minute). The last
+    observation of a day carries zero weight (its holding period ends
+    at an unknown boundary); single-observation days yield NULL.
+
+    Exactness: values quantize to half-up cents, durations are integer
+    microseconds, and the weighted sum Σ cents·dur is bounded by
+    max_cents · (day in μs) ≈ 2^52 per group — integer-exact under ANSI,
+    so the final double division reproduces bit-for-bit in DuckDB.
+
+    Scale shape: one window pass (hash exchange on (type, day) + local
+    sort by (ts, id)) then a partial-agg'd groupBy on the SAME key — AQE
+    reuses the exchange, so the whole thing is one shuffle. Ties on ts
+    break by id for determinism."""
+    day = F.date_trunc("day", ts_col).cast("date")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(type_col, day)
+        .orderBy(F.col(ts_col), F.col(id_col))
+    )
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    dur = F.coalesce(F.lead(us).over(w) - us, F.lit(0).cast("long"))
+    rows = df.select(
+        F.col(type_col).alias("event_type"),
+        day.alias("bar_ts"),
+        (cents * dur).alias("__wsum"),
+        dur.alias("__dur"),
+    )
+    agg = rows.groupBy("event_type", "bar_ts").agg(
+        F.sum("__wsum").alias("__num"),
+        F.sum("__dur").alias("__den"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "bar_ts",
+        F.when(
+            F.col("__den") > 0,
+            F.round(
+                F.col("__num").cast("double")
+                / F.col("__den").cast("double")
+                / 100.0,
+                4,
+            ),
+        ).alias("twap"),
+        "n_events",
+    ).orderBy("event_type", "bar_ts")

@@ -89,3 +89,36 @@ def k_anonymize_two_level(
         ),
     )
     return d.drop("_n0", "_n1", *[f"_g_{c}" for c in quasi])
+
+
+def l_diversity_gate(
+    df: DataFrame, quasi: list[str], sensitive: str, l: int
+) -> DataFrame:
+    """Distinct l-diversity (Machanavajjhala et al.) — the release gate
+    k-anonymity alone cannot provide: a class of k rows that all share
+    ONE sensitive value still discloses it (homogeneity attack), so each
+    quasi-identifier class must also contain at least ``l`` DISTINCT
+    sensitive values to release.
+
+    Adds ``class_n`` (equivalence-class size), ``distinct_sensitive``
+    (distinct sensitive values in the class), and ``released`` (1 iff
+    ``distinct_sensitive >= l``).
+
+    Scale shape: one window pass = one hash exchange on the quasi
+    columns; per-task state is the class's distinct sensitive-value set,
+    bounded by the sensitive domain (not the row count) — classes big
+    enough to be hot are exactly the ones whose sets saturate the domain
+    early."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    w = Window.partitionBy(*[F.col(c) for c in quasi])
+    d = (
+        df.withColumn("class_n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "distinct_sensitive",
+            F.size(F.collect_set(F.col(sensitive)).over(w)),
+        )
+    )
+    return d.withColumn(
+        "released", (F.col("distinct_sensitive") >= l).cast("int")
+    )

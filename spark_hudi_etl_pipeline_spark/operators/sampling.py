@@ -127,3 +127,20 @@ def weighted_pps_sample(
         .otherwise(F.floor(F.lit(divisor * 1_000_000) / w))
         .cast("long"),
     )
+
+
+def kfold_assign(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: ``fold`` =
+    portable md5-60bit hash of the key, mod k. Map-only (no shuffle, no
+    RNG state); the same key lands in the same fold on any cluster, any
+    run, any engine — the DuckDB oracle recomputes folds bit-for-bit,
+    and leakage-safety reduces to key identity (dedupe/canonicalize
+    BEFORE folding, same contract as leakage_safe_split)."""
+    from ..functions.text import portable_hash60
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        "fold",
+        F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(k)),
+    )

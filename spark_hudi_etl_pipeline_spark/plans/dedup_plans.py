@@ -7,11 +7,12 @@ exact copies for exact dedup, appended-tail near-copies for fuzzy dedup.
 This makes the correctness gate exercise real dedup behavior instead of
 vacuously matching empty outputs.
 
-Where the algorithm is SQL-expressible (fingerprint, exact n-gram
-Jaccard) the oracle is exact; approximation-bearing operators
-(MinHash-LSH, SimHash) register rows-only and get recall/property tests
-in tests/test_dedup.py instead — an LSH miss is legal behavior and must
-not be judged against an exact-SQL oracle.
+Every query here carries an exact oracle. That includes the
+approximation-bearing operators since round 8: MinHash-LSH and SimHash
+run on the engine-portable md5-60bit hash family, so their
+approximation is pinned to the exact same candidate sets in both
+engines — an LSH miss is legal behavior AND reproduced bit-for-bit by
+the oracle. Recall/property floors live in tests/test_dedup.py on top.
 """
 
 from __future__ import annotations
@@ -991,3 +992,61 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["blk", "c_nationkey"],
         max_distance=2,
     ).orderBy("dirty_id")
+
+
+# --------------------------------------------------------------------------
+# Typo-level near-dup: threshold-bounded Levenshtein within HEAD blocks
+# (operators/dedup.py::edit_distance_pairs). Complements the shingle
+# family — a 3-character typo barely moves Jaccard but counts exactly in
+# edit distance. Corpus injects typo-copies (a mid-word character edit +
+# an appended token) of doc_id<5; md5 head-blocking and levenshtein are
+# engine-portable, so the oracle verifies blocking, the hot-block cap,
+# and the distances value-for-value.
+# --------------------------------------------------------------------------
+
+_TYPO_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || ' xq' AS text
+  FROM documents WHERE doc_id < 5
+)
+"""
+
+
+@query(
+    "dedup_edit_distance_blocked",
+    oracle="WITH "
+    + _TYPO_CORPUS_SQL
+    + f""",
+t AS (
+  SELECT doc_id, {NORM_SQL} AS norm,
+         md5(array_to_string(string_split({NORM_SQL}, ' ')[1:5], ' '))
+           AS head
+  FROM corpus
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY head) AS bsz FROM t
+  ) WHERE bsz <= 1000
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.norm, b.norm) AS edits
+FROM capped a
+JOIN capped b ON a.head = b.head AND a.doc_id < b.doc_id
+WHERE levenshtein(a.norm, b.norm) <= 4
+ORDER BY id_a, id_b
+""",
+)
+def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (≤4) near-dup pairs within head blocks: the 5
+    injected typo-copies pair with their originals at distance 3."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xq")).alias("text"),
+    )
+    corpus = d.unionByName(dups)
+    return dedup.edit_distance_pairs(
+        corpus, "doc_id", "text", max_edits=4, block_tokens=5
+    )

@@ -518,3 +518,61 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_checksum(
         orders, canon, group_by=["o_orderstatus"]
     ).orderBy("o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# l-diversity gate (operators/privacy.py::l_diversity_gate): the
+# homogeneity-attack check on top of k-anonymity — a class of k rows
+# sharing ONE sensitive value still discloses it, so every released
+# class must hold >= l DISTINCT sensitive values. Quasi = (segment,
+# balance quintile-bin), sensitive = nation. One window exchange.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "l_diversity_customer_release",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         CAST(floor((floor(c_acctbal * 100 + 0.5) + 100000) / 220000)
+              AS BIGINT) AS bal_bin
+  FROM customer
+),
+ann AS (
+  SELECT c_custkey, c_mktsegment, bal_bin,
+         count(*) OVER (PARTITION BY c_mktsegment, bal_bin) AS class_n,
+         count(DISTINCT c_nationkey) OVER (
+           PARTITION BY c_mktsegment, bal_bin) AS distinct_sensitive
+  FROM base
+)
+SELECT c_custkey, c_mktsegment, bal_bin,
+       CAST(class_n AS BIGINT) AS class_n,
+       CAST(distinct_sensitive AS INTEGER) AS distinct_sensitive,
+       CASE WHEN distinct_sensitive >= 3 THEN 1 ELSE 0 END AS released
+FROM ann ORDER BY c_custkey
+""",
+)
+def l_diversity_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import l_diversity_gate
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(
+            (F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)) + 100000) / 220000
+        )
+        .cast("long")
+        .alias("bal_bin"),
+    )
+    out = l_diversity_gate(
+        cust, quasi=["c_mktsegment", "bal_bin"], sensitive="c_nationkey", l=3
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_bin",
+        "class_n",
+        "distinct_sensitive",
+        "released",
+    ).orderBy("c_custkey")

@@ -169,3 +169,46 @@ def weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "w", "ipw_q")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# k-fold cross-validation assignment (operators/sampling.py::
+# kfold_assign): fold = portable md5-60bit hash of the doc key, mod k —
+# map-only, engine-portable, leakage-safe up to key identity. The query
+# reports the per-fold census (count + per-source spread + key range) a
+# training pipeline checks before trusting the folds.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "kfold_split_documents",
+    oracle="""
+WITH folded AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 5 AS fold
+  FROM documents
+)
+SELECT fold,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT source) AS INTEGER) AS n_sources,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM folded GROUP BY fold ORDER BY fold
+""",
+)
+def kfold_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import kfold_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    folded = kfold_assign(docs, "doc_id", 5)
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").cast("int").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("fold")
+    )

@@ -3,8 +3,11 @@
 Brute-force cosine top-k carries a DuckDB oracle (both engines compute
 the same double-precision dot products; the similarity column is rounded
 to 4 decimals, and rank ties break on vec_id — fully deterministic).
-The LSH/ANN variant registers rows-only: approximation is legal behavior;
-its recall against brute force is asserted in tests/test_similarity.py.
+Since round 8 the LSH variant is ALSO value-checked: the portable
+integer Rademacher sketch makes bucket assignment bit-reproducible in
+SQL, so approximation is pinned to the exact same candidate sets in both
+engines; recall floors vs brute force are additionally asserted in
+tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -1092,3 +1095,132 @@ def embedding_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.floor(F.col("max_abs_err") * 1000000).cast("long").alias("err_q"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Matryoshka (MRL) truncated retrieval: top-k cosine over only the
+# FIRST 16 of 64 dims — the speed/recall dial MRL-trained embeddings
+# expose (prefix dims carry the coarse signal). Cosine renormalizes per
+# vector, so truncation needs no re-embedding: slice + the same exact
+# top-k machinery, 4x less arithmetic and 4x less shuffle width when
+# the sliced projection reaches the scan. Oracle slices the same prefix
+# in SQL.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_matryoshka_trunc16",
+    oracle="""
+SELECT qid, cid, cosine, rank FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(
+           list_sum(list_transform(
+             list_zip(q.embedding[1:16], c.embedding[1:16]),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding[1:16],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding[1:16],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(
+             list_sum(list_transform(
+               list_zip(q.embedding[1:16], c.embedding[1:16]),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding[1:16],
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding[1:16],
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) DESC, c.vec_id ASC) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10
+) WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def knn_matryoshka_trunc16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    queries = trunc.filter(F.col("vec_id") < 10)
+    return similarity.topk_cosine(
+        trunc, queries, corpus_id="vec_id", query_id="vec_id",
+        vec_col="embedding", k=5,
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation harness: recall@5 of the portable LSH against
+# the exact brute-force top-5, per query — the operational check every
+# ANN deployment runs before trusting an index (and after every index
+# rebuild). Because the portable sketch is bit-reproducible, even the
+# EVALUATION is value-checked: the oracle recomputes both sides and the
+# same per-query recall. Scale shape: the exact side is the expensive
+# leg — run it over a sampled query panel (here: the vec_id<10 panel),
+# never the full query log.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_recall_lsh_vs_exact",
+    oracle=f"""
+WITH eq AS (
+  SELECT vec_id, embedding,
+         list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {similarity.EMB_QUANT}
+                           + 0.5) AS BIGINT)) AS ev
+  FROM embeddings
+),
+sk AS (SELECT vec_id, embedding, CAST({_RP_SKETCH_SQL} AS BIGINT) AS bucket FROM eq),
+qp AS (
+  SELECT vec_id AS qid, embedding AS qemb, {_LSH_PROBES_SQL} AS probes
+  FROM sk WHERE vec_id < 10
+),
+lsh AS (
+  SELECT qid, cid FROM (
+    SELECT qp.qid, c.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY qp.qid
+             ORDER BY round({_cos_u('qp.qemb', 'c.embedding')}, 4) DESC,
+                      c.vec_id ASC) AS rank
+    FROM qp JOIN sk c ON list_contains(qp.probes, c.bucket)
+  ) WHERE rank <= 5
+),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round({_cos_u('a.embedding', 'b.embedding')}, 4) DESC,
+                      b.vec_id ASC) AS rank
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 10
+  ) WHERE rank <= 5
+)
+SELECT e.qid, CAST(count(l.cid) AS BIGINT) AS hits,
+       round(count(l.cid) / 5.0, 2) AS recall_at_5
+FROM exact e
+LEFT JOIN lsh l ON e.qid = l.qid AND e.cid = l.cid
+GROUP BY e.qid ORDER BY e.qid
+""",
+)
+def ann_recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.topk_cosine(
+        emb, queries, corpus_id="vec_id", query_id="vec_id", k=5
+    ).select("qid", "cid")
+    ann = similarity.rp_lsh_ann(
+        emb, queries, corpus_id="vec_id", query_id="vec_id",
+        dim=64, n_bits=8, k=5, portable=True,
+    ).select("qid", "cid", F.lit(1).alias("hit"))
+    return (
+        exact.join(ann, on=["qid", "cid"], how="left")
+        .groupBy("qid")
+        .agg(F.count("hit").alias("hits"))
+        .select("qid", "hits", F.round(F.col("hits") / 5.0, 2).alias("recall_at_5"))
+        .orderBy("qid")
+    )

@@ -2325,3 +2325,47 @@ def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
     return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
+
+
+# --------------------------------------------------------------------------
+# TWAP: time-weighted daily average (operators/maintenance.py::
+# twap_daily) — the observation-holds-until-the-next-one average the
+# plain mean gets wrong under irregular sampling. Cents × integer-μs
+# durations keep the weighted sums integer-exact (Σ ≤ max_cents · day-μs
+# ≈ 2^52 per group), so the final double division reproduces bit-for-bit
+# in DuckDB. One shuffle: the lead() window and the groupBy share the
+# (type, day) key.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_twap_daily",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS bar_ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY event_type, CAST(date_trunc('day', ts) AS DATE)
+           ORDER BY ts, event_id) AS next_us
+  FROM events
+),
+agg AS (
+  SELECT event_type, bar_ts,
+         CAST(sum(cents * coalesce(next_us - us, 0)) AS BIGINT) AS num,
+         CAST(sum(coalesce(next_us - us, 0)) AS BIGINT) AS den,
+         count(*) AS n_events
+  FROM seq GROUP BY event_type, bar_ts
+)
+SELECT event_type, bar_ts,
+       CASE WHEN den > 0
+            THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100, 4)
+       END AS twap,
+       n_events
+FROM agg ORDER BY event_type, bar_ts
+""",
+)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import twap_daily
+
+    return twap_daily(load_table(spark, sf_dir, "events"))

@@ -657,3 +657,35 @@ def test_minhash_arrow_and_expression_signatures_identical(spark):
     ).collect()
     for r in out:
         assert r["expr_sig"] == r["arrow_sig"], r["doc_id"]
+
+
+def test_edit_distance_pairs_blocking_and_threshold(spark):
+    """Typo pairs within a shared head block surface with exact
+    distances; docs whose edit falls INSIDE the head land in another
+    block and are missed (the documented blocking trade); distances
+    above the threshold are dropped."""
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " xq"),                      # tail typo: edits=3
+            (3, base.replace("zeta", "zetaa")),     # mid edit: edits=1
+            (4, "ALPHA beta gamma delta epsilon zeta eta theta iota kappa"),  # =0
+            (5, "omega " + base),                   # head changed: other block
+            (6, base + " completely different continuation of words here"),  # >4
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edits"]
+        for r in edit_distance_pairs(df, "doc_id", "text", max_edits=4).collect()
+    }
+    assert got[(1, 2)] == 3
+    assert got[(1, 3)] == 1
+    assert got[(1, 4)] == 0
+    assert not any(5 in p for p in got)  # blocked away, by contract
+    assert not any(6 in p for p in got)  # beyond threshold

@@ -293,3 +293,34 @@ def test_ohlc_partial_order_key_domain(spark):
     )
     with pytest.raises(Exception, match="order-key domain"):
         ohlc_partial(pre_epoch).collect()
+
+
+def test_twap_daily_weights_by_holding_time(spark):
+    """TWAP weights each observation by its holding duration; the last
+    observation carries zero weight and single-observation days are
+    NULL (no holding period at all)."""
+    import datetime
+
+    from spark_hudi_etl_pipeline_spark.operators.maintenance import (
+        twap_daily,
+    )
+
+    d = datetime.datetime
+    rows = [
+        # type a, one day: 10.0 held 3h, 20.0 held 1h, 99.0 terminal.
+        (1, d(2024, 1, 1, 0), "a", 10.0),
+        (2, d(2024, 1, 1, 3), "a", 20.0),
+        (3, d(2024, 1, 1, 4), "a", 99.0),
+        # type b: single event -> NULL twap.
+        (4, d(2024, 1, 1, 5), "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["event_type"], str(r["bar_ts"])): (r["twap"], r["n_events"])
+        for r in twap_daily(df).collect()
+    }
+    # (10*3 + 20*1) / 4 = 12.5 — the plain mean would say 43.
+    assert out[("a", "2024-01-01")] == (12.5, 3)
+    assert out[("b", "2024-01-01")] == (None, 1)

@@ -180,3 +180,27 @@ def test_k_anonymity_arg_validation(spark):
         k_anonymize_two_level(df, ["seg"], 0, {})
     with pytest.raises(ValueError):
         k_anonymize_two_level(df, ["seg"], 2, {"bin": F.col("bin")})
+
+
+def test_l_diversity_blocks_homogeneous_classes(spark):
+    """A class that is k-large but sensitive-homogeneous must NOT
+    release (the homogeneity attack k-anonymity misses)."""
+    import pytest
+
+    from spark_hudi_etl_pipeline_spark.operators.privacy import (
+        l_diversity_gate,
+    )
+
+    rows = (
+        [(i, "seg1", "flu") for i in range(5)]           # homogeneous
+        + [(10 + i, "seg2", ["flu", "cold", "ok"][i % 3]) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "id long, seg string, dx string")
+    out = {r["id"]: (r["released"], r["distinct_sensitive"], r["class_n"])
+           for r in l_diversity_gate(df, ["seg"], "dx", 2).collect()}
+    for i in range(5):
+        assert out[i] == (0, 1, 5)
+    for i in range(10, 16):
+        assert out[i] == (1, 3, 6)
+    with pytest.raises(ValueError):
+        l_diversity_gate(df, ["seg"], "dx", 0)

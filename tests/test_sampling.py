@@ -137,3 +137,21 @@ def test_weighted_pps_partitioning_invariance_and_ipw(spark):
     heavy = {k for k, _ in a if k % 700 + 1 >= 300}
     expect_heavy = {k for k in range(2000) if k % 700 + 1 >= 300}
     assert heavy == expect_heavy
+
+
+def test_kfold_assign_deterministic_and_balanced(spark):
+    import pytest
+
+    from spark_hudi_etl_pipeline_spark.operators.sampling import kfold_assign
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = kfold_assign(df, "k", 5).collect()
+    b = kfold_assign(df.repartition(7), "k", 5).collect()
+    fa = {r["k"]: r["fold"] for r in a}
+    fb = {r["k"]: r["fold"] for r in b}
+    assert fa == fb  # partitioning-independent
+    counts = [sum(1 for v in fa.values() if v == i) for i in range(5)]
+    assert all(v in range(5) for v in fa.values())
+    assert max(counts) < 2 * min(counts)  # statistically balanced
+    with pytest.raises(ValueError):
+        kfold_assign(df, "k", 1)
