@@ -1363,3 +1363,165 @@ def edit_distance_pairs(
         .filter(F.col("edits") >= 0)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup dedup against a persisted LSH band store
+# --------------------------------------------------------------------------
+
+
+def minhash_store_ingest(
+    batch: DataFrame,
+    store_table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    threshold: float = 0.5,
+    n_buckets: int = 32,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup detection against a persisted MinHash band
+    store — the fuzzy twin of :func:`fingerprint_store_ingest`, and the
+    operational 100-TB shape of LSH dedup: each run probes only the NEW
+    batch against an append-only store of band buckets, never
+    re-signing or re-pairing the corpus.
+
+    Store: a catalog table bucketed by ``bkey`` with one row per
+    (band, band-key, doc): ``(band, bkey, doc_id, sig, src_batch)``,
+    where ``bkey`` is the band's signature slice joined to a string
+    (portable: the DuckDB oracle recomputes it) and ``sig`` is the full
+    signature (kept so verification never re-reads stored documents).
+    Ingesting a batch:
+
+    1. signature + banding over the batch (map-only, Arrow hot path —
+       bit-identical to the expression path under the portable hash);
+    2. probe: batch bands join store bands on (band, bkey) — the
+       batch-side exchange matches the store's bucket layout, the
+       corpus-sized store never reshuffles; candidates verify with the
+       ESTIMATED Jaccard (matching signature positions / num_hashes —
+       the standard MinHash estimator, ±O(1/√num_hashes)); verdict per
+       batch doc = lowest-id store match above ``threshold``;
+    3. append the bands of NON-matching docs only (the store stays
+       canonical: near-copies of stored content never join it).
+
+    Replay semantics mirror the fingerprint store: pass a stable
+    ``batch_id`` and probe hits from the SAME batch are ignored, so a
+    crashed-after-append run re-ingests with identical verdicts and the
+    append deduplicates by doc identity (the store does not grow).
+
+    Returns (id_col, is_neardup, match_id, est_jaccard). Within-batch
+    near-dups are out of scope by contract — run
+    :func:`minhash_dedup_pairs` on the batch first (same split as the
+    fingerprint store, which resolves within-batch EXACT dups only
+    because its store is keyed by content, not similarity).
+    """
+    from ..sources.writers import write_bucketed
+
+    spark = batch.sparkSession
+    rows = num_hashes // bands
+    exists = spark.catalog.tableExists(store_table)
+    sig_udf = minhash_signature_arrow(num_hashes, k)
+    docs = barrier_col(
+        _fan_out(batch.select(F.col(id_col), F.col(text_col))),
+        "sig",
+        sig_udf(F.col(text_col)),
+    ).drop(text_col)
+    docs = docs.localCheckpoint(eager=True)  # sign once, feed all uses
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), j * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                    "_",
+                ).alias("bkey"),
+            )
+            for j in range(bands)
+        ]
+    )
+    batch_bands = docs.select(
+        F.col(id_col), F.col("sig"), F.explode(band_structs).alias("bb")
+    ).select(id_col, "sig", "bb.band", "bb.bkey")
+    if exists:
+        store = spark.table(store_table)
+        same_batch = (
+            F.lit(False)
+            if batch_id is None
+            else F.col("src_batch").eqNullSafe(F.lit(batch_id))
+        )
+        probe = batch_bands.join(
+            store.filter(~same_batch).select(
+                "band",
+                "bkey",
+                F.col("doc_id").alias("_store_id"),
+                F.col("sig").alias("_store_sig"),
+            ),
+            on=["band", "bkey"],
+        )
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("sig", "_store_sig", lambda a, b: a == b),
+                    lambda m: m,
+                )
+            )
+            / F.lit(float(num_hashes))
+        )
+        matches = (
+            probe.select(F.col(id_col), "_store_id", est.alias("_est"))
+            .filter(F.col("_est") >= threshold)
+            .groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct(F.col("_store_id").alias("m"), F.col("_est").alias("e"))
+                ).alias("best")
+            )
+            .select(
+                id_col,
+                F.col("best.m").alias("match_id"),
+                F.round(F.col("best.e"), 4).alias("est_jaccard"),
+            )
+        )
+        verdict = docs.select(id_col).join(matches, on=id_col, how="left")
+    else:
+        id_type = batch.schema[id_col].dataType
+        verdict = docs.select(
+            F.col(id_col),
+            F.lit(None).cast(id_type).alias("match_id"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+        )
+    verdict = verdict.select(
+        id_col,
+        F.col("match_id").isNotNull().cast("int").alias("is_neardup"),
+        "match_id",
+        "est_jaccard",
+    ).localCheckpoint(eager=True)  # pre-append snapshot
+    novel = verdict.filter(F.col("is_neardup") == 0).select(id_col)
+    new_rows = batch_bands.join(F.broadcast(novel), on=id_col).select(
+        "band",
+        "bkey",
+        F.col(id_col).alias("doc_id"),
+        "sig",
+        F.lit(batch_id).cast("string").alias("src_batch"),
+    )
+    if exists:
+        # Replay guard: never re-append a doc the store already holds.
+        new_rows = new_rows.join(
+            spark.table(store_table).select("doc_id").distinct(),
+            on="doc_id",
+            how="left_anti",
+        )
+    write_bucketed(
+        new_rows,
+        store_table,
+        bucket_cols=["bkey"],
+        n_buckets=n_buckets,
+        mode="append" if exists else "overwrite",
+    )
+    return verdict

@@ -1050,3 +1050,90 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs(
         corpus, "doc_id", "text", max_edits=4, block_tokens=5
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup store (operators/dedup.py::minhash_store_ingest):
+# the fuzzy twin of dedup_incremental_batch — the store half of the
+# corpus is signed and banded ONCE; the probe half is verdict'd against
+# it by band collision + the MinHash Jaccard estimator, and only novel
+# docs join the store. The portable hash family makes the WHOLE flow —
+# signatures, band keys, collisions, the estimator — value-checkable.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_store_probe",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text, CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS side
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || ' appended tail words' AS text,
+         1 AS side
+  FROM documents WHERE doc_id < 5
+),
+sh AS (SELECT doc_id, side, list_distinct({SHINGLES_SQL}) AS sh FROM corpus),
+hs AS (
+  SELECT doc_id, side,
+         list_transform(
+           sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                    % {dedup.MERSENNE_PRIME_31}) AS hashes
+  FROM sh
+),
+sig AS (SELECT doc_id, side, {_SIG_SQL} AS sig FROM hs),
+banded AS (
+  SELECT doc_id, side, sig, j.j AS band,
+         array_to_string(list_transform(
+           list_slice(sig, 4 * j.j + 1, 4 * j.j + 4),
+           h -> CAST(h AS VARCHAR)), '_') AS bkey
+  FROM sig, range(8) j(j)
+),
+cand AS (
+  SELECT p.doc_id AS pid, s.doc_id AS match_id,
+         list_sum(list_transform(list_zip(p.sig, s.sig),
+                  x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) / 32.0
+           AS est
+  FROM banded p
+  JOIN banded s ON p.band = s.band AND p.bkey = s.bkey
+  WHERE p.side = 1 AND s.side = 0
+),
+best AS (
+  SELECT pid, min(match_id) AS match_id,
+         round(arg_min(est, match_id), 4) AS est_jaccard
+  FROM cand WHERE est >= 0.5 GROUP BY pid
+)
+SELECT d.doc_id,
+       CASE WHEN b.match_id IS NOT NULL THEN 1 ELSE 0 END AS is_neardup,
+       b.match_id, b.est_jaccard
+FROM (SELECT DISTINCT doc_id FROM corpus WHERE side = 1) d
+LEFT JOIN best b ON b.pid = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def dedup_minhash_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed the LSH store with the first half of the corpus, then probe
+    the second half plus near-copies of 5 SEEDED docs: the copies match
+    their originals (estimated Jaccard ≥ 0.5), everything else is
+    novel. Uses a per-(sf, run)-scoped store table; verdicts come from
+    the probe ingest only."""
+    import os
+    import re as _re
+
+    from ..operators.dedup import minhash_store_ingest
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    tbl = f"mh_store_probe_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    seed = d.filter(F.col("doc_id") < 250)
+    probe = d.filter(F.col("doc_id") >= 250).unionByName(
+        d.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended tail words")).alias("text"),
+        )
+    )
+    minhash_store_ingest(seed, tbl, batch_id="seed", threshold=0.5)
+    return minhash_store_ingest(
+        probe, tbl, batch_id="probe", threshold=0.5
+    ).orderBy("doc_id")

@@ -689,3 +689,58 @@ def test_edit_distance_pairs_blocking_and_threshold(spark):
     assert got[(1, 4)] == 0
     assert not any(5 in p for p in got)  # blocked away, by contract
     assert not any(6 in p for p in got)  # beyond threshold
+
+
+def test_minhash_store_ingest_semantics_and_replay(spark):
+    """Incremental near-dup store: probe verdicts catch near-copies of
+    STORED content, novel docs join the store, near-dups don't, and a
+    same-batch replay is idempotent (verdicts identical, store doesn't
+    grow)."""
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        minhash_store_ingest,
+    )
+
+    tbl = "mh_store_unit"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        base = (
+            "the quick brown fox jumps over the lazy dog near the wide "
+            "river bank today while birds sing in the old oak tree"
+        )
+        other = (
+            "completely different content about database systems query "
+            "optimization plans and distributed execution engines at scale"
+        )
+        b1 = spark.createDataFrame(
+            [(1, base), (2, other)], "doc_id long, text string"
+        )
+        v1 = {r["doc_id"]: r["is_neardup"]
+              for r in minhash_store_ingest(b1, tbl, batch_id="b1").collect()}
+        assert v1 == {1: 0, 2: 0}  # empty store: everything novel
+        n_store = spark.table(tbl).count()
+        assert n_store > 0
+
+        b2 = spark.createDataFrame(
+            [
+                (10, base + " appended words"),  # near-copy of stored 1
+                (11, "a totally novel document about sailing across oceans "
+                     "with favorable winds and clear star filled skies"),
+            ],
+            "doc_id long, text string",
+        )
+        v2 = {r["doc_id"]: (r["is_neardup"], r["match_id"])
+              for r in minhash_store_ingest(b2, tbl, batch_id="b2").collect()}
+        assert v2[10] == (1, 1)
+        assert v2[11] == (0, None)
+        grown = spark.table(tbl).count()
+        assert grown > n_store  # only doc 11's bands joined
+        ids = {r["doc_id"] for r in spark.table(tbl).select("doc_id").collect()}
+        assert ids == {1, 2, 11}
+
+        # Replay of batch b2: same verdicts, store unchanged.
+        v2r = {r["doc_id"]: (r["is_neardup"], r["match_id"])
+               for r in minhash_store_ingest(b2, tbl, batch_id="b2").collect()}
+        assert v2r == v2
+        assert spark.table(tbl).count() == grown
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
