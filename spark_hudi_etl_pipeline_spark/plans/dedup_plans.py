@@ -1062,9 +1062,7 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "dedup_minhash_store_probe",
-    oracle=f"""
+_MH_PROBE_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text, CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS side
   FROM documents
@@ -1109,8 +1107,10 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM corpus WHERE side = 1) d
 LEFT JOIN best b ON b.pid = d.doc_id
 ORDER BY d.doc_id
-""",
-)
+"""
+
+
+@query("dedup_minhash_store_probe", oracle=_MH_PROBE_SQL)
 def dedup_minhash_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed the LSH store with the first half of the corpus, then probe
     the second half plus near-copies of 5 SEEDED docs: the copies match
@@ -1137,3 +1137,62 @@ def dedup_minhash_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_store_ingest(
         probe, tbl, batch_id="probe", threshold=0.5
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Streaming twin of dedup_minhash_store_probe: the SAME seed/probe split
+# delivered through real Structured Streaming file sources, near-dup'd
+# by a foreachBatch sink against the persisted band store. The oracle is
+# the identical verdict SQL — batch/streaming parity extended to the
+# FUZZY dedup tier (verdicts depend only on the split, not the engine).
+# --------------------------------------------------------------------------
+
+
+@query("streaming_minhash_store", oracle=_MH_PROBE_SQL)
+def streaming_minhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed run streams the first half of the corpus into the band
+    store; the second run streams the probe half (+ near-copies of 5
+    seeded docs) and records per-row verdicts. Scale shape identical to
+    the batch path — foreachBatch reuses the same operator, one fuzzy
+    dedup semantic across engines."""
+    import os
+    import re as _re
+    import shutil
+
+    from ..streaming.windows import foreach_batch_minhash_store
+    from .lifecycle_plans import _scratch
+
+    tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    tbl = f"mh_store_strm_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = _re.sub(r"^file:/*", "/", wh)
+    shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = d.filter(F.col("doc_id") < 250)
+    probe = d.filter(F.col("doc_id") >= 250).unionByName(
+        d.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended tail words")).alias("text"),
+        )
+    )
+    verdicts = _scratch(sf_dir, "strm_mh_verdicts")
+    for run, (batch, vpath) in enumerate(
+        ((seed, None), (probe, verdicts)), start=1
+    ):
+        stage = _scratch(sf_dir, f"strm_mh_b{run}")
+        chk = _scratch(sf_dir, f"strm_mh_chk{run}")
+        batch.write.mode("overwrite").parquet(stage)
+        q = (
+            spark.readStream.schema(batch.schema)
+            .parquet(stage)
+            .writeStream.foreachBatch(
+                foreach_batch_minhash_store(tbl, vpath, run_tag=f"run{run}")
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.read.parquet(verdicts).orderBy("doc_id")

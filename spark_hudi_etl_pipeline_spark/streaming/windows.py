@@ -358,3 +358,45 @@ def foreach_batch_ohlc_append(state_path: str, *, run_tag: str = "run"):
         partial.write.mode("append").parquet(state_path)
 
     return apply
+
+
+def foreach_batch_minhash_store(
+    store_table: str,
+    verdict_path: str | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    run_tag: str = "run",
+):
+    """foreachBatch sink: incremental NEAR-dup detection of each
+    micro-batch against the persisted MinHash band store
+    (operators/dedup.py::minhash_store_ingest) — the fuzzy tier of the
+    streaming dedup stage next to :func:`foreach_batch_dedup_store`'s
+    exact tier. Only the arriving micro-batch is signed and banded; the
+    corpus-sized store is bucket-joined, never rescanned.
+
+    Store batch ids follow ``f"{run_tag}-{batch_id}"``, so a micro-batch
+    replayed after a pre-checkpoint failure lands on the ingest's
+    idempotent-replay contract (same verdicts, no store growth).
+
+    ``verdict_path``: optional parquet directory appended with each
+    batch's per-row verdicts (id, is_neardup, match_id, est_jaccard).
+    """
+    from ..operators.dedup import minhash_store_ingest
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        verdicts = minhash_store_ingest(
+            batch_df,
+            store_table,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            batch_id=f"{run_tag}-{batch_id}",
+        )
+        if verdict_path is not None:
+            verdicts.write.mode("append").parquet(verdict_path)
+
+    return apply
