@@ -57,6 +57,8 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_values: list[str],
+    *,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the ``right_values`` of the
     latest right row with the same ``on`` key and ``right_ts <= left_ts``.
@@ -67,15 +69,22 @@ def asof_join(
     value forward onto each left row. One shuffle on the key, linear in
     input size — no (left × right-within-range) blowup, so it scales to
     fact-fact sizes where a theta join would be quadratic.
+
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)``
+    semantics): a match older than the tolerance is no match — its
+    values null out. The matched right timestamp rides the same window
+    carry, so the bound costs no extra shuffle. Units are seconds for
+    timestamp columns (double cast) and raw column units for numeric
+    ts columns.
     """
     _check_right_value_names(left, right_values)
     lcols = left.columns
-    side = F.lit(0)
     l_tag = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_values],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r___mts"),
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
@@ -83,7 +92,11 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.col(v).alias(f"__r_{v}") for v in right_values],
-    ).select(*[c for c in lcols], "__ts", "__side", *[f"__r_{v}" for v in right_values])
+        F.col(right_ts).alias("__r___mts"),
+    ).select(
+        *[c for c in lcols], "__ts", "__side",
+        *[f"__r_{v}" for v in right_values], "__r___mts",
+    )
     unioned = l_tag.unionByName(r_tag)
     # Right rows (__side=0) sort before left rows at equal timestamps, so
     # a right row at exactly left_ts is visible to that left row (<=).
@@ -99,8 +112,17 @@ def asof_join(
             F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(v)
             for v in right_values
         ],
+        F.last(F.col("__r___mts"), ignorenulls=True).over(w).alias("__mts"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col(left_ts).cast("double") - F.col("__mts").cast("double")
+            <= F.lit(float(tolerance_seconds))
+        )
+        for v in right_values:
+            out = out.withColumn(v, F.when(in_tol, F.col(v)))
+    return out.drop("__mts")
 
 def asof_join_forward(
     left: DataFrame,

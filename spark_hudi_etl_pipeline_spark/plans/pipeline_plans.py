@@ -2007,3 +2007,53 @@ def streaming_ohlc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join with TOLERANCE (pandas merge_asof(tolerance=...) parity):
+# the prior click attaches only if it happened within 6 hours of the
+# purchase — staler matches null out. The matched timestamp rides the
+# same single-shuffle union-window carry; DuckDB's native ASOF JOIN plus
+# a CASE on the match age is the oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "asof_prior_click_tolerance",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, round(max(value), 3) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN c.ts >= p.ts - INTERVAL '6 hours' THEN c.click_value
+       END AS click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id
+""",
+)
+def asof_prior_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 3).alias("click_value"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["click_value"],
+        tolerance_seconds=6 * 3600,
+    ).orderBy("event_id")

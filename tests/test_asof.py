@@ -108,3 +108,25 @@ def test_asof_right_value_name_collision_raises(spark):
         ["k"], "ts", "rts", ["r_value"],
     ).collect()
     assert [(r["value"], r["r_value"]) for r in out] == [(5.0, 7.0)]
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """merge_asof(tolerance=...) semantics: the latest prior match
+    attaches only within the tolerance window; staler matches null out
+    (left rows survive — it's still a left as-of)."""
+    from spark_hudi_etl_pipeline_spark.operators.latest import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "k"), (2, 250, "k"), (3, 400, "k")],
+        "id long, ts long, k string",
+    )
+    right = spark.createDataFrame(
+        [(90, "k", 1.0), (200, "k", 2.0)], "rts long, k string, v double"
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "rts", ["v"], tolerance_seconds=60
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: None}  # 400-200=200 > 60 → stale
