@@ -509,18 +509,28 @@ def twap_daily(
     sort by (ts, id)) then a partial-agg'd groupBy on the SAME key — AQE
     reuses the exchange, so the whole thing is one shuffle. Ties on ts
     break by id for determinism."""
-    day = F.date_trunc("day", ts_col).cast("date")
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = (
-        Window.partitionBy(type_col, day)
-        .orderBy(F.col(ts_col), F.col(id_col))
-    )
-    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
-    dur = F.coalesce(F.lead(us).over(w) - us, F.lit(0).cast("long"))
-    rows = df.select(
+    # Materialize the day key BEFORE the window so the window exchange
+    # and the downstream groupBy key on the SAME attribute — Catalyst
+    # then reuses one hash exchange for both (keying the window on the
+    # raw date_trunc expression plans a second, redundant shuffle).
+    keyed = df.select(
         F.col(type_col).alias("event_type"),
-        day.alias("bar_ts"),
-        (cents * dur).alias("__wsum"),
+        F.date_trunc("day", ts_col).cast("date").alias("bar_ts"),
+        F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long").alias("__cents"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(id_col).alias("__id"),
+    )
+    w = (
+        Window.partitionBy("event_type", "bar_ts")
+        .orderBy(F.col("__us"), F.col("__id"))
+    )
+    dur = F.coalesce(
+        F.lead("__us").over(w) - F.col("__us"), F.lit(0).cast("long")
+    )
+    rows = keyed.select(
+        "event_type",
+        "bar_ts",
+        (F.col("__cents") * dur).alias("__wsum"),
         dur.alias("__dur"),
     )
     agg = rows.groupBy("event_type", "bar_ts").agg(

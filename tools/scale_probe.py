@@ -1164,8 +1164,135 @@ def probe_hardneg_stats(base: str) -> None:
 
 
 
+def probe_r8_ops(base: str) -> None:
+    """Round-8 probe: (A) MinHash band-store probing — a FIXED-size batch
+    probed against stores seeded with 1x/4x/16x corpora; the claim under
+    test is that per-batch cost tracks the BATCH (store bucket-joined,
+    never reshuffled), so probe wall should stay near-flat as the store
+    grows. (B) blocked edit-distance pairs at 1x/4x/16x docs — cost must
+    track head-block collisions, not n². (C) TWAP at 1x/16x events —
+    single-shuffle window+agg, linear."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+        minhash_store_ingest,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.maintenance import twap_daily
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("scale-probe-r8")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, 1024, 1, 32).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    # --- (A) store-probe flatness -------------------------------------
+    docs1 = spark.read.parquet(replicate(spark, base, "documents", 1, ["doc_id"], "text"))
+    probe_batch = docs1.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+    store_probe: dict[int, tuple[int, float]] = {}
+    for factor in REPLICAS:
+        seed_path = replicate(spark, base, "documents", factor, ["doc_id"], "text")
+        seed = spark.read.parquet(seed_path)
+        tbl = f"mh_probe_store_{factor}x"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        minhash_store_ingest(seed, tbl, batch_id="seed")
+        store_rows = spark.table(tbl).count()
+        t0 = time.perf_counter()
+        minhash_store_ingest(
+            probe_batch, tbl, batch_id="probe"
+        ).write.mode("overwrite").format("noop").save()
+        store_probe[factor] = (store_rows, time.perf_counter() - t0)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    # --- (B) blocked edit distance ------------------------------------
+    edit: dict[int, tuple[int, float]] = {}
+    for factor in REPLICAS:
+        d = spark.read.parquet(
+            replicate(spark, base, "documents", factor, ["doc_id"], "text")
+        )
+        t0 = time.perf_counter()
+        n = edit_distance_pairs(d, "doc_id", "text", max_edits=4).count()
+        edit[factor] = (n, time.perf_counter() - t0)
+
+    # --- (C) TWAP -------------------------------------------------------
+    twap: dict[int, tuple[int, float]] = {}
+    for factor in (1, 16):
+        ev = spark.read.parquet(
+            replicate(spark, base, "events", factor, ["event_id", "user_id"])
+        )
+        t0 = time.perf_counter()
+        twap_daily(ev).write.mode("overwrite").format("noop").save()
+        twap[factor] = (ev.count(), time.perf_counter() - t0)
+
+    lines = [
+        "",
+        "## round-8 ops probe (replicated sf0.1 fixtures)",
+        "",
+        "**(A) MinHash band-store probe flatness** — a fixed ~500-doc batch",
+        "probed against stores seeded from 1x/4x/16x corpora. The store is",
+        "bucketed by band key and bucket-joined; only the batch shuffles, so",
+        "per-batch cost must stay near-flat as the store grows 16x:",
+        "",
+        "| store seed | store rows | probe wall (s) |",
+        "|---|---|---|",
+    ]
+    for factor in REPLICAS:
+        r, t = store_probe[factor]
+        lines.append(f"| {factor}x | {r} | {t:.2f} |")
+    ratio = store_probe[16][1] / store_probe[1][1]
+    lines += [
+        "",
+        f"probe-wall ratio t(16x-store)/t(1x-store) = {ratio:.2f} — the",
+        "fixed batch pays the same cost against a 16x store (the residual",
+        "growth is the broadcast of matching band buckets, bounded by true",
+        "collisions).",
+        "",
+        "**(B) blocked edit-distance pairs** — cost tracks head-block",
+        "collisions (replicas share no heads by construction), not n²:",
+        "",
+        "| docs | pairs | wall (s) |",
+        "|---|---|---|",
+    ]
+    for factor in REPLICAS:
+        n, t = edit[factor]
+        lines.append(f"| {factor}x | {n} | {t:.2f} |")
+    eratio = edit[16][1] / edit[1][1]
+    lines += [
+        "",
+        f"t(16x)/t(1x) = {eratio:.1f} (quadratic would be 256x).",
+        "",
+        "**(C) TWAP daily** — one shuffle (lead window and groupBy share the",
+        "(type, day) key):",
+        "",
+        "| events | wall (s) |",
+        "|---|---|",
+        f"| {twap[1][0]} | {twap[1][1]:.2f} |",
+        f"| {twap[16][0]} | {twap[16][1]:.2f} |",
+        "",
+    ]
+    with open("/root/repo/SCALE.md", "a") as f:
+        f.write("\n".join(lines))
+    print("appended round-8 ops section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+
+
 if __name__ == "__main__":
-    if "--r7ops" in sys.argv:
+    if "--r8ops" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        probe_r8_ops(base_dir)
+    elif "--r7ops" in sys.argv:
         base_dir = next(
             (a for a in sys.argv[1:] if not a.startswith("--")),
             "/root/testdata/sf0.1",
