@@ -2057,3 +2057,53 @@ def asof_prior_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_values=["click_value"],
         tolerance_seconds=6 * 3600,
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Iceberg-style HIDDEN partitioning (sources/writers.py::
+# write_hidden_partitioned / read_hidden_day_range): events persist
+# partitioned by days(ts) under an internal column; a raw ts-range query
+# never mentions the layout, the reader derives the partition filter
+# from the predicate bounds (directory pruning BEFORE any footer is
+# read — PartitionFilters asserted in tests/test_writers.py). The
+# oracle is the same range aggregate on the unpartitioned table:
+# layout, like clustering, must be invisible to results.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "hidden_partition_day_scan",
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def hidden_partition_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import (
+        hidden_day,
+        read_hidden_day_range,
+        write_hidden_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/hidden_part_{tag}"
+    write_hidden_partitioned(
+        ev, path, source_col="ts", transform=hidden_day
+    )
+    scan = read_hidden_day_range(
+        spark, path, source_col="ts",
+        lo="2024-01-05 00:00:00", hi="2024-01-12 00:00:00",
+    )
+    return (
+        scan.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -60,3 +60,71 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Scan a partitioned layout (partition columns are reconstructed
     from directory names)."""
     return spark.read.parquet(path)
+
+
+#: Hidden-partitioning transforms (Iceberg partition-spec semantics):
+#: name -> (derive(col) Column fn, rewrite(predicate-bounds) helper).
+#: The reader derives partition filters FROM raw-column predicates, so
+#: queries never mention the partition column — Iceberg's core pitch
+#: ("users don't need to know the layout to get pruning").
+
+
+def hidden_day(col):
+    """days(ts) transform: partition value = the UTC calendar date."""
+    from pyspark.sql import functions as F
+
+    return F.date_trunc("day", col).cast("date")
+
+
+def hidden_bucket(col, n: int):
+    """bucket(n, key) transform: stable non-negative hash bucket."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(col), F.lit(n))
+
+
+def write_hidden_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    source_col: str,
+    transform,
+    part_col: str = "__p",
+    mode: str = "overwrite",
+) -> None:
+    """Iceberg-style HIDDEN partitioning: persist ``df`` partitioned by
+    ``transform(source_col)`` under the internal column ``part_col``.
+    The data columns are unchanged — the layout is metadata the reader
+    exploits, not schema the user sees."""
+    out = df.withColumn(part_col, transform(df[source_col]))
+    out.write.mode(mode).partitionBy(part_col).parquet(path)
+
+
+def read_hidden_day_range(
+    spark,
+    path: str,
+    *,
+    source_col: str,
+    lo,
+    hi,
+    part_col: str = "__p",
+) -> DataFrame:
+    """Read a day-hidden-partitioned table with a ``source_col`` range
+    predicate [lo, hi): the reader DERIVES the partition filter
+    (``part_col`` between date(lo) and date(hi)) from the raw-column
+    bounds, so the scan prunes directories (PartitionFilters — asserted
+    in tests) while the row-level predicate still applies exactly. The
+    caller never references the partition column; it is dropped from
+    the result — Iceberg's hidden-partitioning contract."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    lo_c, hi_c = F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")
+    pruned = df.filter(
+        (F.col(part_col) >= lo_c.cast("date"))
+        & (F.col(part_col) <= hi_c.cast("date"))
+    )
+    exact = pruned.filter(
+        (F.col(source_col) >= lo_c) & (F.col(source_col) < hi_c)
+    )
+    return exact.drop(part_col)

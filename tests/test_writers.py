@@ -86,3 +86,41 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = _plan(joined)
     assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
     assert per_status.count() >= 1
+
+
+def test_hidden_partitioning_prunes_directories(spark, tmp_path):
+    """Hidden partitioning: a raw ts-range read derives PartitionFilters
+    (directory pruning, no partition column in the user query or the
+    result), and results equal the unpartitioned filter exactly."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+    from spark_hudi_etl_pipeline_spark.sources.writers import (
+        hidden_bucket,
+        hidden_day,
+        read_hidden_day_range,
+        write_hidden_partitioned,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "hidden")
+    write_hidden_partitioned(ev, path, source_col="ts", transform=hidden_day)
+    lo, hi = "2024-01-05 00:00:00", "2024-01-08 00:00:00"
+    scan = read_hidden_day_range(spark, path, source_col="ts", lo=lo, hi=hi)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__p" in plan.split("PartitionFilters")[1][:200]
+    assert "__p" not in scan.columns
+    expect = ev.filter(
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi).cast("timestamp"))
+    )
+    assert scan.count() == expect.count() > 0
+    got = {r["event_id"] for r in scan.select("event_id").collect()}
+    want = {r["event_id"] for r in expect.select("event_id").collect()}
+    assert got == want
+    # bucket transform: stable, in-range.
+    b = ev.select(hidden_bucket(F.col("user_id"), 8).alias("b")).distinct()
+    assert {r["b"] for r in b.collect()} <= set(range(8))
