@@ -2107,3 +2107,59 @@ def hidden_partition_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Partition-spec EVOLUTION (Iceberg semantics; sources/writers.py::
+# evolve_partition_spec / read_evolved_day_range): the first half of
+# events was written unpartitioned (spec v0), the table then evolved to
+# days(ts) hidden partitioning, and the second half landed under spec
+# v1. History is never rewritten; a range read prunes v1 directories
+# and row-filters v0. The oracle — the same range aggregate over plain
+# events — proves the spec seam is invisible to results.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "partition_evolution_scan",
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sources.writers import (
+        evolve_partition_spec,
+        hidden_day,
+        read_evolved_day_range,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/spec_evo_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    # Spec v0: pre-evolution history, unpartitioned.
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{path}/spec0")
+    # Evolution point: future writes land day-partitioned.
+    evolve_partition_spec(
+        spark, path, ev.filter(F.col("event_id") % 2 == 1),
+        source_col="ts", transform=hidden_day,
+    )
+    scan = read_evolved_day_range(
+        spark, path, source_col="ts",
+        lo="2024-01-05 00:00:00", hi="2024-01-20 00:00:00",
+    )
+    return (
+        scan.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -2369,3 +2369,73 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.maintenance import twap_daily
 
     return twap_daily(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly detection: median/MAD z-scores per event type — the
+# outlier-resistant twin of events_anomaly_zscore (mean/stddev move with
+# the outliers they hunt; median/MAD do not). Exact interpolating
+# medians in both engines (Spark percentile(0.5) == DuckDB
+# quantile_cont on DOUBLE). Two aggregation passes over the same
+# (event_type) key + one broadcast join back; no window over raw rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, CAST(e.value AS DOUBLE) AS value, m.med,
+         abs(CAST(e.value AS DOUBLE) - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       round(d.med, 4) AS med,
+       round(m.mad, 4) AS mad,
+       CAST(count(CASE WHEN d.adev > 8 * m.mad THEN 1 END) AS BIGINT)
+         AS n_anomalies,
+       count(*) AS n_events
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, d.med, m.mad
+ORDER BY d.event_type
+""",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast("double").alias("value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), on="event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), on="event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(
+                F.when(F.col("adev") > 8 * F.col("mad"), F.lit(1))
+            ).alias("n_anomalies"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_anomalies",
+            "n_events",
+        )
+        .orderBy("event_type")
+    )

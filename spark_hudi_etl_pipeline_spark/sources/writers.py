@@ -128,3 +128,70 @@ def read_hidden_day_range(
         (F.col(source_col) >= lo_c) & (F.col(source_col) < hi_c)
     )
     return exact.drop(part_col)
+
+
+def evolve_partition_spec(
+    spark,
+    path: str,
+    batch: DataFrame,
+    *,
+    source_col: str,
+    transform,
+    part_col: str = "__p",
+) -> None:
+    """Iceberg PARTITION EVOLUTION: change a table's partition spec for
+    FUTURE writes without rewriting history. Spec-v0 data stays where it
+    is (``path/spec0``, unpartitioned); this call appends ``batch``
+    under spec v1 (``path/spec1``, hidden-partitioned by
+    ``transform(source_col)``). Old files are never touched — evolution
+    is a metadata decision, exactly why Iceberg can change specs on a
+    100 TB table in O(1)."""
+    write_hidden_partitioned(
+        batch,
+        f"{path}/spec1",
+        source_col=source_col,
+        transform=transform,
+        part_col=part_col,
+        mode="append",
+    )
+
+
+def read_evolved_day_range(
+    spark,
+    path: str,
+    *,
+    source_col: str,
+    lo,
+    hi,
+    part_col: str = "__p",
+) -> DataFrame:
+    """Range-read a spec-evolved table: spec-v1 directories prune via
+    the derived partition filter (read_hidden_day_range), spec-v0 data
+    — written before evolution, unpartitioned — applies the same raw
+    predicate row-level (no pruning available for history; that is the
+    evolution trade Iceberg documents: old data keeps old spec's scan
+    profile until optionally rewritten). One result, one schema."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    lo_c, hi_c = F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")
+    pred = lambda d: d.filter(
+        (F.col(source_col) >= lo_c) & (F.col(source_col) < hi_c)
+    )
+    parts = []
+    if os.path.isdir(os.path.join(path, "spec0")):
+        parts.append(pred(spark.read.parquet(f"{path}/spec0")))
+    if os.path.isdir(os.path.join(path, "spec1")):
+        parts.append(
+            read_hidden_day_range(
+                spark, f"{path}/spec1", source_col=source_col,
+                lo=lo, hi=hi, part_col=part_col,
+            )
+        )
+    if not parts:
+        raise FileNotFoundError(f"no spec directories under {path!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -124,3 +124,44 @@ def test_hidden_partitioning_prunes_directories(spark, tmp_path):
     # bucket transform: stable, in-range.
     b = ev.select(hidden_bucket(F.col("user_id"), 8).alias("b")).distinct()
     assert {r["b"] for r in b.collect()} <= set(range(8))
+
+
+def test_partition_evolution_seam_invisible(spark, tmp_path):
+    """Spec v0 (unpartitioned history) + spec v1 (day-partitioned) read
+    as one table: v1 prunes directories, v0 row-filters, results equal
+    the unpartitioned filter; history files are untouched by evolution."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+    from spark_hudi_etl_pipeline_spark.sources.writers import (
+        evolve_partition_spec,
+        hidden_day,
+        read_evolved_day_range,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "evo")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{path}/spec0")
+    v0_files = {
+        (f, os.path.getmtime(f))
+        for f in glob.glob(f"{path}/spec0/*.parquet")
+    }
+    evolve_partition_spec(
+        spark, path, ev.filter(F.col("event_id") % 2 == 1),
+        source_col="ts", transform=hidden_day,
+    )
+    assert v0_files == {
+        (f, os.path.getmtime(f)) for f in glob.glob(f"{path}/spec0/*.parquet")
+    }  # evolution rewrote nothing
+    lo, hi = "2024-01-03 00:00:00", "2024-01-09 00:00:00"
+    scan = read_evolved_day_range(spark, path, source_col="ts", lo=lo, hi=hi)
+    expect = ev.filter(
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi).cast("timestamp"))
+    )
+    got = {r["event_id"] for r in scan.select("event_id").collect()}
+    want = {r["event_id"] for r in expect.select("event_id").collect()}
+    assert got == want and got
