@@ -1119,6 +1119,7 @@ def dedup_minhash_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe ingest only."""
     import os
     import re as _re
+    import shutil
 
     from ..operators.dedup import minhash_store_ingest
 
@@ -1126,6 +1127,12 @@ def dedup_minhash_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
     tbl = f"mh_store_probe_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # A fresh session's in-memory catalog does not know about a previous
+    # run's managed-table directory; DROP alone leaves the location and
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = _re.sub(r"^file:/*", "/", wh)
+    shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
     seed = d.filter(F.col("doc_id") < 250)
     probe = d.filter(F.col("doc_id") >= 250).unionByName(
         d.filter(F.col("doc_id") < 5).select(
