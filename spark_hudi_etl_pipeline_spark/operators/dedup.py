@@ -1339,12 +1339,19 @@ def edit_distance_pairs(
         F.col(id_col).alias("id"), norm.alias("__norm"), head.alias("__head")
     )
     t = t.localCheckpoint(eager=True)  # normalize once, feed both sides
-    counts = t.groupBy("__head").count()
-    small = t.join(
-        F.broadcast(
-            counts.filter(F.col("count") <= max_block).select("__head")
-        ),
-        on="__head",
+    # Hot-block gate via a window count over __head: reuses the very hash
+    # exchange the intra-block pair join needs next, and keeps state
+    # bounded at one i64 per partition-local block run. The alternative
+    # (broadcast-joining a distinct-heads count relation) ships O(distinct
+    # blocks) rows to every executor — distinct heads grow with the corpus
+    # (most documents open uniquely), so that broadcast is an OOM at
+    # 100 TB; the window form never materializes the block list anywhere.
+    small = (
+        t.withColumn(
+            "__bn", F.count(F.lit(1)).over(Window.partitionBy("__head"))
+        )
+        .filter(F.col("__bn") <= max_block)
+        .drop("__bn")
     )
     a = small.select(
         "__head", F.col("id").alias("id_a"), F.col("__norm").alias("__na")

@@ -31,12 +31,13 @@ the live manifest and silently fall back to footer harvesting on any
 mismatch, so a sidecar that lags a commit can never change results —
 only pruning efficiency.
 
-Scale note: the harvest loop is driver-side over the FILE LISTING
-(metadata-scale — one footer per file, no data). At true 100k-file
-scale the same harvest distributes trivially: parallelize the file list
-and run the identical pyarrow footer read per partition (the output
-schema is unchanged); the sidecar write and both read paths below are
-already metadata-scale.
+Scale note: the harvest auto-routes by file count. Below
+``_DRIVER_HARVEST_MAX`` it is a driver loop (a distributed job's fixed
+overhead exceeds the footer reads); above it, the file LIST is
+parallelized through Spark and the identical pyarrow footer read runs
+per executor partition via ``mapInPandas`` — same output schema and
+values on both paths. Query PLANNING (``_sidecar_rows``) stays a
+driver-side read of the one tiny sidecar parquet regardless.
 """
 
 from __future__ import annotations
@@ -65,20 +66,72 @@ def _stats_schema(spark: SparkSession, path: str, first: str, cols: list[str]):
     return StructType(fields)
 
 
+# Below this many files the harvest stays a driver loop — a distributed
+# job's fixed overhead (scheduling + Arrow round-trip) costs more than
+# the footer reads it parallelizes. Above it, the file LIST becomes the
+# dataset and the identical pyarrow footer read runs per executor
+# partition, so a 100k-file cold harvest is minutes of parallel
+# metadata reads instead of hours of serial driver wall.
+_DRIVER_HARVEST_MAX = 64
+
+
+def _harvest_stats_df(
+    spark: SparkSession, path: str, cols: list[str], files: list[str]
+) -> DataFrame:
+    """The per-file stats relation for ``files`` (schema:
+    ``_stats_schema``), harvested from parquet footers. Small file sets
+    use the driver loop; large ones distribute the file list through
+    Spark and run the identical :func:`file_column_bounds` footer read
+    inside ``mapInPandas`` — the output schema and values are the same
+    on both paths (property-tested in tests/test_stats.py)."""
+    schema = _stats_schema(spark, path, files[0], cols)
+    names = sorted(files)
+    if len(names) <= _DRIVER_HARVEST_MAX:
+        bounds = file_column_bounds(path, cols, files=names)
+        rows = [
+            tuple([b["file"], b["rows"]] + [v for c in cols for v in b[c]])
+            for b in bounds
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    field_names = [f.name for f in schema.fields]
+
+    def harvest(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            bounds = file_column_bounds(
+                path, cols, files=pdf["file"].tolist()
+            )
+            yield pd.DataFrame(
+                [
+                    tuple(
+                        [b["file"], b["rows"]]
+                        + [v for c in cols for v in b[c]]
+                    )
+                    for b in bounds
+                ],
+                columns=field_names,
+            )
+
+    nparts = max(1, min(len(names) // 8, spark.sparkContext.defaultParallelism))
+    return (
+        spark.createDataFrame([(n,) for n in names], "file string")
+        .repartition(nparts)
+        .mapInPandas(harvest, schema)
+    )
+
+
 def build_table_stats(spark: SparkSession, path: str, cols: list[str]) -> int:
     """Harvest per-file stats for ``cols`` from the live files' parquet
     footers and persist the ``_stats`` sidecar. Returns the number of
     files indexed. Rerun after commits (table service); readers
-    self-heal on staleness rather than require it."""
+    self-heal on staleness rather than require it. The harvest
+    distributes across executors past ``_DRIVER_HARVEST_MAX`` files."""
     _, live = table_live_files(path)
     if not live:
         raise FileNotFoundError(f"no data files at {path!r}")
-    bounds = file_column_bounds(path, cols, files=live)
-    rows = [
-        tuple([b["file"], b["rows"]] + [v for c in cols for v in b[c]])
-        for b in bounds
-    ]
-    df = spark.createDataFrame(rows, _stats_schema(spark, path, live[0], cols))
+    df = _harvest_stats_df(spark, path, cols, live)
     df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, _STATS_DIR)
     )
@@ -285,18 +338,17 @@ def update_table_stats(spark: SparkSession, path: str, cols: list[str]) -> int:
     known = {r["file"] for r in existing}
     new_files = sorted(set(live) - known)
     kept = [r for r in existing if r["file"] in set(live)]
-    fresh = []
-    if new_files:
-        for b in file_column_bounds(path, cols, files=new_files):
-            row = {"file": b["file"], "rows": b["rows"]}
-            for c in cols:
-                row[f"min_{c}"], row[f"max_{c}"] = b[c]
-            fresh.append(row)
     schema = _stats_schema(spark, path, live[0], cols)
-    ordered = [
-        tuple(r[f.name] for f in schema.fields) for r in (kept + fresh)
-    ]
-    spark.createDataFrame(ordered, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(sdir)
+    kept_df = spark.createDataFrame(
+        [tuple(r[f.name] for f in schema.fields) for r in kept], schema
+    )
+    out = kept_df
+    if new_files:
+        # Same driver-below-threshold / distributed-above harvest as the
+        # cold path — a post-commit delta is usually a handful of files,
+        # but a backfill commit can add thousands.
+        out = kept_df.unionByName(
+            _harvest_stats_df(spark, path, cols, new_files)
+        )
+    out.coalesce(1).write.mode("overwrite").parquet(sdir)
     return len(new_files)

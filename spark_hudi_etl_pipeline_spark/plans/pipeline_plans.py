@@ -2075,7 +2075,7 @@ def asof_prior_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hidden_partition_day_scan",
     oracle="""
 SELECT event_type, count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
   AND ts <  TIMESTAMP '2024-01-12 00:00:00'
@@ -2103,7 +2103,9 @@ def hidden_partition_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
         )
         .orderBy("event_type")
     )
@@ -2124,7 +2126,7 @@ def hidden_partition_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition_evolution_scan",
     oracle="""
 SELECT event_type, count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
   AND ts <  TIMESTAMP '2024-01-20 00:00:00'
@@ -2159,7 +2161,9 @@ def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
         )
         .orderBy("event_type")
     )

@@ -38,71 +38,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in iteration order. Round-8 window (frozen at round start, BEFORE any new
-# registrations, per COVERAGE.md §Rotation): the 33 round-7 post-freeze
-# registrations (the only ones with no CORRECTNESS row in r1-r7), plus the
-# two multimodal decoders whose oracles were upgraded from rows-only to
-# exact DuckDB SQL in r7 (re-rotation upgrades their ledger rows to
-# hash-matched), plus the 15 least-recently-attested proven greens (last
-# driver row r4, alphabetically first of that 36-query cohort) as
-# cross-round regression canaries. Any query registered later this round
-# appends AFTER the window and rotates in r9. Everything NOT in the window
-# still passes the identical local gate (``tools/oracle_check.py`` runs all
-# of them).
+# in iteration order. Round-9 window (frozen at round start, BEFORE any new
+# registrations, per COVERAGE.md §Rotation): the 13 round-8 post-freeze
+# registrations (the only ones with no CORRECTNESS row in r1-r8), plus the
+# 37 least-recently-attested oracle-bearing proven greens as cross-round
+# regression canaries — all 26 non-rows-only queries whose last driver row
+# is r4 (this upgrades `dedup_minhash_lsh`/`dedup_simhash`/`knn_lsh_ann`/
+# `multimodal_decode_features`, whose old ledger rows are rows-only but
+# which gained exact oracles in r7/r8, to hash-matched rows), plus the 11
+# alphabetically-first of the r5 cohort. Rows-only-by-design queries are
+# excluded from canary slots so every r9 row is hash-checkable (their
+# deliberate rows-only ledger rows already exist from r4). Any query
+# registered later this round appends AFTER the window and rotates in r10.
+# Everything NOT in the window still passes the identical local gate
+# (``tools/oracle_check.py`` runs all of them).
 PRIORITY_WINDOW: list[str] = [
-    # round-7 additions never driver-checked (33)
-    "streaming_dedup_store",
-    "knn_ivfpq_adc",
-    "weighted_sample_pps",
-    "bigram_lm_score",
-    "dedup_shared_spans",
-    "compaction_plan_monthly",
-    "asof_purchase_next_click",
-    "tfidf_similar_docs",
-    "retention_expire_orders",
-    "profile_drift_orders",
-    "streaming_interval_join_anti",
-    "vacuum_scan_invariance",
-    "record_linkage_customers",
-    "table_clone_divergence",
-    "graph_triangle_top20",
-    "multi_table_txn_sync",
-    "branch_merge_isolation",
-    "gdpr_erase_subject",
-    "heavy_hitters_cms",
-    "events_ohlc_daily",
-    "events_ohlc_monthly_cascade",
-    "streaming_ohlc_ingest",
-    "stats_skipping_range_scan",
-    "stats_metadata_group_counts",
-    "k_anon_customer_release",
-    "contrastive_hard_negatives",
-    "table_checksum_orders",
-    "doc_chunk_overlap_windows",
-    "embedding_int8_codes",
-    "symlink_manifest_read",
-    "schema_evolution_upsert",
-    "frequency_cap_events",
-    "copurchase_pairs_topk",
-    # multimodal decoders: oracles upgraded r7 rows-only -> exact (2)
-    "multimodal_audio_features",
-    "multimodal_video_frames",
-    # least-recently-attested canaries (last driver row r4; 15)
-    "attribution_last_touch",
-    "cohort_retention_daily",
-    "compacted_scan_invariance",
-    "corpus_vocab_topk",
-    "decontaminate_ngram_overlap",
-    "dedup_chunk_apply",
-    "dedup_chunk_exact",
-    "doc_chunk_token_windows",
-    "embedding_assign_nearest",
-    "embedding_dim_stats",
-    "embedding_quantize_int8",
-    "events_anomaly_zscore",
-    "events_gapfill_daily",
-    "funnel_conversion_stages",
-    "hist_token_counts",
+    # round-8 additions never driver-checked (13)
+    "ann_recall_lsh_vs_exact",
+    "asof_prior_click_tolerance",
+    "dedup_edit_distance_blocked",
+    "dedup_minhash_store_probe",
+    "events_anomaly_mad",
+    "events_twap_daily",
+    "hidden_partition_day_scan",
+    "kfold_split_documents",
+    "knn_matryoshka_trunc16",
+    "l_diversity_customer_release",
+    "partition_evolution_scan",
+    "streaming_minhash_store",
+    "zorder_nd_scan_bands",
+    # rows-only->oracle ledger upgrades + last-driver-row-r4 canaries (26)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "incremental_join_refresh",
+    "knn_ivf_ann",
+    "knn_lsh_ann",
+    "multimodal_decode_features",
+    "pack_sequences_token_budget",
+    "pmi_collocations_topk",
+    "rolling_7d_active_users",
+    "sample_by_quality_bucket",
+    "sample_fixed_per_source",
+    "shard_round_robin",
+    "source_mixture_weights",
+    "streaming_sliding_counts",
+    "streaming_stateful_user_stats",
+    "text_boilerplate_fraction",
+    "text_encode_ids",
+    "text_pii_redaction",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "upsert_bloom_indexed",
+    "window_rank_distribution",
+    "window_sliding_event_counts",
+    "window_tumbling_event_stats",
+    "bm25_rank_docs",
+    # last-driver-row-r5 canaries, alphabetically first (11)
+    "bpe_encode_fixed",
+    "bulk_insert_global_sort",
+    "dataset_card_report",
+    "dedup_canonical_by_quality",
+    "dedup_exact_rows",
+    "doc_ngram_novelty",
+    "dpp_partition_pruned_join",
+    "embedding_pq_codes",
+    "extract_incremental",
+    "incremental_percentile_histogram",
+    "indexed_point_lookup",
 ]
 
 

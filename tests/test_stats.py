@@ -200,3 +200,33 @@ def test_incremental_stats_update(spark, tmp_path):
     )
     assert "part-commit2.parquet" not in cand_after
     assert len(live_after) == 8
+
+
+def test_distributed_harvest_matches_driver_loop(spark, tmp_path):
+    """The mapInPandas footer harvest (cold path past
+    _DRIVER_HARVEST_MAX files) must produce a byte-identical sidecar to
+    the driver loop — same files, rows, and min/max across string,
+    double, and date columns."""
+    from spark_hudi_etl_pipeline_spark.operators import stats as stats_mod
+    from spark_hudi_etl_pipeline_spark.operators.merge import table_live_files
+
+    cols = ["o_orderstatus", "o_totalprice", "o_orderdate"]
+    path, _ = _clustered_orders(
+        spark, tmp_path, ["o_orderdate", "o_orderkey"], 80
+    )
+    _, live = table_live_files(path)
+    assert len(live) > stats_mod._DRIVER_HARVEST_MAX  # distributed route
+
+    dist = stats_mod._harvest_stats_df(spark, path, cols, live)
+    # Force the driver loop on the same file set for comparison.
+    orig = stats_mod._DRIVER_HARVEST_MAX
+    stats_mod._DRIVER_HARVEST_MAX = 10**9
+    try:
+        drv = stats_mod._harvest_stats_df(spark, path, cols, live)
+    finally:
+        stats_mod._DRIVER_HARVEST_MAX = orig
+
+    assert dist.schema == drv.schema
+    d_rows = sorted(map(tuple, dist.collect()))
+    v_rows = sorted(map(tuple, drv.collect()))
+    assert d_rows == v_rows and len(d_rows) == len(live)
