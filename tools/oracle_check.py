@@ -12,6 +12,22 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+#: The ONLY queries allowed to ship without a DuckDB oracle (r8 verdict ask:
+#: the rows-only set is a deliberate, reviewed list, not an accident of a
+#: missing ``oracle_sql()`` entry). Anything else lacking an oracle FAILS
+#: the gate. Why each is irreducible: HLL++/GK are estimator-internal
+#: (error bounds pytest-asserted instead); uuid() is nondeterministic by
+#: contract; BPE merge ties are resolution-order-dependent across engines.
+ROWS_ONLY_BY_DESIGN = frozenset(
+    {
+        "approx_distinct_customers",  # HLL++ estimate
+        "approx_percentiles_price",  # Greenwald-Khanna estimate
+        "rolling_7d_active_hll",  # HLL sketch rollup
+        "extract_with_surrogate",  # uuid() surrogate key
+        "bpe_train_merges",  # iterative merge-pair ties
+    }
+)
+
 
 def normalize_rows(cols, rows):
     """Order-insensitive canonical form: sort columns by name, stringify
@@ -55,6 +71,12 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    stale = ROWS_ONLY_BY_DESIGN - set(qs)
+    upgraded = ROWS_ONLY_BY_DESIGN & set(oracles)
+    if stale:
+        print(f"WARN  ROWS_ONLY_BY_DESIGN names not registered: {sorted(stale)}")
+    if upgraded:
+        print(f"WARN  ROWS_ONLY_BY_DESIGN entries now oracle-bearing (prune the list): {sorted(upgraded)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -82,7 +104,15 @@ def main() -> int:
             print(f"FAIL  {name}: non-scalar output columns {bad}")
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            if name not in ROWS_ONLY_BY_DESIGN:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: no oracle_sql() entry and not in "
+                    f"ROWS_ONLY_BY_DESIGN — add the oracle or review it "
+                    f"onto the deliberate list"
+                )
+                continue
+            print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only by design]")
             continue
         try:
             drel = con.sql(oracles[name])

@@ -1285,8 +1285,347 @@ def probe_r8_ops(base: str) -> None:
 
 
 
+def probe_r9_64x(base: str) -> None:
+    """Round-9 probe (r8 verdict ask #7): push the heavyweights to 64×,
+    where the sub-quadratic claims actually bite. (A) contrastive hard
+    negatives with AUTO blocking at 1×/16×/64× embeddings — the auto
+    rule must keep escalating block granularity so wall stays
+    near-linear past the 16× point r7 measured. (B) Count-Min heavy
+    hitters at 1×/16×/64× docs — sketch state is a constant 3×512
+    cells at any corpus size, so cost is the tokenize+combine pass.
+    (C) triangle counting at 1×/16×/64× lineitem (disjoint graph
+    copies: both endpoints' id spaces shifted) — degree-ordered
+    orientation bounds every out-neighborhood by O(√m), so the wedge
+    join stays linear-in-m; the probe records max oriented fan-out vs
+    √m alongside wall. (D) OHLC monthly cascade at 1×/16×/64× events —
+    replicas share (type, day) keys, so groups deepen 64× while the
+    mergeable daily state stays ~types×days rows. (E) MinHash band
+    store probed by a FIXED batch against a 64×-seeded store — extends
+    the r8 16× flatness measurement to the size where store reshuffle
+    would dominate."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.functions import text
+    from spark_hudi_etl_pipeline_spark.operators.dedup import (
+        minhash_store_ingest,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.similarity import (
+        hard_negative_pairs,
+        pq_codebook,
+    )
+    from spark_hudi_etl_pipeline_spark.plans.graph_plans import (
+        triangle_participation,
+    )
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("scale-probe-r9")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, 1024, 1, 32).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    factors = (1, 16, 64)
+
+    # --- (A) hard negatives, AUTO blocking ----------------------------
+    hn: dict[int, tuple[int, float]] = {}
+    for factor in factors:
+        e_base = spark.read.parquet(f"{base}/embeddings.parquet")
+        parts = []
+        for r in range(factor):
+            d = e_base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(r * 100_000_000)
+            )
+            if r:
+                # Dimension-rotate each replica (verbatim copies would
+                # plant replicas² cross-replica near-dup band pairs).
+                sft = r % 63 + 1
+                d = d.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {sft + 1}, {64 - sft}), "
+                        f"slice(embedding, 1, {sft}))"
+                    ),
+                )
+            parts.append(d)
+        e = parts[0]
+        for pt in parts[1:]:
+            e = e.unionByName(pt)
+        epath = f"{SCRATCH}/hn64_{factor}x"
+        e.write.mode("overwrite").parquet(epath)
+        e = spark.read.parquet(epath)
+        cb = pq_codebook(e)
+        for _ in range(2):  # warm second run recorded
+            t0 = _time.perf_counter()
+            hard_negative_pairs(e, cb).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            wall = _time.perf_counter() - t0
+        hn[factor] = (hard_negative_pairs(e, cb).count(), wall)
+        print(f"hardneg {factor}x done", flush=True)
+
+    # --- (B) Count-Min heavy hitters ----------------------------------
+    cms_res: dict[int, tuple[int, float]] = {}
+    for factor in factors:
+        docs = spark.read.parquet(
+            replicate(spark, base, "documents", factor, ["doc_id"], "text")
+        )
+        toks = docs.select(F.explode(text.tokens("text")).alias("token"))
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            truth_top = (
+                toks.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("true_cnt"))
+                .orderBy(F.desc("true_cnt"), "token")
+                .limit(20)
+            )
+            sk = cms_build(toks, "token", width=512, depth=3)
+            cms_estimate(sk, truth_top, "token", width=512, depth=3).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            wall = _time.perf_counter() - t0
+        cms_res[factor] = (toks.count(), wall)
+        print(f"cms {factor}x done", flush=True)
+
+    # --- (C) triangle counting ----------------------------------------
+    tri: dict[int, tuple[int, int, int, float]] = {}
+    for factor in factors:
+        li = spark.read.parquet(
+            # Shift BOTH id spaces so replicas are disjoint graph
+            # copies: m grows 64×, triangles grow 64×, and the √m
+            # fan-out bound is what keeps the wedge join linear.
+            replicate(spark, base, "lineitem", factor, ["l_orderkey", "l_partkey"])
+        ).select("l_orderkey", "l_partkey")
+        rhs = li.select(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_partkey").alias("b"),
+        )
+        pairs = (
+            li.join(
+                rhs,
+                (F.col("l_orderkey") == F.col("r_orderkey"))
+                & (F.col("l_partkey") < F.col("b")),
+            )
+            .select(F.col("l_partkey").alias("a"), "b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        m = pairs.count()
+        # Max oriented fan-out: the quantity the √m bound caps.
+        deg = (
+            pairs.select(F.col("a").alias("node"))
+            .unionAll(pairs.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+        db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+        a_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        fanout = (
+            pairs.join(F.broadcast(da), "a")
+            .join(F.broadcast(db), "b")
+            .select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .agg(F.max("f"))
+            .collect()[0][0]
+        )
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            triangle_participation(pairs).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            wall = _time.perf_counter() - t0
+        tri[factor] = (m, fanout, int(m**0.5), wall)
+        print(f"triangle {factor}x done", flush=True)
+
+    # --- (D) OHLC monthly cascade -------------------------------------
+    ohlc: dict[int, tuple[int, float]] = {}
+    for factor in factors:
+        ev = spark.read.parquet(
+            replicate(spark, base, "events", factor, ["event_id", "user_id"])
+        )
+        n = ev.count()
+        ok = F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        )
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            daily = (
+                ev.select(
+                    "event_type",
+                    F.date_trunc("day", "ts").alias("bar_ts"),
+                    "value",
+                    ok.alias("ok"),
+                )
+                .groupBy("event_type", "bar_ts")
+                .agg(
+                    F.min_by("value", F.col("ok")).alias("open"),
+                    F.min("ok").alias("ok_open"),
+                    F.max("value").alias("high"),
+                    F.min("value").alias("low"),
+                    F.max_by("value", F.col("ok")).alias("close"),
+                    F.max("ok").alias("ok_close"),
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,2)")).alias("vol_dec"),
+                )
+            )
+            monthly = (
+                daily.groupBy(
+                    "event_type",
+                    F.date_trunc("month", "bar_ts").cast("date").alias("month"),
+                )
+                .agg(
+                    F.min_by("open", F.col("ok_open")).alias("open"),
+                    F.max("high").alias("high"),
+                    F.min("low").alias("low"),
+                    F.max_by("close", F.col("ok_close")).alias("close"),
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("vol_dec").cast("double").alias("volume"),
+                )
+            )
+            monthly.write.mode("overwrite").format("noop").save()
+            wall = _time.perf_counter() - t0
+        ohlc[factor] = (n, wall)
+        print(f"ohlc {factor}x done", flush=True)
+
+    # --- (E) band store probe flatness at 64× -------------------------
+    docs1 = spark.read.parquet(
+        replicate(spark, base, "documents", 1, ["doc_id"], "text")
+    )
+    probe_batch = (
+        docs1.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 900_000_000).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    store_probe: dict[int, tuple[int, float]] = {}
+    for factor in factors:
+        seed_path = replicate(spark, base, "documents", factor, ["doc_id"], "text")
+        seed = spark.read.parquet(seed_path)
+        tbl = f"mh_probe64_store_{factor}x"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        minhash_store_ingest(seed, tbl, batch_id="seed")
+        store_rows = spark.table(tbl).count()
+        t0 = _time.perf_counter()
+        minhash_store_ingest(probe_batch, tbl, batch_id="probe").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        store_probe[factor] = (store_rows, _time.perf_counter() - t0)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        print(f"store {factor}x done", flush=True)
+
+    lines = [
+        "",
+        "## round-9 heavyweight probe (1x/16x/64x, warm second-run times)",
+        "",
+        "The r8 verdict asked for 64x evidence on the operators whose",
+        "sub-quadratic claims only bite past 16x. Replicas are disjoint",
+        "(shifted id spaces; token-perturbed text; dimension-rotated",
+        "embeddings) so true result sizes grow linearly by construction.",
+        "",
+        "**(A) contrastive hard negatives (AUTO blocking)** — auto",
+        "escalates PQ-prefix granularity to hold expected block size at",
+        "target_block, so pair cost stays ~linear, not quadratic:",
+        "",
+        "| embeddings | pairs | wall (s) |",
+        "|---|---|---|",
+    ]
+    for factor in factors:
+        n, t = hn[factor]
+        lines.append(f"| {factor}x | {n} | {t:.2f} |")
+    lines += [
+        "",
+        f"t(64x)/t(1x) = {hn[64][1] / hn[1][1]:.1f} (quadratic would be 4096x;"
+        " linear is 64x).",
+        "",
+        "**(B) Count-Min heavy hitters** — sketch state is a constant",
+        "3x512 cells at ANY corpus size; cost is the tokenize+map-side",
+        "combine pass plus the truth top-20 (itself one agg):",
+        "",
+        "| tokens | wall (s) |",
+        "|---|---|",
+    ]
+    for factor in factors:
+        n, t = cms_res[factor]
+        lines.append(f"| {n} | {t:.2f} |")
+    lines += [
+        "",
+        f"t(64x)/t(1x) = {cms_res[64][1] / cms_res[1][1]:.1f} for 64x the"
+        " tokens — at/below linear means the constant-size sketch never"
+        " becomes the bottleneck.",
+        "",
+        "**(C) triangle counting** — degree-ordered orientation bounds",
+        "every out-neighborhood by O(sqrt(m)); the measured max oriented",
+        "fan-out vs sqrt(m) shows the bound holding as the graph grows:",
+        "",
+        "| edges m | max fan-out | sqrt(m) | wall (s) |",
+        "|---|---|---|---|",
+    ]
+    for factor in factors:
+        m, fo, sq, t = tri[factor]
+        lines.append(f"| {m} | {fo} | {sq} | {t:.2f} |")
+    lines += [
+        "",
+        f"t(64x)/t(1x) = {tri[64][3] / tri[1][3]:.1f} at 64x the edges;"
+        " fan-out stays at/below sqrt(m), so the wedge join is linear-in-m.",
+        "",
+        "**(D) OHLC monthly cascade** — replicas share (type, day) keys:",
+        "groups deepen 64x while the mergeable daily state stays",
+        "~types x days rows; the monthly fold never touches raw events:",
+        "",
+        "| events | wall (s) |",
+        "|---|---|",
+    ]
+    for factor in factors:
+        n, t = ohlc[factor]
+        lines.append(f"| {n} | {t:.2f} |")
+    lines += [
+        "",
+        f"t(64x)/t(1x) = {ohlc[64][1] / ohlc[1][1]:.1f} — partial-aggregate"
+        " pushdown absorbs the 64x deepening map-side.",
+        "",
+        "**(E) MinHash band-store probe flatness to 64x** — the fixed",
+        "~500-doc batch probed against a 64x-seeded store (extends the",
+        "r8 measurement at 16x):",
+        "",
+        "| store seed | store rows | probe wall (s) |",
+        "|---|---|---|",
+    ]
+    for factor in factors:
+        r, t = store_probe[factor]
+        lines.append(f"| {factor}x | {r} | {t:.2f} |")
+    lines += [
+        "",
+        f"probe-wall ratio t(64x-store)/t(1x-store) = "
+        f"{store_probe[64][1] / store_probe[1][1]:.2f} — the store is"
+        " bucket-joined in place; only the batch shuffles, at any store"
+        " size.",
+        "",
+    ]
+    with open("/root/repo/SCALE.md", "a") as f:
+        f.write("\n".join(lines))
+    print("appended round-9 heavyweight section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    if "--r8ops" in sys.argv:
+    if "--r9ops" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        probe_r9_64x(base_dir)
+    elif "--r8ops" in sys.argv:
         base_dir = next(
             (a for a in sys.argv[1:] if not a.startswith("--")),
             "/root/testdata/sf0.1",
