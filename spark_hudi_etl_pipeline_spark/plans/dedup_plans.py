@@ -1203,3 +1203,107 @@ def streaming_minhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
     return spark.read.parquet(verdicts).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Intra-document repeated-span dedup (round 9): the WITHIN-doc twin of
+# the cross-doc verbatim-span detector — templated boilerplate repeated
+# inside one document (nav blocks, chorus lines, scraped pagination)
+# inflates token counts and LM loss on literal repetition. A width-3
+# token window is a duplicate if the identical window occurred EARLIER
+# in the same document; a token is removable if any duplicate window
+# covers it. The whole computation happens INSIDE the row with
+# higher-order functions — map-only, embarrassingly parallel at any
+# corpus size (the audited plan's one exchange is the presentation
+# sort on doc_id, not the computation); per-doc cost is O(len·window) string
+# compares, constant-bounded by the pipeline's max document length.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_intra_doc_spans",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(0, len(toks) - 2), i ->
+        array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+    ELSE CAST([] AS VARCHAR[]) END AS wins
+  FROM t
+),
+d AS (
+  SELECT doc_id, n, wins,
+    list_transform(range(0, len(wins)), i ->
+      CASE WHEN i > 0 AND list_position(list_slice(wins, 1, i), wins[i + 1]) > 0
+           THEN 1 ELSE 0 END) AS dup
+  FROM w
+),
+r AS (
+  SELECT doc_id,
+    CAST(n AS BIGINT) AS n_tokens,
+    CAST(len(wins) AS BIGINT) AS n_windows,
+    CAST(list_sum(dup) AS BIGINT) AS n_dup_windows,
+    CAST(list_sum(list_transform(range(0, CAST(n AS INT)), p ->
+      CASE WHEN n >= 3 AND list_sum(list_transform(
+             range(greatest(p - 2, 0), least(p, n - 3) + 1),
+             i -> dup[i + 1])) > 0
+           THEN 1 ELSE 0 END)) AS BIGINT) AS n_removed_tokens
+  FROM d
+)
+SELECT doc_id, n_tokens, n_windows,
+       coalesce(n_dup_windows, 0) AS n_dup_windows,
+       coalesce(n_removed_tokens, 0) AS n_removed_tokens
+FROM r WHERE n_dup_windows > 0 ORDER BY doc_id
+""",
+)
+def dedup_intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing at least one duplicated width-3 token window,
+    with window/dup-window/removable-token counts. Map-only (nested
+    HOFs inside the row); the only exchange is the output sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    w = d.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.expr(
+            """
+            CASE WHEN size(toks) >= 3 THEN
+              transform(sequence(0, size(toks) - 3), i ->
+                array_join(slice(toks, i + 1, 3), ' '))
+            ELSE array() END
+            """
+        ).alias("wins"),
+    )
+    dd = w.select(
+        "doc_id",
+        "n",
+        "wins",
+        F.expr(
+            """
+            transform(sequence(0, size(wins) - 1), i ->
+              CASE WHEN i > 0 AND array_position(slice(wins, 1, i), wins[i]) > 0
+                   THEN 1 ELSE 0 END)
+            """
+        ).alias("dup"),
+    ).filter(F.size("wins") > 0)
+    r = dd.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size("wins").cast("long").alias("n_windows"),
+        F.expr("aggregate(dup, 0L, (a, x) -> a + x)").alias("n_dup_windows"),
+        F.expr(
+            """
+            aggregate(transform(sequence(0, n - 1), p ->
+              CASE WHEN exists(
+                     sequence(greatest(p - 2, 0), least(p, n - 3)),
+                     i -> dup[i] = 1)
+                   THEN 1L ELSE 0L END), 0L, (a, x) -> a + x)
+            """
+        ).alias("n_removed_tokens"),
+    )
+    return r.filter(F.col("n_dup_windows") > 0).orderBy("doc_id")

@@ -377,6 +377,291 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Perceptual image near-dup (average hash): the canonical image-dedup
+# primitive a training-data pipeline runs before CLIP-style embedding
+# dedup — cheap, exact-arithmetic, and catches resized/re-encoded
+# copies. aHash is computed from the REAL decode path's 8×8 mean-pool
+# grid (integer cells): bit = cell > floor(mean(cells)), packed into
+# FOUR 16-bit bands.
+#
+# The SCALE-critical design choice: pairs are NEVER enumerated at the
+# image level. Images first collapse into EXACT-hash clusters (one
+# groupBy — members of a cluster are Hamming-0 duplicates by
+# construction, reported via the cluster size, never as O(size²)
+# pairs); the banded pigeonhole join (any pair within Hamming 3 of 64
+# bits shares one of 4 bands ⇒ EXACT recall at the threshold) then
+# runs over cluster REPRESENTATIVES only. On a dup-heavy corpus — this
+# fixture's 5000 framed images collapse to 97 distinct hashes at
+# sf0.1 — that is the difference between 2.4M output pairs (measured,
+# image-level formulation) and ~1.1k representative pairs; join cost
+# is bounded by distinct hashes, not corpus size. Verification is
+# Σ bit_count(xor(band)) — pure integer ops, same text in both engines.
+# --------------------------------------------------------------------------
+
+_AHASH_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         rpad(substr(lower(hex(encode(text))),1,1536),1536,'0') AS hx
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    list_transform(range(0,768), i ->
+      {_HEX_BYTE.format(lo="2*i+1", hi="2*i+2")}
+    ) AS bytes
+  FROM raw
+),
+f AS (
+  SELECT doc_id,
+    list_transform(range(0,64), c ->
+      CAST(list_sum(list_transform(range(0,12), m ->
+        bytes[3*(16*(2*(c//8) + m//6) + 2*(c%8) + (m%6)//3) + (m%3) + 1]
+      )) * 1000 // 12 AS BIGINT)
+    ) AS f
+  FROM b
+),
+bands AS (
+  SELECT doc_id,
+    list_transform(range(0,4), j ->
+      CAST(list_sum(list_transform(range(0,16), k ->
+        CASE WHEN f[16*j+k+1] > avg THEN (1<<k) ELSE 0 END)) AS BIGINT)
+    ) AS bd
+  FROM (SELECT doc_id, f, list_sum(f) // 64 AS avg FROM f)
+),
+g AS (
+  SELECT bd, min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS sz
+  FROM bands GROUP BY bd
+),
+eb AS (
+  SELECT rep, j AS band_idx, bd[j+1] AS band_val
+  FROM g, (SELECT unnest([0,1,2,3]) AS j)
+),
+pairs AS (
+  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+  FROM eb a JOIN eb b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.rep < b.rep
+),
+ham AS (
+  SELECT p.ra, p.rb, x.sz AS size_a, y.sz AS size_b,
+    CAST(bit_count(xor(x.bd[1], y.bd[1])) + bit_count(xor(x.bd[2], y.bd[2]))
+       + bit_count(xor(x.bd[3], y.bd[3])) + bit_count(xor(x.bd[4], y.bd[4]))
+     AS BIGINT) AS hamming
+  FROM pairs p
+  JOIN g x ON x.rep = p.ra
+  JOIN g y ON y.rep = p.rb
+)
+SELECT ra AS media_a, rb AS media_b, hamming, size_a, size_b
+FROM ham WHERE hamming <= 3 ORDER BY media_a, media_b
+"""
+
+
+@query("image_ahash_neardup", oracle=_AHASH_ORACLE)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image CLUSTER pairs (Hamming ≤ 3 over the 64-bit
+    average hash) through the REAL raster decode: frame →
+    decode_features → integer aHash bands → exact-hash clustering →
+    pigeonhole band join over representatives → xor/bit_count verify.
+    Exact-dup volume rides in size_a/size_b instead of pair blow-up."""
+    d = load_table(spark, sf_dir, "documents")
+    header = F.encode(F.lit("P6\n16 16\n255\n"), "UTF-8")
+    raster = F.rpad(
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 768),
+        768,
+        F.lit(b"\x00"),
+    )
+    m = attach_metadata(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(header, raster).alias("payload"),
+        ),
+        media_type="image",
+    )
+    hashes = decode_features(m).select(
+        "media_id",
+        F.expr("aggregate(features, 0L, (a, x) -> a + x) div 64").alias("avg"),
+        "features",
+    ).select(
+        "media_id",
+        *[
+            F.expr(
+                f"aggregate(sequence(0, 15), 0L, (a, k) -> a + "
+                f"CASE WHEN features[16*{j}+k] > avg "
+                f"THEN shiftleft(1L, k) ELSE 0L END)"
+            ).alias(f"b{j}")
+            for j in range(4)
+        ],
+    )
+    groups = (
+        hashes.groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.min("media_id").alias("rep"),
+            F.count(F.lit(1)).cast("long").alias("sz"),
+        )
+        # consumed by the band explode AND both sides of the verify
+        # join — materialize the (tiny: one row per distinct hash)
+        # cluster relation once instead of re-decoding per consumer
+        .localCheckpoint(eager=True)
+    )
+    eb = groups.select(
+        "rep",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    rhs = eb.select(
+        F.col("rep").alias("rb"),
+        F.col("band_idx").alias("bi2"),
+        F.col("band_val").alias("bv2"),
+    )
+    pairs = (
+        eb.join(
+            rhs,
+            (F.col("band_idx") == F.col("bi2"))
+            & (F.col("band_val") == F.col("bv2"))
+            & (F.col("rep") < F.col("rb")),
+        )
+        .select(F.col("rep").alias("ra"), "rb")
+        .distinct()
+    )
+    ga = groups.select(
+        F.col("rep").alias("ra"),
+        F.col("sz").alias("size_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+    )
+    gb = groups.select(
+        F.col("rep").alias("rb"),
+        F.col("sz").alias("size_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{j} ^ c{j}")) for j in range(4)
+    ).cast("long")
+    return (
+        pairs.join(ga, "ra")
+        .join(gb, "rb")
+        .select(
+            F.col("ra").alias("media_a"),
+            F.col("rb").alias("media_b"),
+            hamming.alias("hamming"),
+            "size_a",
+            "size_b",
+        )
+        .filter(F.col("hamming") <= 3)
+        .orderBy("media_a", "media_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Video scene-cut detection through the REAL Y4M path: each document's
+# bytes become an 8-frame 8×8 Y4M clip (header + FRAME markers built
+# JVM-side; each 96-byte chunk = 64 luma + 32 chroma), sample_frames
+# extracts REAL frames re-encoded as PGM, decode_features runs the REAL
+# raster decoder on each, and a cut fires where consecutive frames'
+# integer mean-luma (millis) jump by ≥ 40 levels — the classic
+# frame-difference shot-boundary detector, exact-arithmetic end to end.
+#
+# Scale: decode + per-frame stats are Arrow mapInPandas (iterator →
+# iterator: a long video never materializes whole); the only shuffle is
+# the per-media lag window, keyed and bounded by frames-per-clip.
+# --------------------------------------------------------------------------
+
+_SCENE_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         rpad(substr(lower(hex(encode(text))),1,1536),1536,'0') AS hx
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    list_transform(range(0,768), i ->
+      {_HEX_BYTE.format(lo="2*i+1", hi="2*i+2")}
+    ) AS bytes
+  FROM raw
+),
+m AS (
+  SELECT doc_id,
+    list_transform(range(0,8), fi ->
+      CAST(list_sum(list_transform(range(0,64), p ->
+        bytes[96*fi + p + 1])) * 1000 // 64 AS BIGINT)
+    ) AS mm
+  FROM b
+),
+c AS (
+  SELECT doc_id, fi,
+         CAST(abs(mm[fi+1] - mm[fi]) AS BIGINT) AS diff_millis
+  FROM m, (SELECT unnest([1,2,3,4,5,6,7]) AS fi)
+)
+SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx, diff_millis
+FROM c WHERE diff_millis >= 40000 ORDER BY media_id, frame_idx
+"""
+
+
+@query("video_scene_cuts", oracle=_SCENE_ORACLE)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot boundaries per clip: frames whose mean luma jumps ≥ 40
+    levels (×1000 fixed point) from the previous frame, through real
+    Y4M → frame sample → PGM decode. Output (media_id, frame_idx,
+    diff_millis) for each cut."""
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    header = F.encode(F.lit("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n"), "UTF-8")
+    fmark = F.encode(F.lit("FRAME\n"), "UTF-8")
+    body = F.rpad(
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 768),
+        768,
+        F.lit(b"\x00"),
+    )
+    payload = F.concat(
+        header,
+        *[
+            F.concat(fmark, F.substring(body, 96 * i + 1, 96))
+            for i in range(8)
+        ],
+    )
+    m = attach_metadata(
+        d.select(
+            F.col("doc_id").alias("media_id"), payload.alias("payload")
+        ),
+        media_type="video",
+    )
+    frames = sample_frames(m, n_frames=8)
+    imgs = attach_metadata(
+        frames.select(
+            # frame identity rides through decode_features in the id
+            # (same carrier trick as multimodal_video_frames)
+            (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+            F.col("frame_payload").alias("payload"),
+        ),
+        media_type="image",
+    )
+    means = decode_features(imgs).select(
+        F.expr("media_id div 10").alias("clip_id"),
+        (F.col("media_id") % 10).cast("long").alias("frame_idx"),
+        # 8×8 frame ⇒ one pixel per grid cell, cell = pixel·1000, so
+        # the frame's mean luma (millis) is an exact integer
+        F.expr("aggregate(features, 0L, (a, x) -> a + x) div 64").alias(
+            "mean_millis"
+        ),
+    )
+    w = Window.partitionBy("clip_id").orderBy("frame_idx")
+    diffs = means.withColumn(
+        "diff_millis",
+        F.abs(F.col("mean_millis") - F.lag("mean_millis").over(w)),
+    )
+    return (
+        diffs.filter(F.col("diff_millis") >= 40000)
+        .select(
+            F.col("clip_id").alias("media_id"), "frame_idx", "diff_millis"
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+# --------------------------------------------------------------------------
 # Session windows (F.session_window — the built-in the batch sessionize
 # query re-derives by hand with lag+cumsum; both run on the batch path,
 # and the operator is streaming-ready via streaming/windows.py).
@@ -1563,6 +1848,138 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio VAD segmentation (round 9): voice-activity spans from the REAL
+# WAV path's 64-segment energy profile — the silence-split primitive an
+# audio-curation pipeline runs before transcription (drop dead air,
+# bound utterance length). A cell is ACTIVE if its energy ≥ half the
+# clip's max (per-clip adaptive threshold, integer exact); runs of
+# equal activity collapse to segments. Segmentation happens INSIDE the
+# row with higher-order functions, then posexplode emits segment rows —
+# map-only (the audited plan's one exchange is the presentation
+# sort); per-clip state is the fixed 64-cell profile
+# however long the audio is (the decoder already pooled it).
+# --------------------------------------------------------------------------
+
+_VAD_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         rpad(substr(lower(hex(encode(text))),1,4096),4096,'0') AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    list_transform(range(0,1024), j ->
+      abs({_HEX_BYTE.format(lo="4*j+1", hi="4*j+2")}
+          + 256*{_HEX_BYTE.format(lo="4*j+3", hi="4*j+4")}
+          - CASE WHEN {_HEX_BYTE.format(lo="4*j+3", hi="4*j+4")} >= 128
+                 THEN 65536 ELSE 0 END)
+    ) AS mags
+  FROM raw
+),
+f AS (
+  SELECT doc_id,
+    list_transform(range(0,64), g ->
+      CAST(list_sum(list_transform(range(0,16), m ->
+        mags[16*g + m + 1]
+      )) * 1000 // 524288 AS BIGINT)
+    ) AS f
+  FROM s
+),
+a AS (
+  SELECT doc_id, f, list_max(f) // 2 AS t FROM f
+),
+act AS (
+  SELECT doc_id,
+    list_transform(f, x -> CASE WHEN x >= t THEN 1 ELSE 0 END) AS act
+  FROM a
+),
+seg AS (
+  SELECT doc_id, act,
+    list_filter(range(0, 64), i -> i = 0 OR act[i + 1] != act[i]) AS starts
+  FROM act
+)
+SELECT doc_id AS media_id,
+       CAST(j AS BIGINT) AS seg_idx,
+       CAST(starts[j + 1] AS BIGINT) AS start_cell,
+       CAST((CASE WHEN j + 1 < len(starts) THEN starts[j + 2] ELSE 64 END)
+            - starts[j + 1] AS BIGINT) AS n_cells,
+       CAST(act[starts[j + 1] + 1] AS BIGINT) AS active
+FROM seg, (SELECT unnest(range(0, 64)) AS j)
+WHERE j < len(starts)
+ORDER BY media_id, seg_idx
+"""
+
+
+@query("audio_vad_segments", oracle=_VAD_ORACLE)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity segments per clip from the REAL WAV decode's energy
+    profile: per-clip threshold = max//2, runs of equal activity →
+    (seg_idx, start_cell, n_cells, active) rows. Map-only."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_wav
+
+    header = bytes(encode_wav(np.zeros(1024, dtype=np.int16), 8000)[:44])
+    d = load_table(spark, sf_dir, "documents")
+    raster = F.rpad(
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 2048),
+        2048,
+        F.lit(b"\x00"),
+    )
+    m = attach_metadata(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(F.lit(header), raster).alias("payload"),
+        ),
+        media_type="audio",
+    )
+    seg = (
+        decode_features(m)
+        .select(
+            "media_id",
+            "features",
+            F.expr(
+                "aggregate(features, 0L, (a, x) -> greatest(a, x)) div 2"
+            ).alias("t"),
+        )
+        .select(
+            "media_id",
+            F.expr(
+                "transform(features, x -> IF(x >= t, 1, 0))"
+            ).alias("act"),
+        )
+        .select(
+            "media_id",
+            "act",
+            F.expr(
+                "filter(sequence(0, 63), i -> i = 0 OR act[i] != act[i - 1])"
+            ).alias("starts"),
+        )
+        .select(
+            "media_id",
+            F.posexplode(
+                F.expr(
+                    """
+                    transform(sequence(0, size(starts) - 1), j -> struct(
+                      CAST(starts[j] AS BIGINT) AS start_cell,
+                      CAST((IF(j + 1 < size(starts), starts[j + 1], 64))
+                           - starts[j] AS BIGINT) AS n_cells,
+                      CAST(act[starts[j]] AS BIGINT) AS active))
+                    """
+                )
+            ).alias("seg_idx", "s"),
+        )
+    )
+    return seg.select(
+        "media_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.col("s.start_cell").alias("start_cell"),
+        F.col("s.n_cells").alias("n_cells"),
+        F.col("s.active").alias("active"),
+    ).orderBy("media_id", "seg_idx")
 
 
 # Video twin (r5 verdict ask #7): frame k's luma plane is body bytes

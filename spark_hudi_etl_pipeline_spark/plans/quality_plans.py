@@ -576,3 +576,130 @@ def l_diversity_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_sensitive",
         "released",
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Skew diagnostic (observability for the salting/AQE tier): the report a
+# pipeline owner reads BEFORE deciding a join needs salting — per-key
+# group sizes summarized as exact disc percentiles + the top-5 hot keys
+# + a fixed-point skew ratio (max·n_keys·1000/total; 1000 = perfectly
+# uniform). The percentile path is the SCALABLE shape: group sizes are
+# first folded to a (size, freq) histogram — O(distinct sizes) rows, a
+# relation small enough that the cumulative window over it is free —
+# never a global window over all keys (the same two-level trick as
+# incremental_percentile_histogram). Hot keys via limit-5
+# (TakeOrderedAndProject: per-partition heaps).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "skew_diagnostic_events",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+),
+hist AS (SELECT cnt, CAST(count(*) AS BIGINT) AS freq FROM counts GROUP BY cnt),
+cum AS (SELECT cnt, freq, sum(freq) OVER (ORDER BY cnt) AS cum FROM hist),
+tot AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS n_keys,
+         CAST(sum(cnt * freq) AS BIGINT) AS total_rows,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM hist
+),
+qs AS (
+  SELECT
+    CAST(min(CASE WHEN cum >= (50 * n_keys + 99) // 100 THEN cnt END) AS BIGINT) AS p50,
+    CAST(min(CASE WHEN cum >= (90 * n_keys + 99) // 100 THEN cnt END) AS BIGINT) AS p90,
+    CAST(min(CASE WHEN cum >= (99 * n_keys + 99) // 100 THEN cnt END) AS BIGINT) AS p99
+  FROM cum, tot
+),
+hot AS (
+  SELECT user_id, cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS r
+  FROM counts ORDER BY cnt DESC, user_id LIMIT 5
+)
+SELECT metric, k, v FROM (
+  SELECT 'hot_' || CAST(r AS VARCHAR) AS metric, user_id AS k, cnt AS v FROM hot
+  UNION ALL SELECT 'n_keys', CAST(NULL AS BIGINT), n_keys FROM tot
+  UNION ALL SELECT 'total_rows', CAST(NULL AS BIGINT), total_rows FROM tot
+  UNION ALL SELECT 'max_cnt', CAST(NULL AS BIGINT), max_cnt FROM tot
+  UNION ALL SELECT 'p50_cnt', CAST(NULL AS BIGINT), p50 FROM qs
+  UNION ALL SELECT 'p90_cnt', CAST(NULL AS BIGINT), p90 FROM qs
+  UNION ALL SELECT 'p99_cnt', CAST(NULL AS BIGINT), p99 FROM qs
+  UNION ALL SELECT 'skew_x1000', CAST(NULL AS BIGINT),
+    CAST(max_cnt * n_keys * 1000 // total_rows AS BIGINT) FROM tot
+)
+ORDER BY metric
+""",
+)
+def skew_diagnostic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key / group-size-distribution report over events.user_id:
+    exact disc p50/p90/p99 via the (size, freq) histogram two-level
+    fold, top-5 hot keys, and skew_x1000 = max·n_keys·1000/total."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counts = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # consumed by the histogram fold AND the hot-key top-5 —
+        # materialize the one keyed shuffle instead of replaying it
+        .localCheckpoint(eager=True)
+    )
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("freq").over(
+            Window.orderBy("cnt").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    tot = hist.agg(
+        F.sum("freq").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("freq")).alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    qs = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.expr(f"({q} * n_keys + 99) div 100"),
+                        F.col("cnt"),
+                    )
+                ).alias(f"p{q}")
+                for q in (50, 90, 99)
+            ]
+        )
+    )
+    hot = (
+        counts.orderBy(F.desc("cnt"), "user_id")
+        .limit(5)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "user_id")),
+        )
+    )
+    hot_rows = hot.select(
+        F.concat(F.lit("hot_"), F.col("r").cast("string")).alias("metric"),
+        F.col("user_id").cast("long").alias("k"),
+        F.col("cnt").cast("long").alias("v"),
+    )
+    scalar_rows = (
+        tot.crossJoin(F.broadcast(qs))
+        .selectExpr(
+            "stack(7,"
+            " 'n_keys', CAST(NULL AS BIGINT), n_keys,"
+            " 'total_rows', CAST(NULL AS BIGINT), total_rows,"
+            " 'max_cnt', CAST(NULL AS BIGINT), max_cnt,"
+            " 'p50_cnt', CAST(NULL AS BIGINT), p50,"
+            " 'p90_cnt', CAST(NULL AS BIGINT), p90,"
+            " 'p99_cnt', CAST(NULL AS BIGINT), p99,"
+            " 'skew_x1000', CAST(NULL AS BIGINT),"
+            "   CAST(max_cnt * n_keys * 1000 div total_rows AS BIGINT)"
+            ") AS (metric, k, v)"
+        )
+    )
+    return hot_rows.unionByName(scalar_rows).orderBy("metric")

@@ -671,6 +671,10 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf) for the fixed query {stream, window, merge}. Per-term
     contributions are 1e4 fixed-point quantized before the per-doc sum so
     the score is integer-exact regardless of aggregation order."""
+    return _bm25_topk(spark, sf_dir)
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -709,6 +713,122 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("score_q"), F.asc("doc_id"))),
     )
     return ranked.orderBy("rnk")
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al., the
+# standard lexical+dense fusion every RAG stack ships): the BM25 top-20
+# (lexical) and the embedding-cosine top-20 for a fixed query vector
+# (dense; docs join vectors on doc_id = vec_id) are fused by
+# score = Σ_systems 1/(60 + rank), realized as the integer
+# 1000000 // (60 + rank) so the fused score — and therefore the final
+# ranking — is exact in both engines. Docs ranked by only one system
+# still score (the outer join), which is RRF's whole point.
+#
+# Scale: each system's candidate list is top-k'd BEFORE fusion
+# (TakeOrderedAndProject per system — never a global window), so the
+# fusion join touches 2k rows regardless of corpus size; both sides
+# broadcast.
+# --------------------------------------------------------------------------
+
+_RRF_COS = """
+round(
+  list_sum(list_transform(list_zip(q.embedding, e.embedding),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+4)
+"""
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+lens AS (SELECT doc_id, count(*) AS dl FROM nz GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM nz) AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM nz WHERE term IN ('stream', 'window', 'merge')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, {_BM25_CONTRIB} AS c
+  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), stats
+),
+scored AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_q FROM contrib GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rnk_bm25
+  FROM scored ORDER BY score_q DESC, doc_id LIMIT 20
+),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY {_RRF_COS} DESC, e.vec_id) AS BIGINT) AS rnk_vec
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id = 0
+  ORDER BY {_RRF_COS} DESC, e.vec_id LIMIT 20
+),
+fused AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         b.rnk_bm25, v.rnk_vec,
+         CAST(coalesce(1000000 // (60 + b.rnk_bm25), 0)
+            + coalesce(1000000 // (60 + v.rnk_vec), 0) AS BIGINT) AS rrf_score
+  FROM bm b FULL OUTER JOIN vec v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, rrf_score, rnk_bm25, rnk_vec
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 fused (BM25 ⊕ dense-cosine) retrieval for the fixed query:
+    terms {stream, window, merge} + the vec_id-0 query vector. RRF with
+    k=60, integer fixed-point so the fusion is engine-exact."""
+    from ..operators import similarity
+
+    bm = _bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rnk").cast("long").alias("rnk_bm25")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = (
+        similarity.topk_cosine(
+            emb,
+            emb.filter(F.col("vec_id") == 0),
+            corpus_id="vec_id",
+            query_id="vec_id",
+            k=20,
+        )
+        .select(
+            F.col("cid").alias("doc_id"),
+            F.col("rank").cast("long").alias("rnk_vec"),
+        )
+    )
+    fused = (
+        bm.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr("1000000 div (60 + rnk_bm25)"), F.lit(0)
+                )
+                + F.coalesce(F.expr("1000000 div (60 + rnk_vec)"), F.lit(0))
+            )
+            .cast("long")
+            .alias("rrf_score"),
+            "rnk_bm25",
+            "rnk_vec",
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
 
 
 # --------------------------------------------------------------------------

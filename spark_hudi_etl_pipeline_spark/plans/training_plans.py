@@ -2439,3 +2439,84 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + linear trend, α = β = ½)
+# over each event type's daily count series — the forecasting primitive
+# one tier above the EWMA kernel in events_ohlc_daily. The α = ½ choice
+# makes every recursion step an arithmetic right-shift on integers
+# (s_t = (x_t + s + b) >> 1; b_t = ((s_t − s) + b) >> 1; >> floors in
+# BOTH engines, including on negatives), so the entire recursion —
+# inherently serial per key — is bit-exact across engines with no float
+# state. The series is folded INSIDE the row (sort_array + aggregate /
+# list_reduce): per-key state is O(days), bounded by the calendar
+# regardless of corpus size, and the only shuffle is the daily-count
+# groupBy the fold rides on.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_holt_forecast",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+series AS (
+  SELECT event_type, list(x ORDER BY d) AS xs FROM daily GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, CAST(len(xs) AS BIGINT) AS n_days,
+    CASE WHEN len(xs) = 1 THEN [xs[1], CAST(0 AS BIGINT)]
+    ELSE list_reduce(
+      list_prepend([xs[1], CAST(0 AS BIGINT)],
+                   list_transform(list_slice(xs, 2, len(xs)), x -> [x, CAST(0 AS BIGINT)])),
+      (a, e) -> [
+        (e[1] + a[1] + a[2]) >> 1,
+        ((((e[1] + a[1] + a[2]) >> 1) - a[1]) + a[2]) >> 1
+      ])
+    END AS sb
+  FROM series
+)
+SELECT event_type, n_days, sb[1] AS level, sb[2] AS trend,
+       sb[1] + sb[2] AS forecast_1
+FROM folded ORDER BY event_type
+""",
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Holt level/trend state after folding the ordered daily
+    count series, plus the 1-step-ahead forecast (level + trend)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.expr("transform(sort_array(collect_list(struct(d, x))), e -> e.x)").alias(
+            "xs"
+        )
+    )
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        F.expr(
+            """
+            CASE WHEN size(xs) = 1 THEN array(xs[0], 0L)
+            ELSE aggregate(
+              slice(xs, 2, size(xs) - 1), array(xs[0], 0L),
+              (a, x) -> array(
+                shiftright(x + a[0] + a[1], 1),
+                shiftright((shiftright(x + a[0] + a[1], 1) - a[0]) + a[1], 1)
+              ))
+            END
+            """
+        ).alias("sb"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.expr("sb[0]").alias("level"),
+        F.expr("sb[1]").alias("trend"),
+        F.expr("sb[0] + sb[1]").alias("forecast_1"),
+    ).orderBy("event_type")

@@ -1,0 +1,144 @@
+"""Round-9 operators: perceptual image near-dup (aHash), video
+scene-cut detection, hybrid RRF retrieval, and the skew diagnostic.
+Planted-fixture semantics + invariant checks; cross-engine value
+parity is covered by the DuckDB oracles (tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+from conftest import SF_SMALL
+
+from spark_hudi_etl_pipeline_spark.plans.registry import QUERIES
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows], DOC_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_image_ahash_planted_dups(spark, tmp_path):
+    """Identical payloads collapse into ONE exact-hash cluster (size 2,
+    no pair row); a one-cell perturbation forms its own cluster pairing
+    with the original at Hamming 1; the inverted image never pairs."""
+    lo, hi = " " * 384, "~" * 384  # bimodal raster: cells far from mean
+    a = lo + hi
+    # flip exactly grid cell (0,0): its 4 pixels are text bytes 0-5 and
+    # 48-53 (pixel (y,x) = bytes 3*(16y+x)..+2)
+    c = "~" * 6 + a[6:48] + "~" * 6 + a[54:]
+    d = hi + lo  # inverted: all 64 bits flip
+    _write_docs(spark, tmp_path, [(1, a), (2, a), (3, c), (4, d)])
+    rows = {
+        (r["media_a"], r["media_b"]): r
+        for r in QUERIES["image_ahash_neardup"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {(1, 3)}
+    r = rows[(1, 3)]
+    assert r["hamming"] == 1 and r["size_a"] == 2 and r["size_b"] == 1
+
+
+def test_video_scene_cuts_planted(spark, tmp_path):
+    """4 dark + 4 bright 96-byte frame chunks ⇒ exactly one cut at
+    frame 4 with diff = (126-32)·1000 millis."""
+    text = " " * (96 * 4) + "~" * (96 * 4)
+    _write_docs(spark, tmp_path, [(7, text)])
+    rows = QUERIES["video_scene_cuts"](spark, str(tmp_path)).collect()
+    assert [(r["media_id"], r["frame_idx"], r["diff_millis"]) for r in rows] == [
+        (7, 4, (126 - 32) * 1000)
+    ]
+
+
+def test_video_scene_cuts_flat_clip_has_none(spark, tmp_path):
+    _write_docs(spark, tmp_path, [(8, "x" * 768)])
+    assert QUERIES["video_scene_cuts"](spark, str(tmp_path)).count() == 0
+
+
+def test_rrf_fusion_invariants(spark):
+    """Fused score is exactly Σ 1000000//(60+rank) over the systems
+    that ranked the doc; output is descending and ≤ 10 rows."""
+    rows = QUERIES["hybrid_rrf_retrieval"](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        expect = 0
+        if r["rnk_bm25"] is not None:
+            assert 1 <= r["rnk_bm25"] <= 20
+            expect += 1_000_000 // (60 + r["rnk_bm25"])
+        if r["rnk_vec"] is not None:
+            assert 1 <= r["rnk_vec"] <= 20
+            expect += 1_000_000 // (60 + r["rnk_vec"])
+        assert r["rrf_score"] == expect and expect > 0
+    for x, y in zip(rows, rows[1:]):
+        assert (x["rrf_score"], -x["doc_id"]) >= (y["rrf_score"], -y["doc_id"])
+
+
+def test_skew_diagnostic_consistency(spark):
+    """Percentiles ordered, hot_1 = max, totals agree with the raw
+    relation, skew ratio ≥ 1000 (uniform floor)."""
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    got = {
+        r["metric"]: r
+        for r in QUERIES["skew_diagnostic_events"](spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    assert got["total_rows"]["v"] == ev.count()
+    assert got["n_keys"]["v"] == ev.select("user_id").distinct().count()
+    assert (
+        got["p50_cnt"]["v"]
+        <= got["p90_cnt"]["v"]
+        <= got["p99_cnt"]["v"]
+        <= got["max_cnt"]["v"]
+    )
+    assert got["hot_1"]["v"] == got["max_cnt"]["v"]
+    hots = [got[f"hot_{i}"]["v"] for i in range(1, 6)]
+    assert hots == sorted(hots, reverse=True)
+    assert got["skew_x1000"]["v"] >= 1000
+    assert (
+        got["skew_x1000"]["v"]
+        == got["max_cnt"]["v"] * got["n_keys"]["v"] * 1000 // got["total_rows"]["v"]
+    )
+
+
+def test_holt_forecast_planted(spark, tmp_path):
+    """Counts 4, 8, 16 on consecutive days: s=(x+s+b)>>1, b=((s'-s)+b)>>1
+    ⇒ (s,b) = (4,0) → (6,1) → (11,3); forecast 14."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for day, n in ((1, 4), (2, 8), (3, 16)):
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, day, 12, 0), 1, "a", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = QUERIES["events_holt_forecast"](spark, str(tmp_path)).collect()
+    assert [(r["event_type"], r["n_days"], r["level"], r["trend"], r["forecast_1"]) for r in got] == [
+        ("a", 3, 11, 3, 14)
+    ]
+
+
+def test_intra_doc_spans_planted(spark, tmp_path):
+    """'x y z x y z w': window 'x y z' repeats at start 3 ⇒ 1 dup window
+    covering tokens 3..5; a repeat-free doc is absent."""
+    _write_docs(spark, tmp_path, [(1, "x y z x y z w"), (2, "a b c d e f g")])
+    got = QUERIES["dedup_intra_doc_spans"](spark, str(tmp_path)).collect()
+    assert [
+        (r["doc_id"], r["n_tokens"], r["n_windows"], r["n_dup_windows"], r["n_removed_tokens"])
+        for r in got
+    ] == [(1, 7, 5, 1, 3)]
+
+
+def test_audio_vad_segments_planted(spark, tmp_path):
+    """Loud first half / quiet second half ⇒ exactly two segments with
+    the boundary at cell 32."""
+    _write_docs(spark, tmp_path, [(5, "~" * 1024 + " " * 1024)])
+    got = QUERIES["audio_vad_segments"](spark, str(tmp_path)).collect()
+    assert [
+        (r["media_id"], r["seg_idx"], r["start_cell"], r["n_cells"], r["active"])
+        for r in got
+    ] == [(5, 0, 0, 32, 1), (5, 1, 32, 32, 0)]
