@@ -94,7 +94,19 @@ TIMESERIES = [
     "contrastive_hard_negatives",
 ]
 
-HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES
+#: Modal/retrieval tier added in round 9 (timed separately as
+#: modal_sec): perceptual image dedup through the real raster decoder
+#: (exact-hash clusters + banded rep join), Y4M scene cuts, WAV VAD
+#: segmentation, BM25⊕dense RRF fusion, and the Holt forecast fold.
+MODAL = [
+    "image_ahash_neardup",
+    "video_scene_cuts",
+    "audio_vad_segments",
+    "hybrid_rrf_retrieval",
+    "events_holt_forecast",
+]
+
+HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL
 
 
 def main() -> None:
@@ -171,6 +183,7 @@ def main() -> None:
                 "timeseries_sec": round(
                     sum(timings[n] for n in TIMESERIES), 3
                 ),
+                "modal_sec": round(sum(timings[n] for n in MODAL), 3),
                 "queries": timings,
                 "sf": sf_num,
             }

@@ -703,3 +703,64 @@ def skew_diagnostic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hot_rows.unionByName(scalar_rows).orderBy("metric")
+
+
+# --------------------------------------------------------------------------
+# Differentially-private-style noisy count release (round 9): the
+# governance tier's aggregate-release companion to k-anonymity /
+# l-diversity — per-segment counts published with Laplace(b = 1/ε)
+# noise via the inverse CDF. Noise here is SEEDED (md5 of a release
+# tag + class key → uniform in (0,1)) so the release is reproducible
+# and both engines derive the identical draw — the repo's standard
+# determinism contract (real deployments would swap in a CSPRNG seed
+# per release; the plan shape is unchanged). ln is correctly rounded
+# in both engines (the text_tfidf/bm25 contract) and the noise is
+# floor-quantized to 1e-6 AFTER the identical double expression, so
+# the released integers hash-match. One aggregate, O(classes) state.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dp_noisy_counts_release",
+    oracle="""
+WITH counts AS (
+  SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_mktsegment
+),
+seeded AS (
+  SELECT segment, n,
+    (CAST('0x' || substr(md5('dp-release-1|' || segment), 1, 4) AS BIGINT) + 0.5)
+      / 65536.0 AS u
+  FROM counts
+)
+SELECT segment,
+  n * 1000000 + CAST(floor(
+    (CASE WHEN u < 0.5 THEN ln(2.0 * u) ELSE -ln(2.0 * (1.0 - u)) END)
+    * 1000000) AS BIGINT) AS noisy_count_q6,
+  CAST(1000 AS BIGINT) AS epsilon_x1000
+FROM seeded ORDER BY segment
+""",
+)
+def dp_noisy_counts_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mktsegment customer counts released with seeded unit-scale
+    Laplace noise (ε = 1), 1e-6 fixed point."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp-release-1|"), F.col("segment"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(65536.0)
+    noise = F.when(u < 0.5, F.log(2.0 * u)).otherwise(-F.log(2.0 * (F.lit(1.0) - u)))
+    return counts.select(
+        "segment",
+        (F.col("n") * 1000000 + F.floor(noise * 1000000).cast("long"))
+        .cast("long")
+        .alias("noisy_count_q6"),
+        F.lit(1000).cast("long").alias("epsilon_x1000"),
+    ).orderBy("segment")

@@ -1224,3 +1224,138 @@ def ann_recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "hits", F.round(F.col("hits") / 5.0, 2).alias("recall_at_5"))
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# Filtered ANN (round 9): top-k under a metadata predicate — the
+# vector-DB workhorse ("nearest products IN STOCK", "nearest docs in
+# license class X"). The predicate is applied BEFORE any distance
+# arithmetic: it lands in the parquet scan as a pushed filter, so at
+# 100 TB the distance pass touches only the qualifying fraction — the
+# post-filter formulation (top-k first, filter after) both over-reads
+# and under-returns (< k survivors). Queries broadcast; the filtered
+# corpus never shuffles.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_filtered_label",
+    oracle=f"""
+SELECT qid, cid, cosine, rank FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         {{cos}} AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {{cos}} DESC, b.vec_id) AS rank
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 5 AND b.label = 1
+) WHERE rank <= 5
+ORDER BY qid, rank
+""".format(cos=_COS_SQL),
+)
+def knn_filtered_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors with label = 1 for query vectors
+    vec_id < 5. The label predicate is pushed into the corpus scan
+    (PushedFilters), never applied post-ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine(
+        emb.filter(F.col("label") == 1),
+        emb.filter(F.col("vec_id") < 5),
+        corpus_id="vec_id",
+        query_id="vec_id",
+        vec_col="embedding",
+        k=5,
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-modal retrieval (round 9): decoded IMAGE features querying the
+# text-embedding index — the CLIP-style image→text lookup shape, with
+# the real raster decoder standing in for the vision tower (the
+# container has no model runtimes; the Spark-side plumbing — decode →
+# feature vector → broadcast query → top-k over the corpus — is the
+# real production shape). Query images are filtered BEFORE decode, so
+# the mapInPandas stage touches exactly the query set; the embedding
+# corpus never shuffles (queries broadcast into a
+# TakeOrderedAndProject-per-query ranking).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "crossmodal_image_to_text_topk",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         rpad(substr(lower(hex(encode(text))),1,1536),1536,'0') AS hx
+  FROM documents WHERE doc_id < 5
+),
+b AS (
+  SELECT doc_id,
+    list_transform(range(0,768), i ->
+      (ascii(substr(hx, CAST(2*i+1 AS INT), 1))
+       - CASE WHEN ascii(substr(hx, CAST(2*i+1 AS INT), 1)) >= 97
+              THEN 87 ELSE 48 END) * 16
+      + (ascii(substr(hx, CAST(2*i+2 AS INT), 1))
+       - CASE WHEN ascii(substr(hx, CAST(2*i+2 AS INT), 1)) >= 97
+              THEN 87 ELSE 48 END)
+    ) AS bytes
+  FROM raw
+),
+f AS (
+  SELECT doc_id,
+    list_transform(range(0,64), c ->
+      CAST(list_sum(list_transform(range(0,12), m ->
+        bytes[3*(16*(2*(c//8) + m//6) + 2*(c%8) + (m%6)//3) + (m%3) + 1]
+      )) * 1000 // 12 AS DOUBLE)
+    ) AS fd
+  FROM b
+)
+SELECT qid, cid, cosine, rank FROM (
+  SELECT a.doc_id AS qid, e.vec_id AS cid,
+    round(
+      list_sum(list_transform(list_zip(e.embedding, a.fd),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(a.fd, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+    4) AS cosine,
+    row_number() OVER (
+      PARTITION BY a.doc_id
+      ORDER BY round(
+        list_sum(list_transform(list_zip(e.embedding, a.fd),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(a.fd, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      4) DESC, e.vec_id) AS rank
+  FROM f a, embeddings e
+) WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def crossmodal_image_to_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 text embeddings per query image (doc_id < 5), cosine over
+    the REAL decoded 64-cell feature grid cast to double. Decode runs
+    on the filtered query set only."""
+    from ..operators.multimodal import attach_metadata, decode_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    header = F.encode(F.lit("P6\n16 16\n255\n"), "UTF-8")
+    raster = F.rpad(
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 768),
+        768,
+        F.lit(b"\x00"),
+    )
+    m = attach_metadata(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(header, raster).alias("payload"),
+        ),
+        media_type="image",
+    )
+    q = decode_features(m).select(
+        "media_id",
+        F.expr("transform(features, v -> CAST(v AS DOUBLE))").alias("embedding"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine(
+        emb, q, corpus_id="vec_id", query_id="media_id", vec_col="embedding", k=5
+    )

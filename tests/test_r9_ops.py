@@ -142,3 +142,49 @@ def test_audio_vad_segments_planted(spark, tmp_path):
         (r["media_id"], r["seg_idx"], r["start_cell"], r["n_cells"], r["active"])
         for r in got
     ] == [(5, 0, 0, 32, 1), (5, 1, 32, 32, 0)]
+
+
+def test_knn_filtered_label_respects_predicate(spark):
+    """Every returned neighbor satisfies the metadata predicate; ranks
+    are dense 1..5 per query."""
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    rows = QUERIES["knn_filtered_label"](spark, SF_SMALL).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert labels[r["cid"]] == 1
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_crossmodal_topk_shape(spark):
+    rows = QUERIES["crossmodal_image_to_text_topk"](spark, SF_SMALL).collect()
+    assert len(rows) == 5 * 5
+    for r in rows:
+        assert -1.0 <= r["cosine"] <= 1.0
+        assert 1 <= r["rank"] <= 5
+
+
+def test_dp_noisy_counts_bounded_noise(spark):
+    """Seeded uniform u ∈ (2^-17, 1): |Laplace(1) noise| ≤ ln(65536) ≈
+    11.1, so the released value stays within ±12e6 of n·1e6."""
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    true = {
+        r["c_mktsegment"]: r["n"]
+        for r in load_table(spark, SF_SMALL, "customer")
+        .groupBy("c_mktsegment")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    rows = QUERIES["dp_noisy_counts_release"](spark, SF_SMALL).collect()
+    assert {r["segment"] for r in rows} == set(true)
+    for r in rows:
+        assert abs(r["noisy_count_q6"] - true[r["segment"]] * 1_000_000) <= 12_000_000
+        assert r["noisy_count_q6"] != true[r["segment"]] * 1_000_000
