@@ -334,3 +334,68 @@ def read_via_symlink_manifest(spark, manifest_file: str):
     with open(manifest_file) as f:
         uris = [line.strip() for line in f if line.strip()]
     return spark.read.parquet(*[u.removeprefix("file://") for u in uris])
+
+
+# --------------------------------------------------------------------------
+# Deletion vectors (Delta DV / Iceberg position-delete shape): a delete
+# writes per-file ROW POSITIONS into a sidecar instead of rewriting the
+# data files — O(deleted rows) write cost, zero data-file churn, and
+# the files stay byte-identical for readers that predate the delete.
+# Positions come from parquet's native `_metadata.row_index` (stable
+# per file), so no surrogate key is needed. Readers subtract the union
+# of all DV generations with one LEFT ANTI join keyed on
+# (file, position); the DV side is broadcast when small — the common
+# case, since deletes are sparse relative to the table. Compaction
+# (rewriting survivors and dropping the sidecar) is the existing
+# compact_parquet path.
+# --------------------------------------------------------------------------
+
+_DV_DIR = "_dv"
+
+
+def _with_position(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).select(
+        "*",
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+
+
+def delete_with_vectors(spark, path: str, predicate) -> int:
+    """Append one DV generation marking rows matching ``predicate``
+    (a Column over the table's schema) as deleted. Rows already dead in
+    a prior generation are not re-marked (the reader unions generations,
+    so re-marking would be harmless but inflates the sidecar). Returns
+    the number of newly deleted positions."""
+    live = read_with_deletion_vectors(spark, path, _keep_position=True)
+    dv = live.filter(predicate).select("__file", "__pos")
+    n = dv.count()
+    if n:
+        gen = 0
+        dv_root = os.path.join(path, _DV_DIR)
+        if os.path.isdir(dv_root):
+            gen = len(os.listdir(dv_root))
+        dv.write.mode("overwrite").parquet(os.path.join(dv_root, f"v{gen}"))
+    return n
+
+
+def read_with_deletion_vectors(
+    spark, path: str, *, _keep_position: bool = False
+) -> DataFrame:
+    """Scan minus the union of all DV generations. The anti join keys
+    on (file, position); Spark broadcasts the DV relation when its
+    stats are small (sparse deletes), so the base scan never shuffles."""
+    base = _with_position(spark, path)
+    dv_root = os.path.join(path, _DV_DIR)
+    out = base
+    if os.path.isdir(dv_root) and os.listdir(dv_root):
+        dv = spark.read.parquet(os.path.join(dv_root, "*")).select(
+            F.col("__file").alias("__df"), F.col("__pos").alias("__dp")
+        )
+        out = base.join(
+            F.broadcast(dv),
+            (F.col("__file") == F.col("__df"))
+            & (F.col("__pos") == F.col("__dp")),
+            "left_anti",
+        )
+    return out if _keep_position else out.drop("__file", "__pos")

@@ -2366,3 +2366,59 @@ def schema_evolution_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Deletion vectors (round 9; Delta DV / Iceberg position-delete shape):
+# two delete generations land as position sidecars — the data files are
+# never rewritten (asserted byte-identical in tests) — and the reader
+# subtracts the union with one broadcast anti join on (file, position),
+# positions from parquet's native _metadata.row_index. The oracle is
+# the logical complement over the raw table: a hash match proves the
+# position arithmetic deleted EXACTLY the predicate rows across
+# generations (gen 2 runs on gen-1 survivors).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "deletion_vector_read",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_custkey % 7 = 0)
+  AND NOT (o_totalprice > 200000.0)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tableops import (
+        delete_with_vectors,
+        read_with_deletion_vectors,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "dv_orders")
+    orders.write.mode("overwrite").parquet(path)
+    delete_with_vectors(
+        spark,
+        path,
+        (F.col("o_orderstatus") == "F") & (F.col("o_custkey") % 7 == 0),
+    )
+    delete_with_vectors(spark, path, F.col("o_totalprice") > 200000.0)
+    return (
+        read_with_deletion_vectors(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

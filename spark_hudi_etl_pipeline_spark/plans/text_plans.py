@@ -1105,3 +1105,73 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(
         cms, truth_top, "token", width=_CMS_W, depth=_CMS_D
     ).orderBy(F.desc("true_cnt"), "token")
+
+
+# --------------------------------------------------------------------------
+# Persisted inverted index + conjunctive query (round 9): the classic
+# IR architecture BM25-on-the-fly skips — tokenize ONCE into a
+# (term, doc_id, tf) posting table, lay it out range-clustered by term
+# (disjoint term ranges per file), and answer AND-queries by reading
+# ONLY the query terms' posting lists: the term predicate pushes into
+# the parquet scan and the clustering turns it into file-level
+# skipping. Conjunction = groupBy(doc) HAVING count(DISTINCT term) = k
+# over the |postings(q)| rows — corpus size never re-enters at query
+# time. The oracle recomputes from raw text; a hash match proves the
+# index round-trip is lossless.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "inverted_index_conjunctive",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ('stream', 'window', 'merge')
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY doc_id
+HAVING count(*) = 3
+ORDER BY doc_id
+""",
+)
+def inverted_index_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing ALL of {stream, window, merge}, answered from a
+    persisted term-clustered posting index — the query scan touches the
+    three posting lists, not the corpus."""
+    import os
+    import re as _re
+
+    from ..operators.clustering import cluster_linear, write_clustered
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = f"/root/repo/.scratch/inv_index_{tag}"
+    postings = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    write_clustered(cluster_linear(postings, ["term", "doc_id"], 16), path)
+    idx = spark.read.parquet(path).filter(
+        F.col("term").isin("stream", "window", "merge")
+    )
+    return (
+        idx.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("n_terms") == 3)
+        .orderBy("doc_id")
+    )

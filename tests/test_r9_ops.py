@@ -188,3 +188,57 @@ def test_dp_noisy_counts_bounded_noise(spark):
     for r in rows:
         assert abs(r["noisy_count_q6"] - true[r["segment"]] * 1_000_000) <= 12_000_000
         assert r["noisy_count_q6"] != true[r["segment"]] * 1_000_000
+
+
+def test_deletion_vectors_never_rewrite_data(spark, tmp_path):
+    """Two delete generations leave every data file byte-identical
+    (position sidecars only); the reader subtracts their union; a
+    repeat delete marks nothing new."""
+    import os
+
+    from spark_hudi_etl_pipeline_spark.operators.tableops import (
+        delete_with_vectors,
+        read_with_deletion_vectors,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dv_table")
+    spark.createDataFrame(
+        [(i, i % 3, float(i * 10)) for i in range(100)], "k long, grp long, v double"
+    ).repartition(4).write.parquet(path)
+
+    def datafiles():
+        return sorted(
+            (f, os.path.getmtime(os.path.join(path, f)), os.path.getsize(os.path.join(path, f)))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    before = datafiles()
+    n1 = delete_with_vectors(spark, path, F.col("grp") == 0)
+    n2 = delete_with_vectors(spark, path, F.col("v") > 900.0)
+    assert n1 == 34 and n2 > 0
+    assert datafiles() == before  # zero data-file churn
+    assert sorted(os.listdir(os.path.join(path, "_dv"))) == ["v0", "v1"]
+    survivors = {r["k"] for r in read_with_deletion_vectors(spark, path).collect()}
+    expect = {i for i in range(100) if i % 3 != 0 and i * 10 <= 900}
+    assert survivors == expect
+    # gen-2 predicate re-applied: everything matching is already dead
+    assert delete_with_vectors(spark, path, F.col("v") > 900.0) == 0
+    # plain readers don't see the sidecar (underscore-prefixed dir)
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_inverted_index_conjunctive_docs_contain_all_terms(spark):
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    rows = QUERIES["inverted_index_conjunctive"](spark, SF_SMALL).collect()
+    texts = {
+        r["doc_id"]: r["text"].lower()
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    assert rows
+    for r in rows:
+        toks = set(texts[r["doc_id"]].split())
+        assert {"stream", "window", "merge"} <= toks
+        assert r["n_terms"] == 3 and r["total_tf"] >= 3
