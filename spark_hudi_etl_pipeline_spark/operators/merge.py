@@ -269,6 +269,8 @@ def merge_into(
     when_matched_update: dict[str, str] | None = None,
     when_matched_delete: str | None = None,
     when_not_matched_insert: dict[str, str] | bool = True,
+    when_not_matched_by_source_update: dict[str, str] | None = None,
+    when_not_matched_by_source_delete: str | None = None,
 ) -> DataFrame:
     """ANSI ``MERGE INTO`` semantics as a pure DataFrame transform (the
     SQL surface Hudi/Delta expose over their upsert machinery; Hudi
@@ -281,7 +283,14 @@ def merge_into(
       and ``s`` (source row)); None keeps the target row unchanged;
     - source rows matching no target → inserted; ``True`` inserts the
       source's values for the target's columns, a dict gives per-column
-      expressions over ``s``, ``False`` drops them.
+      expressions over ``s``, ``False`` drops them;
+    - target rows matching no source (Spark 3.4+ / Delta ``WHEN NOT
+      MATCHED BY SOURCE``, the full-sync form): with
+      ``when_not_matched_by_source_delete`` (a condition over ``t``;
+      ``'true'`` = unconditional) they are removed — the dimension-sync
+      delete — and with ``when_not_matched_by_source_update`` their SET
+      expressions apply (delete wins when both are given and the delete
+      condition holds); with neither, they pass through unchanged.
 
     Cardinality rule enforced like Delta/Hudi: a target row matched by
     MORE THAN ONE source row is a runtime error (``raise_error`` inside
@@ -322,6 +331,15 @@ def merge_into(
     def tcol(c: str) -> Column:
         return F.col(c) if c in on else F.col(f"t.{c}")
 
+    nmbs_del_cond = (
+        F.expr(when_not_matched_by_source_delete)
+        if when_not_matched_by_source_delete is not None
+        else F.lit(False)
+    )
+    nmbs_update_exprs = {
+        c: F.expr(e) for c, e in (when_not_matched_by_source_update or {}).items()
+    }
+
     delete_cond = (
         F.expr(when_matched_delete) if when_matched_delete is not None else F.lit(False)
     )
@@ -347,7 +365,7 @@ def merge_into(
             )
         out_cols.append(
             F.when(matched, upd)
-            .when(F.col("__tgt").isNotNull(), tcol(c))
+            .when(F.col("__tgt").isNotNull(), nmbs_update_exprs.get(c, tcol(c)))
             .otherwise(ins)
             .alias(c)
         )
@@ -356,7 +374,12 @@ def merge_into(
     # a bare ~NULL filter would silently drop the row instead.
     keep = (
         F.when(matched, ~F.coalesce(delete_cond, F.lit(False)))
-        .when(F.col("__tgt").isNotNull(), F.lit(True))  # unmatched target
+        # unmatched target: NOT MATCHED BY SOURCE delete (NULL condition
+        # = not satisfied, same rule as the matched delete arm)
+        .when(
+            F.col("__tgt").isNotNull(),
+            ~F.coalesce(nmbs_del_cond, F.lit(False)),
+        )
         .otherwise(F.lit(when_not_matched_insert is not False))
     )
     return joined.filter(keep & no_multi).select(*out_cols)

@@ -2422,3 +2422,99 @@ def deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Full-sync MERGE (round 9): the Spark 3.4+/Delta WHEN NOT MATCHED BY
+# SOURCE surface — one statement reconciling a dimension against a
+# fresh snapshot: matched rows take the snapshot's values, snapshot
+# rows missing from the table insert, and table rows MISSING FROM THE
+# SNAPSHOT are purged (conditionally: stale open orders delete, other
+# stale rows are tombstone-flagged 'X' via the BY SOURCE update arm).
+# Same single full-outer join as merge_into — the two new arms are
+# pure expression branches on the unmatched-target side, no extra
+# shuffle. Oracle reconstructs all five arms relationally.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "merge_full_sync_orders",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+s AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 1.5
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 != 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'P', o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 100 = 0
+),
+merged AS (
+  SELECT coalesce(t.k, s.k) AS k,
+    CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN t.st
+         WHEN t.k IS NOT NULL THEN 'X'
+         ELSE s.st END AS st,
+    CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN s.p
+         WHEN t.k IS NOT NULL THEN t.p ELSE s.p END AS p
+  FROM t FULL OUTER JOIN s ON t.k = s.k
+  WHERE NOT (t.k IS NOT NULL AND s.k IS NULL AND t.st = 'O')
+)
+SELECT st AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM merged GROUP BY st ORDER BY st
+""",
+)
+def merge_full_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_into
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.filter(F.col("o_orderkey") % 3 == 0)
+    source = (
+        orders.filter(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 5 != 0)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") * 1.5
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") % 3 == 1) & (F.col("o_orderkey") % 100 == 0)
+            ).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                F.lit("P").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    merged = merge_into(
+        target,
+        source,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_update={"o_orderstatus": "'X'"},
+        when_not_matched_by_source_delete="t.o_orderstatus = 'O'",
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -242,3 +242,52 @@ def test_inverted_index_conjunctive_docs_contain_all_terms(spark):
         toks = set(texts[r["doc_id"]].split())
         assert {"stream", "window", "merge"} <= toks
         assert r["n_terms"] == 3 and r["total_tf"] >= 3
+
+
+def test_merge_not_matched_by_source_arms(spark):
+    """All five MERGE arms in one statement: matched-update,
+    matched-delete, not-matched-insert, BY-SOURCE conditional delete,
+    BY-SOURCE update (tombstone flag)."""
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", 20.0), (3, "O", 30.0), (4, "F", 40.0)],
+        "k long, st string, p double",
+    )
+    source = spark.createDataFrame(
+        [(1, "O", 11.0), (2, "F", 0.0), (5, "P", 50.0)],
+        "k long, st string, p double",
+    )
+    out = {
+        r["k"]: r
+        for r in merge_into(
+            target,
+            source,
+            on=["k"],
+            when_matched_update={"p": "s.p"},
+            when_matched_delete="s.p = 0.0",
+            when_not_matched_insert=True,
+            when_not_matched_by_source_update={"st": "'X'"},
+            when_not_matched_by_source_delete="t.st = 'O'",
+        ).collect()
+    }
+    assert set(out) == {1, 4, 5}          # 2 deleted (matched), 3 deleted (by source)
+    assert out[1]["p"] == 11.0 and out[1]["st"] == "O"   # matched update
+    assert out[4]["st"] == "X" and out[4]["p"] == 40.0   # by-source tombstone
+    assert out[5]["st"] == "P" and out[5]["p"] == 50.0   # insert
+
+
+def test_merge_without_by_source_clauses_unchanged(spark):
+    """Default args: unmatched target rows pass through untouched (the
+    pre-r9 contract)."""
+    from spark_hudi_etl_pipeline_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, p double")
+    source = spark.createDataFrame([(1, 9.0)], "k long, p double")
+    out = {
+        r["k"]: r["p"]
+        for r in merge_into(
+            target, source, on=["k"], when_matched_update={"p": "s.p"}
+        ).collect()
+    }
+    assert out == {1: 9.0, 2: 2.0}
