@@ -399,3 +399,75 @@ def read_with_deletion_vectors(
             "left_anti",
         )
     return out if _keep_position else out.drop("__file", "__pos")
+
+
+def compact_deletion_vectors(
+    spark, path: str, *, min_deleted_fraction: float = 0.2
+) -> tuple[int, int]:
+    """DV-aware selective compaction (the Delta/Iceberg rewrite policy):
+    rewrite ONLY files whose deleted fraction exceeds the threshold —
+    their survivors land as fresh files and their DV entries drop;
+    lightly-deleted files keep their bytes AND their DV entries. Returns
+    (files_rewritten, files_kept). At 100 TB this is the whole point of
+    deletion vectors: compaction cost tracks the DELETED density, not
+    the table size — a table with 1% scattered deletes rewrites nothing.
+
+    Per-file row totals come from one `_metadata.file_path` aggregate
+    over the scan (row-count-only: column pruning makes it near
+    footer-cost); deleted counts from the DV union. Both are O(files)
+    relations."""
+    import shutil as _shutil
+
+    dv_root = os.path.join(path, _DV_DIR)
+    if not (os.path.isdir(dv_root) and os.listdir(dv_root)):
+        return (0, sum(1 for f in os.listdir(path) if f.endswith(".parquet")))
+    base = _with_position(spark, path)
+    totals = base.groupBy("__file").agg(F.count(F.lit(1)).alias("n_rows"))
+    dv = spark.read.parquet(os.path.join(dv_root, "*"))
+    dead = dv.groupBy("__file").agg(F.count(F.lit(1)).alias("n_dead"))
+    dense = {
+        r["__file"]
+        for r in totals.join(dead, "__file")
+        .filter(F.col("n_dead") >= F.col("n_rows") * F.lit(min_deleted_fraction))
+        .collect()  # O(files with deletes) — a planning-scale relation
+    }
+    if not dense:
+        return (0, sum(1 for f in os.listdir(path) if f.endswith(".parquet")))
+    # survivors of the dense files only (their DV entries applied)
+    survivors = read_with_deletion_vectors(spark, path, _keep_position=True).filter(
+        F.col("__file").isin(*dense)
+    ).drop("__file", "__pos")
+    staging = path + ".dvcompact"
+    survivors.write.mode("overwrite").parquet(staging)
+    # swap: drop rewritten originals, move staged files in, rewrite the
+    # DV sidecar keeping only entries for files that remain
+    kept_dv = dv.filter(~F.col("__file").isin(*dense))
+    dv_staging = path + ".dvkeep"
+    kept_dv_rows = kept_dv.count()
+    if kept_dv_rows:
+        # staged write (never a driver collect — the kept DV is
+        # O(deleted rows), not planning-scale)
+        kept_dv.write.mode("overwrite").parquet(dv_staging)
+    _shutil.rmtree(dv_root)
+    for f in list(os.listdir(path)):
+        full = os.path.join(path, f)
+        if f.endswith(".parquet") and f"file:{full}" in dense:
+            os.remove(full)
+    moved = 0
+    for f in os.listdir(staging):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(staging, f),
+                os.path.join(path, f"dvc-{f}"),
+            )
+            moved += 1
+    _shutil.rmtree(staging, ignore_errors=True)
+    if kept_dv_rows:
+        os.makedirs(dv_root, exist_ok=True)
+        os.rename(dv_staging, os.path.join(dv_root, "v0"))
+    kept_files = sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("dvc-")
+    )
+    return (len(dense), kept_files)

@@ -2518,3 +2518,56 @@ def merge_full_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# DV-aware selective compaction (round 9): rewrite cost tracks DELETED
+# DENSITY, not table size. Orders staged range-clustered by key, so the
+# key-range delete lands dense in a few files (they get rewritten and
+# their DV entries drop) while the scattered modulo delete stays sparse
+# everywhere (those files keep bytes + DV entries). The oracle is the
+# same logical complement BEFORE vs AFTER compaction — a hash match
+# proves the rewrite/sidecar-swap is lossless.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dv_compaction_read",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE NOT (o_orderkey < 6000) AND NOT (o_orderkey % 97 = 0)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def dv_compaction_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import cluster_linear, write_clustered
+    from ..operators.tableops import (
+        compact_deletion_vectors,
+        delete_with_vectors,
+        read_with_deletion_vectors,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "dv_compact_orders")
+    write_clustered(cluster_linear(orders, ["o_orderkey"], 8), path)
+    delete_with_vectors(spark, path, F.col("o_orderkey") < 6000)
+    delete_with_vectors(spark, path, F.col("o_orderkey") % 97 == 0)
+    compact_deletion_vectors(spark, path, min_deleted_fraction=0.2)
+    return (
+        read_with_deletion_vectors(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

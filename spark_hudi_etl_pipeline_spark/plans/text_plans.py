@@ -1175,3 +1175,72 @@ def inverted_index_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_terms") == 3)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Keyword-in-context (KWIC) snippets (round 9): the search-result
+# snippet / concordance primitive — every occurrence of the query term
+# with ±3 tokens of context. Occurrence positions and window slicing
+# happen INSIDE the row with higher-order functions; the 1→N expansion
+# is a map-only posexplode. At 100 TB this composes with the inverted
+# index: resolve the doc set from posting lists first, snippet only
+# the hits.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "kwic_snippets",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_filter(range(0, len(toks)), i -> toks[i + 1] = 'merge') AS hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(h AS BIGINT) AS pos,
+       array_to_string(
+         list_slice(toks, greatest(h - 3, 0) + 1, least(h + 3, n - 1) + 1),
+         ' ') AS snippet
+FROM p, unnest(hits) AS u(h)
+ORDER BY doc_id, pos
+""",
+)
+def kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every occurrence of 'merge' with ±3 tokens of context:
+    (doc_id, pos, snippet) rows, map-only."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            r"filter(split(trim(lower(text)), '\\s+'), x -> x != '')"
+        ).alias("toks"),
+    )
+    hits = d.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.expr("filter(sequence(0, size(toks) - 1), i -> toks[i] = 'merge')").alias(
+            "hits"
+        ),
+    ).filter(F.size("hits") > 0)
+    return (
+        hits.select(
+            "doc_id",
+            F.explode("hits").alias("pos"),
+            "toks",
+            "n",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(
+                "array_join(slice(toks, greatest(pos - 3, 0) + 1,"
+                " least(pos + 3, n - 1) - greatest(pos - 3, 0) + 1), ' ')"
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id", "pos")
+    )

@@ -291,3 +291,50 @@ def test_merge_without_by_source_clauses_unchanged(spark):
         ).collect()
     }
     assert out == {1: 9.0, 2: 2.0}
+
+
+def test_dv_compaction_rewrites_only_dense_files(spark, tmp_path):
+    """Key-range delete is dense in one clustered file (rewritten, DV
+    entries dropped); scattered delete stays sparse (files kept
+    byte-identical WITH their DV entries); reader results unchanged
+    across the compaction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.clustering import (
+        cluster_linear,
+        write_clustered,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.tableops import (
+        compact_deletion_vectors,
+        delete_with_vectors,
+        read_with_deletion_vectors,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "k long, v double")
+    write_clustered(cluster_linear(df, ["k"], 4), path)
+    delete_with_vectors(spark, path, F.col("k") < 25)       # dense: file 1
+    delete_with_vectors(spark, path, F.col("k") % 50 == 49)  # sparse
+    before = sorted(r["k"] for r in read_with_deletion_vectors(spark, path).collect())
+
+    def files():
+        return {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    pre = files()
+    rewritten, kept = compact_deletion_vectors(spark, path, min_deleted_fraction=0.3)
+    post = files()
+    assert rewritten >= 1 and kept >= 2
+    untouched = {f: t for f, t in pre.items() if f in post}
+    assert untouched and all(post[f] == t for f, t in untouched.items())
+    assert any(f.startswith("dvc-") for f in post)  # staged survivors moved in
+    # sparse DV entries survive the sidecar swap; dense ones are gone
+    dv = spark.read.parquet(os.path.join(path, "_dv", "*"))
+    assert 0 < dv.count() < 25 + 2
+    after = sorted(r["k"] for r in read_with_deletion_vectors(spark, path).collect())
+    assert after == before == [k for k in range(25, 100) if k % 50 != 49]

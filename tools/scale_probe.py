@@ -1474,6 +1474,9 @@ def probe_r9_64x(base: str, stages: set[str] | None = None) -> None:
         ev = spark.read.parquet(
             replicate(spark, base, "events", factor, ["event_id", "user_id"])
         )
+        # the replica round-trips ts as TIMESTAMP_NTZ (nanos fixture);
+        # normalize like sources/catalog.py so unix_micros resolves
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
         n = ev.count()
         ok = F.concat(
             F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
