@@ -2571,3 +2571,63 @@ def dv_compaction_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# GDPR subject-access export (round 9): Article 15's read-side twin of
+# the erasure op — everything the lakehouse holds about one subject,
+# pulled across the table graph (customer → orders → lineitem) with
+# key-pushdown point lookups and broadcast semi-joins; the subject's
+# key set is planning-scale, so no table is ever widely shuffled.
+# Output is an audit manifest (per-table row counts + key ranges), the
+# artifact a DSAR pipeline files alongside the extracted records.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "gdpr_subject_access_export",
+    oracle="""
+WITH o AS (SELECT o_orderkey FROM orders WHERE o_custkey = 7),
+l AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+SELECT * FROM (
+  SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(c_custkey) AS BIGINT) AS min_key, CAST(max(c_custkey) AS BIGINT) AS max_key
+  FROM customer WHERE c_custkey = 7
+  UNION ALL
+  SELECT 'orders', CAST(count(*) AS BIGINT), CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT) FROM o
+  UNION ALL
+  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+         CAST(min(l_orderkey * 10 + l_linenumber) AS BIGINT),
+         CAST(max(l_orderkey * 10 + l_linenumber) AS BIGINT)
+  FROM l
+) ORDER BY table_name
+""",
+)
+def gdpr_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 7)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(orders.select(F.col("o_orderkey").alias("l_orderkey"))),
+        "l_orderkey",
+        "left_semi",
+    )
+    c_row = cust.agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+    o_row = orders.agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    l_key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    l_row = li.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(l_key).alias("min_key"),
+        F.max(l_key).alias("max_key"),
+    )
+    return c_row.unionByName(o_row).unionByName(l_row).orderBy("table_name")

@@ -2520,3 +2520,102 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sb[1]").alias("trend"),
         F.expr("sb[0] + sb[1]").alias("forecast_1"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution (round 9): each purchase's value is
+# split ACROSS ALL touches (click/view) in its 7-day lookback, credit
+# proportional to per-channel touch counts — the fairness upgrade over
+# last-touch. No purchase×touch self-join: per-channel touch counts
+# come from two RANGE-frame window counts over the same (user, time)
+# ordering (value-bounded frames, engine-exact), so the cost is one
+# keyed shuffle shared with the last-touch query's shape. Credits are
+# integer cents (value_cents · n_channel div k) — truncation per
+# purchase, deterministic in both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "attribution_linear_multi_touch",
+    oracle="""
+WITH base AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+cnt AS (
+  SELECT *,
+    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_click,
+    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS n_view
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY tm
+               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+),
+p AS (
+  SELECT cents, n_click, n_view, n_click + n_view AS k
+  FROM cnt WHERE event_type = 'purchase'
+),
+credits AS (
+  SELECT 'click' AS channel, CAST(cents * n_click // k AS BIGINT) AS credit, 1 AS np
+  FROM p WHERE n_click > 0
+  UNION ALL
+  SELECT 'view', CAST(cents * n_view // k AS BIGINT), 1 FROM p WHERE n_view > 0
+  UNION ALL
+  SELECT 'none', cents, 1 FROM p WHERE k = 0
+)
+SELECT channel,
+       CAST(sum(np) AS BIGINT) AS n_purchases,
+       CAST(sum(credit) AS BIGINT) AS credit_cents
+FROM credits GROUP BY channel ORDER BY channel
+""",
+)
+def attribution_linear_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("tm"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tm")
+        .rangeBetween(-604_800_000_000, -1)
+    )
+    cnt = base.select(
+        "*",
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("n_view"),
+    )
+    p = cnt.filter(F.col("event_type") == "purchase").select(
+        "cents",
+        "n_click",
+        "n_view",
+        (F.col("n_click") + F.col("n_view")).alias("k"),
+    )
+    credits = (
+        p.filter(F.col("n_click") > 0)
+        .select(
+            F.lit("click").alias("channel"),
+            F.expr("cents * n_click div k").alias("credit"),
+        )
+        .unionByName(
+            p.filter(F.col("n_view") > 0).select(
+                F.lit("view").alias("channel"),
+                F.expr("cents * n_view div k").alias("credit"),
+            )
+        )
+        .unionByName(
+            p.filter(F.col("k") == 0).select(
+                F.lit("none").alias("channel"), F.col("cents").alias("credit")
+            )
+        )
+    )
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("credit").alias("credit_cents"),
+        )
+        .orderBy("channel")
+    )
