@@ -109,6 +109,21 @@ MODAL = [
 HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL
 
 
+def _cpu_canary() -> float:
+    """Fixed pure-CPU microbenchmark (single-thread, no allocation):
+    separates HOST drift from CODE drift across rounds. Round 9
+    observed the same plans run uniformly ~1.6× slower than round 8
+    with zero plan-shape diffs (tools/plan_golden.json) while this
+    canary read 4.4 s vs the ~2 s a healthy 2.7 GHz core gives —
+    i.e. the box, not the engine. Compare suite walls ACROSS rounds
+    only after dividing by this."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from spark_hudi_etl_pipeline_spark.plans import QUERIES
@@ -184,6 +199,7 @@ def main() -> None:
                     sum(timings[n] for n in TIMESERIES), 3
                 ),
                 "modal_sec": round(sum(timings[n] for n in MODAL), 3),
+                "cpu_canary_sec": _cpu_canary(),
                 "queries": timings,
                 "sf": sf_num,
             }

@@ -348,6 +348,12 @@ def read_via_symlink_manifest(spark, manifest_file: str):
 # case, since deletes are sparse relative to the table. Compaction
 # (rewriting survivors and dropping the sidecar) is the existing
 # compact_parquet path.
+#
+# Sidecar discovery/swap uses local-FS listing here — the same caveat
+# class as the versioned-manifest writers in operators/merge.py: on an
+# object store the listing goes through the Hadoop FS API and the swap
+# becomes a fresh single-PUT generation key; the read/delete plans are
+# unchanged.
 # --------------------------------------------------------------------------
 
 _DV_DIR = "_dv"

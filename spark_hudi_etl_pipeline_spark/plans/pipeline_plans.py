@@ -477,6 +477,7 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         media_type="image",
     )
+    m = m.repartition(spark.sparkContext.defaultParallelism)
     hashes = decode_features(m).select(
         "media_id",
         F.expr("aggregate(features, 0L, (a, x) -> a + x) div 64").alias("avg"),
@@ -628,6 +629,10 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         media_type="video",
     )
+    # the documents fixture is one parquet file -> one input split; the
+    # decode stages are Python-bound, so spread the payload rows across
+    # the executor cores first (at scale: repartition_for_payloads)
+    m = m.repartition(spark.sparkContext.defaultParallelism)
     frames = sample_frames(m, n_frames=8)
     imgs = attach_metadata(
         frames.select(
@@ -1936,6 +1941,7 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         media_type="audio",
     )
+    m = m.repartition(spark.sparkContext.defaultParallelism)
     seg = (
         decode_features(m)
         .select(
