@@ -132,7 +132,11 @@ def build_table_stats(spark: SparkSession, path: str, cols: list[str]) -> int:
     if not live:
         raise FileNotFoundError(f"no data files at {path!r}")
     df = _harvest_stats_df(spark, path, cols, live)
-    df.coalesce(1).write.mode("overwrite").parquet(
+    # repartition(1), NOT coalesce(1): coalesce is a narrow dependency
+    # that would collapse the distributed footer-harvest stage itself
+    # to a single task — the shuffle barrier keeps the harvest N-way
+    # and only the (tiny, O(files)-row) sidecar write runs single-task.
+    df.repartition(1).write.mode("overwrite").parquet(
         os.path.join(path, _STATS_DIR)
     )
     return len(live)
@@ -350,5 +354,7 @@ def update_table_stats(spark: SparkSession, path: str, cols: list[str]) -> int:
         out = kept_df.unionByName(
             _harvest_stats_df(spark, path, cols, new_files)
         )
-    out.coalesce(1).write.mode("overwrite").parquet(sdir)
+    # repartition(1) for the same reason as the cold path: keep the
+    # delta harvest stage parallel; only the sidecar write is 1-task.
+    out.repartition(1).write.mode("overwrite").parquet(sdir)
     return len(new_files)

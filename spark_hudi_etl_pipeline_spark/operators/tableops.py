@@ -367,6 +367,18 @@ def _with_position(spark, path: str) -> DataFrame:
     )
 
 
+def _dv_file_name(uri: str) -> str:
+    """Base file name from a ``_metadata.file_path`` value. The scan
+    reports a percent-ENCODED URI (verified: a path with a space reads
+    back as ``file:/...%20.../part-x.parquet``), so matching against
+    raw ``os`` paths must go through unquote — comparing the full URI
+    text to ``f"file:{path}"`` silently matches nothing on any table
+    path containing a URI-escapable character."""
+    from urllib.parse import unquote, urlparse
+
+    return os.path.basename(unquote(urlparse(uri).path))
+
+
 def delete_with_vectors(spark, path: str, predicate) -> int:
     """Append one DV generation marking rows matching ``predicate``
     (a Column over the table's schema) as deleted. Rows already dead in
@@ -374,7 +386,10 @@ def delete_with_vectors(spark, path: str, predicate) -> int:
     so re-marking would be harmless but inflates the sidecar). Returns
     the number of newly deleted positions."""
     live = read_with_deletion_vectors(spark, path, _keep_position=True)
-    dv = live.filter(predicate).select("__file", "__pos")
+    # one scan: materialize the (file, pos) relation before the
+    # count + write pair — recomputing the lineage would re-run the
+    # full table scan + anti join twice per delete
+    dv = live.filter(predicate).select("__file", "__pos").localCheckpoint(eager=True)
     n = dv.count()
     if n:
         gen = 0
@@ -389,8 +404,12 @@ def read_with_deletion_vectors(
     spark, path: str, *, _keep_position: bool = False
 ) -> DataFrame:
     """Scan minus the union of all DV generations. The anti join keys
-    on (file, position); Spark broadcasts the DV relation when its
-    stats are small (sparse deletes), so the base scan never shuffles."""
+    on (file, position). The DV side gets a broadcast hint only while
+    the sidecar is small on disk (sparse deletes — the common case);
+    past the threshold the hint is dropped and the planner falls back
+    to a shuffled anti join, because force-broadcasting an O(deleted
+    rows) relation is exactly the OOM class the rest of the repo
+    avoids."""
     base = _with_position(spark, path)
     dv_root = os.path.join(path, _DV_DIR)
     out = base
@@ -398,8 +417,15 @@ def read_with_deletion_vectors(
         dv = spark.read.parquet(os.path.join(dv_root, "*")).select(
             F.col("__file").alias("__df"), F.col("__pos").alias("__dp")
         )
+        dv_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, fs in os.walk(dv_root)
+            for f in fs
+        )
+        if dv_bytes <= 64 << 20:
+            dv = F.broadcast(dv)
         out = base.join(
-            F.broadcast(dv),
+            dv,
             (F.col("__file") == F.col("__df"))
             & (F.col("__pos") == F.col("__dp")),
             "left_anti",
@@ -414,19 +440,33 @@ def compact_deletion_vectors(
     rewrite ONLY files whose deleted fraction exceeds the threshold —
     their survivors land as fresh files and their DV entries drop;
     lightly-deleted files keep their bytes AND their DV entries. Returns
-    (files_rewritten, files_kept). At 100 TB this is the whole point of
-    deletion vectors: compaction cost tracks the DELETED density, not
-    the table size — a table with 1% scattered deletes rewrites nothing.
+    (files_rewritten, files_remaining). At 100 TB this is the whole
+    point of deletion vectors: compaction cost tracks the DELETED
+    density, not the table size — a table with 1% scattered deletes
+    rewrites nothing.
 
     Per-file row totals come from one `_metadata.file_path` aggregate
     over the scan (row-count-only: column pruning makes it near
     footer-cost); deleted counts from the DV union. Both are O(files)
-    relations."""
+    relations.
+
+    Swap order (no transaction log on a bare parquet dir, so the
+    window is minimized rather than eliminated — a production table
+    would commit this through the versioned-manifest protocol in
+    operators/merge.py): both staging writes complete FIRST, then
+    dense originals drop (the one crash window: readers briefly miss
+    the dense files' survivors — never resurrected deletes, never
+    duplicates), then survivors move in, and the sidecar swaps last
+    (the old sidecar stays valid throughout: its dense-file entries
+    reference files already gone, which the anti join ignores)."""
     import shutil as _shutil
+
+    def _n_parquet() -> int:
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
 
     dv_root = os.path.join(path, _DV_DIR)
     if not (os.path.isdir(dv_root) and os.listdir(dv_root)):
-        return (0, sum(1 for f in os.listdir(path) if f.endswith(".parquet")))
+        return (0, _n_parquet())
     base = _with_position(spark, path)
     totals = base.groupBy("__file").agg(F.count(F.lit(1)).alias("n_rows"))
     dv = spark.read.parquet(os.path.join(dv_root, "*"))
@@ -438,15 +478,14 @@ def compact_deletion_vectors(
         .collect()  # O(files with deletes) — a planning-scale relation
     }
     if not dense:
-        return (0, sum(1 for f in os.listdir(path) if f.endswith(".parquet")))
-    # survivors of the dense files only (their DV entries applied)
+        return (0, _n_parquet())
+    dense_names = {_dv_file_name(u) for u in dense}
+    # STAGE 1: both staged writes complete before anything is removed
     survivors = read_with_deletion_vectors(spark, path, _keep_position=True).filter(
         F.col("__file").isin(*dense)
     ).drop("__file", "__pos")
     staging = path + ".dvcompact"
     survivors.write.mode("overwrite").parquet(staging)
-    # swap: drop rewritten originals, move staged files in, rewrite the
-    # DV sidecar keeping only entries for files that remain
     kept_dv = dv.filter(~F.col("__file").isin(*dense))
     dv_staging = path + ".dvkeep"
     kept_dv_rows = kept_dv.count()
@@ -454,26 +493,19 @@ def compact_deletion_vectors(
         # staged write (never a driver collect — the kept DV is
         # O(deleted rows), not planning-scale)
         kept_dv.write.mode("overwrite").parquet(dv_staging)
-    _shutil.rmtree(dv_root)
+    # STAGE 2: drop dense originals (matched by decoded base name, not
+    # URI text), move survivors in, swap the sidecar last
     for f in list(os.listdir(path)):
-        full = os.path.join(path, f)
-        if f.endswith(".parquet") and f"file:{full}" in dense:
-            os.remove(full)
-    moved = 0
+        if f.endswith(".parquet") and f in dense_names:
+            os.remove(os.path.join(path, f))
     for f in os.listdir(staging):
         if f.endswith(".parquet"):
-            os.rename(
-                os.path.join(staging, f),
-                os.path.join(path, f"dvc-{f}"),
-            )
-            moved += 1
+            os.rename(os.path.join(staging, f), os.path.join(path, f"dvc-{f}"))
     _shutil.rmtree(staging, ignore_errors=True)
+    old_root = dv_root + ".old"
+    os.rename(dv_root, old_root)
     if kept_dv_rows:
         os.makedirs(dv_root, exist_ok=True)
         os.rename(dv_staging, os.path.join(dv_root, "v0"))
-    kept_files = sum(
-        1
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith("dvc-")
-    )
-    return (len(dense), kept_files)
+    _shutil.rmtree(old_root, ignore_errors=True)
+    return (len(dense_names), _n_parquet())

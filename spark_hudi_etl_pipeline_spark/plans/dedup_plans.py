@@ -1212,11 +1212,13 @@ def streaming_minhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inflates token counts and LM loss on literal repetition. A width-3
 # token window is a duplicate if the identical window occurred EARLIER
 # in the same document; a token is removable if any duplicate window
-# covers it. The whole computation happens INSIDE the row with
-# higher-order functions — map-only, embarrassingly parallel at any
-# corpus size (the audited plan's one exchange is the presentation
-# sort on doc_id, not the computation); per-doc cost is O(len·window) string
-# compares, constant-bounded by the pipeline's max document length.
+# covers it. Windows posexplode to rows and duplicate-detection is
+# min-position-per-(doc, window) — O(n) work per doc on one hash
+# exchange (the r9 review replaced an all-in-row nested-HOF form whose
+# per-window prefix scan was O(len²) inside a single row). The oracle
+# keeps the per-row list formulation: DuckDB evaluates it serially per
+# doc, which is fine at fixture scale and proves the relational
+# rewrite lossless.
 # --------------------------------------------------------------------------
 
 
@@ -1262,48 +1264,59 @@ FROM r WHERE n_dup_windows > 0 ORDER BY doc_id
 )
 def dedup_intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs containing at least one duplicated width-3 token window,
-    with window/dup-window/removable-token counts. Map-only (nested
-    HOFs inside the row); the only exchange is the output sort."""
+    with window/dup-window/removable-token counts.
+
+    LINEAR formulation (r9 review fix): window strings posexplode to
+    rows and "duplicate" = position > min(position) over the
+    (doc, window) group — one hash exchange on (doc, window), O(n)
+    comparisons per doc. The earlier all-in-row nested-HOF form ran
+    array_position over a growing prefix per window: O(len²) string
+    compares inside one row, which is exactly the boilerplate-heavy
+    long document this operator targets. Removable-token coverage is
+    the distinct union of [i, i+2] over duplicate starts — a bounded
+    3× expansion of the (sparse) duplicate set, never of the corpus."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
     )
-    w = d.select(
+    pos = d.select(
         "doc_id",
         F.size("toks").alias("n"),
-        F.expr(
-            """
-            CASE WHEN size(toks) >= 3 THEN
-              transform(sequence(0, size(toks) - 3), i ->
-                array_join(slice(toks, i + 1, 3), ' '))
-            ELSE array() END
-            """
-        ).alias("wins"),
+        F.posexplode(
+            F.expr(
+                """
+                CASE WHEN size(toks) >= 3 THEN
+                  transform(sequence(0, size(toks) - 3), i ->
+                    array_join(slice(toks, i + 1, 3), ' '))
+                ELSE array() END
+                """
+            )
+        ).alias("i", "win"),
     )
-    dd = w.select(
-        "doc_id",
-        "n",
-        "wins",
-        F.expr(
-            """
-            transform(sequence(0, size(wins) - 1), i ->
-              CASE WHEN i > 0 AND array_position(slice(wins, 1, i), wins[i]) > 0
-                   THEN 1 ELSE 0 END)
-            """
-        ).alias("dup"),
-    ).filter(F.size("wins") > 0)
-    r = dd.select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_tokens"),
-        F.size("wins").cast("long").alias("n_windows"),
-        F.expr("aggregate(dup, 0L, (a, x) -> a + x)").alias("n_dup_windows"),
-        F.expr(
-            """
-            aggregate(transform(sequence(0, n - 1), p ->
-              CASE WHEN exists(
-                     sequence(greatest(p - 2, 0), least(p, n - 3)),
-                     i -> dup[i] = 1)
-                   THEN 1L ELSE 0L END), 0L, (a, x) -> a + x)
-            """
-        ).alias("n_removed_tokens"),
+    flagged = pos.withColumn(
+        "dup",
+        (F.col("i") > F.min("i").over(Window.partitionBy("doc_id", "win"))).cast(
+            "long"
+        ),
     )
-    return r.filter(F.col("n_dup_windows") > 0).orderBy("doc_id")
+    stats = flagged.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("dup").alias("n_dup_windows"),
+    )
+    cov = (
+        flagged.filter(F.col("dup") == 1)
+        .select("doc_id", F.explode(F.sequence("i", F.col("i") + 2)).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_removed_tokens"))
+    )
+    return (
+        stats.filter(F.col("n_dup_windows") > 0)
+        .join(cov, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "n_windows", "n_dup_windows", "n_removed_tokens"
+        )
+        .orderBy("doc_id")
+    )

@@ -1145,14 +1145,11 @@ def inverted_index_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs containing ALL of {stream, window, merge}, answered from a
     persisted term-clustered posting index — the query scan touches the
     three posting lists, not the corpus."""
-    import os
-    import re as _re
-
     from ..operators.clustering import cluster_linear, write_clustered
+    from .lifecycle_plans import _scratch
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
-    path = f"/root/repo/.scratch/inv_index_{tag}"
+    path = _scratch(sf_dir, "inv_index")
     postings = (
         d.select(
             "doc_id",

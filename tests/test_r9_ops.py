@@ -327,9 +327,9 @@ def test_dv_compaction_rewrites_only_dense_files(spark, tmp_path):
         }
 
     pre = files()
-    rewritten, kept = compact_deletion_vectors(spark, path, min_deleted_fraction=0.3)
+    rewritten, remaining = compact_deletion_vectors(spark, path, min_deleted_fraction=0.3)
     post = files()
-    assert rewritten >= 1 and kept >= 2
+    assert rewritten >= 1 and remaining == len(post)
     untouched = {f: t for f, t in pre.items() if f in post}
     assert untouched and all(post[f] == t for f, t in untouched.items())
     assert any(f.startswith("dvc-") for f in post)  # staged survivors moved in
@@ -338,3 +338,35 @@ def test_dv_compaction_rewrites_only_dense_files(spark, tmp_path):
     assert 0 < dv.count() < 25 + 2
     after = sorted(r["k"] for r in read_with_deletion_vectors(spark, path).collect())
     assert after == before == [k for k in range(25, 100) if k % 50 != 49]
+
+
+def test_dv_compaction_on_uri_escapable_path(spark, tmp_path):
+    """A table path containing a space (URI-encoded by
+    _metadata.file_path) still removes dense originals and never
+    duplicates or resurrects rows across the compaction swap."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.clustering import (
+        cluster_linear,
+        write_clustered,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.tableops import (
+        compact_deletion_vectors,
+        delete_with_vectors,
+        read_with_deletion_vectors,
+    )
+
+    path = str(tmp_path / "dv check" / "t")
+    os.makedirs(os.path.dirname(path))
+    df = spark.createDataFrame([(i, float(i)) for i in range(80)], "k long, v double")
+    write_clustered(cluster_linear(df, ["k"], 4), path)
+    delete_with_vectors(spark, path, F.col("k") < 20)  # whole first file
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    rewritten, remaining = compact_deletion_vectors(spark, path, min_deleted_fraction=0.3)
+    assert rewritten == 1
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after < n_before + 1  # the dense original actually went away
+    rows = sorted(r["k"] for r in read_with_deletion_vectors(spark, path).collect())
+    assert rows == list(range(20, 80))  # no dupes, no resurrection
