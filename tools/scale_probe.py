@@ -1656,8 +1656,94 @@ def probe_r9_64x(base: str, stages: set[str] | None = None) -> None:
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def probe_harvest(base: str) -> None:
+    """Round-9 probe (r7/r8 verdict ask): the stats-sidecar cold
+    harvest, driver loop vs the distributed mapInPandas path, at
+    512/2048-file tables. The claim under test: per-file cost of the
+    distributed path stays flat as the file count quadruples, and wall
+    beats the serial driver loop by ~the executor-core factor (after
+    the r9 fix — coalesce(1) had been collapsing the harvest stage to
+    one task, so the 'distributed' path was serial until now)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators import stats as stats_mod
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("scale-probe-harvest")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, 1024, 1, 32).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    orders = spark.read.parquet(f"{base}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    rows: list[tuple[int, float, float]] = []
+    real_max = stats_mod._DRIVER_HARVEST_MAX
+    for n_files in (2048, 8192):
+        path = f"{SCRATCH}/harvest_{n_files}f"
+        orders.repartition(n_files).write.mode("overwrite").parquet(path)
+        import glob
+        import os as _os
+
+        for f in glob.glob(f"{path}/_stats*") + glob.glob(f"{path}/_manifest*"):
+            shutil.rmtree(f, ignore_errors=True)
+        timings = {}
+        for label, threshold in (("driver", 10**9), ("distributed", real_max)):
+            stats_mod._DRIVER_HARVEST_MAX = threshold
+            for _ in range(2):  # warm second run recorded (footer page cache)
+                shutil.rmtree(_os.path.join(path, "_stats"), ignore_errors=True)
+                t0 = _time.perf_counter()
+                stats_mod.build_table_stats(spark, path, ["o_orderdate"])
+                timings[label] = _time.perf_counter() - t0
+        stats_mod._DRIVER_HARVEST_MAX = real_max
+        rows.append((n_files, timings["driver"], timings["distributed"]))
+        print(f"harvest {n_files} files done", flush=True)
+
+    lines = [
+        "",
+        "## round-9 stats-harvest probe (driver loop vs distributed footer reads)",
+        "",
+        "Cold `_stats` sidecar build over N-file tables; the distributed",
+        "path ships the FILE LIST through mapInPandas and reads footers",
+        "per executor partition (after the r9 coalesce(1)->repartition(1)",
+        "fix, without which the harvest stage itself collapsed to one",
+        "task). Per-file cost of the distributed path should stay flat as",
+        "files quadruple:",
+        "",
+        "| files | driver loop (s) | distributed (s) | driver ms/file | dist ms/file |",
+        "|---|---|---|---|---|",
+    ]
+    for n, td, tx in rows:
+        lines.append(
+            f"| {n} | {td:.2f} | {tx:.2f} | {td / n * 1000:.2f} | {tx / n * 1000:.2f} |"
+        )
+    lines += [
+        "",
+        f"speedup at {rows[-1][0]} files: {rows[-1][1] / rows[-1][2]:.1f}x; distributed"
+        " ms/file "
+        f"{rows[0][2] / rows[0][0] * 1000:.2f} -> {rows[-1][2] / rows[-1][0] * 1000:.2f}"
+        " across the 4x growth.",
+        "",
+    ]
+    with open("/root/repo/SCALE.md", "a") as f:
+        f.write("\n".join(lines))
+    print("appended round-9 stats-harvest section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    if "--r9ops" in sys.argv:
+    if "--harvest" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        probe_harvest(base_dir)
+    elif "--r9ops" in sys.argv:
         base_dir = next(
             (a for a in sys.argv[1:] if not a.startswith("--")),
             "/root/testdata/sf0.1",
