@@ -38,74 +38,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in iteration order. Round-9 window (frozen at round start, BEFORE any new
-# registrations, per COVERAGE.md §Rotation): the 13 round-8 post-freeze
-# registrations (the only ones with no CORRECTNESS row in r1-r8), plus the
-# 37 least-recently-attested oracle-bearing proven greens as cross-round
-# regression canaries — all 26 non-rows-only queries whose last driver row
-# is r4 (this upgrades `dedup_minhash_lsh`/`dedup_simhash`/`knn_lsh_ann`/
-# `multimodal_decode_features`, whose old ledger rows are rows-only but
-# which gained exact oracles in r7/r8, to hash-matched rows), plus the 11
-# alphabetically-first of the r5 cohort. Rows-only-by-design queries are
-# excluded from canary slots so every r9 row is hash-checkable (their
-# deliberate rows-only ledger rows already exist from r4). Any query
-# registered later this round appends AFTER the window and rotates in r10.
-# Everything NOT in the window still passes the identical local gate
-# (``tools/oracle_check.py`` runs all of them).
+# in iteration order. Round-10 window (FROZEN at round start, BEFORE any new
+# registrations, per COVERAGE.md §Rotation): the 17 round-9 post-freeze
+# registrations (the only queries with no CORRECTNESS row in r1-r9), plus
+# the 33 least-recently-attested oracle-bearing proven greens as cross-round
+# regression canaries — computed as: every oracle-bearing, non-rows-only
+# query sorted by (last driver row, name); all 33 land in the r5 cohort
+# (alphabetically first of the 36 queries whose last driver row is r5).
+# Rows-only-by-design queries are excluded from canary slots so every r10
+# row is hash-checkable. Any query registered later this round appends
+# AFTER the window and rotates in r11. Everything NOT in the window still
+# passes the identical local gate (``tools/oracle_check.py`` runs all).
+# Once this window lands, cumulative driver attestation = 254/254 of the
+# pre-r10 registry.
 PRIORITY_WINDOW: list[str] = [
-    # round-8 additions never driver-checked (13)
-    "ann_recall_lsh_vs_exact",
-    "asof_prior_click_tolerance",
-    "dedup_edit_distance_blocked",
-    "dedup_minhash_store_probe",
-    "events_anomaly_mad",
-    "events_twap_daily",
-    "hidden_partition_day_scan",
-    "kfold_split_documents",
-    "knn_matryoshka_trunc16",
-    "l_diversity_customer_release",
-    "partition_evolution_scan",
-    "streaming_minhash_store",
-    "zorder_nd_scan_bands",
-    # rows-only->oracle ledger upgrades + last-driver-row-r4 canaries (26)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "incremental_join_refresh",
-    "knn_ivf_ann",
-    "knn_lsh_ann",
-    "multimodal_decode_features",
-    "pack_sequences_token_budget",
-    "pmi_collocations_topk",
-    "rolling_7d_active_users",
-    "sample_by_quality_bucket",
-    "sample_fixed_per_source",
-    "shard_round_robin",
-    "source_mixture_weights",
-    "streaming_sliding_counts",
-    "streaming_stateful_user_stats",
-    "text_boilerplate_fraction",
-    "text_encode_ids",
-    "text_pii_redaction",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_unigram_logprob",
-    "upsert_bloom_indexed",
-    "window_rank_distribution",
-    "window_sliding_event_counts",
-    "window_tumbling_event_stats",
-    "bm25_rank_docs",
-    # last-driver-row-r5 canaries, alphabetically first (11)
-    "bpe_encode_fixed",
-    "bulk_insert_global_sort",
-    "dataset_card_report",
-    "dedup_canonical_by_quality",
-    "dedup_exact_rows",
-    "doc_ngram_novelty",
-    "dpp_partition_pruned_join",
-    "embedding_pq_codes",
-    "extract_incremental",
-    "incremental_percentile_histogram",
-    "indexed_point_lookup",
+    # round-9 additions never driver-checked (17)
+    "attribution_linear_multi_touch",
+    "audio_vad_segments",
+    "crossmodal_image_to_text_topk",
+    "dedup_intra_doc_spans",
+    "deletion_vector_read",
+    "dp_noisy_counts_release",
+    "dv_compaction_read",
+    "events_holt_forecast",
+    "gdpr_subject_access_export",
+    "hybrid_rrf_retrieval",
+    "image_ahash_neardup",
+    "inverted_index_conjunctive",
+    "knn_filtered_label",
+    "kwic_snippets",
+    "merge_full_sync_orders",
+    "skew_diagnostic_events",
+    "video_scene_cuts",
+    # last-driver-row-r5 canaries, alphabetically first (33)
+    "insert_overwrite_restate",
+    "knn_pq_adc",
+    "lakehouse_end_to_end",
+    "merge_into_orders",
+    "mixture_epoch_plan",
+    "q1_pricing_summary",
+    "quality_model_filter",
+    "quarantine_split_orders",
+    "recluster_scan_equivalence",
+    "scd2_point_in_time_join",
+    "scd2_user_status",
+    "secondary_index_lookup",
+    "semantic_dedup_semdedup",
+    "source_contamination_matrix",
+    "streaming_chained_rollup",
+    "streaming_interval_join_outer",
+    "streaming_scd2_enrich",
+    "streaming_timeline_ingest",
+    "timeline_auto_compact_read",
+    "timeline_bootstrap_read",
+    "timeline_cdc_images",
+    "timeline_cdc_incremental",
+    "timeline_cleaned_read",
+    "timeline_describe_history",
+    "timeline_read_optimized",
+    "timeline_read_with_meta",
+    "timeline_realtime_snapshot",
+    "timeline_restore_savepoint",
+    "timeline_rollback_read",
+    "upsert_global_index",
+    "upsert_partial_update",
+    "upsert_precombine",
+    "upsert_record_indexed",
 ]
 
 
