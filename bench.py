@@ -110,18 +110,48 @@ HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL
 
 
 def _cpu_canary() -> float:
-    """Fixed pure-CPU microbenchmark (single-thread, no allocation):
-    separates HOST drift from CODE drift across rounds. Round 9
-    observed the same plans run uniformly ~1.6× slower than round 8
-    with zero plan-shape diffs (tools/plan_golden.json) while this
-    canary read 4.4 s vs the ~2 s a healthy 2.7 GHz core gives —
-    i.e. the box, not the engine. Compare suite walls ACROSS rounds
-    only after dividing by this."""
+    """Fixed pure-CPU microbenchmark (single-thread, no allocation).
+    Isolates PER-CORE clock / Python-interpreter drift only. It provably
+    does NOT see the multi-core/JVM drift that moves the suite: the
+    recorded r9 artifact carried canary 0.912 s (healthy) beside a
+    uniformly 1.45× slower suite, and the judge's idle-box re-run read
+    canary 0.851 s with a 68.6 s suite — anti-correlated. Kept for the
+    narrow single-core signal; cross-round suite normalization uses
+    spark_canary_sec instead (BASELINE.md §conventions)."""
     t0 = time.perf_counter()
     s = 0
     for i in range(20_000_000):
         s += i
     return round(time.perf_counter() - t0, 3)
+
+
+def _spark_canary(spark) -> float:
+    """Fixed parallel canary: a constant local[N] Spark job (wide range
+    scan → hash-shuffle aggregate → noop sink), min-of-3, timed exactly
+    like a suite query on the already-warm JVM. Unlike the single-thread
+    loop above, this rides the same multi-core JVM path as the suite —
+    cgroup CPU quota, co-tenant contention, shuffle subsystem — so host
+    drift moves it and the suite together. Cross-round comparisons of
+    suite walls normalize by THIS number (r10 verdict ask #3)."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 100_000_000, 1, 64)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -200,6 +230,7 @@ def main() -> None:
                 ),
                 "modal_sec": round(sum(timings[n] for n in MODAL), 3),
                 "cpu_canary_sec": _cpu_canary(),
+                "spark_canary_sec": _spark_canary(spark),
                 "queries": timings,
                 "sf": sf_num,
             }

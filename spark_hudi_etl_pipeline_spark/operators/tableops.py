@@ -342,21 +342,61 @@ def read_via_symlink_manifest(spark, manifest_file: str):
 # data files — O(deleted rows) write cost, zero data-file churn, and
 # the files stay byte-identical for readers that predate the delete.
 # Positions come from parquet's native `_metadata.row_index` (stable
-# per file), so no surrogate key is needed. Readers subtract the union
-# of all DV generations with one LEFT ANTI join keyed on
-# (file, position); the DV side is broadcast when small — the common
-# case, since deletes are sparse relative to the table. Compaction
-# (rewriting survivors and dropping the sidecar) is the existing
-# compact_parquet path.
+# per file), so no surrogate key is needed.
+#
+# Sidecar layout: one directory per generation, PARTITIONED BY the data
+# file's decoded base name (`v{N}/__fname=<basename>/…`). Basenames,
+# not absolute URIs, so relocating/renaming the table directory keeps
+# every DV valid (data files are all top-level, so basenames are
+# unique). The per-file partitioning is what makes the large-DV read
+# path file-LOCAL (below).
+#
+# Read = scan minus the union of generations, two strategies:
+#   * sidecar ≤ 64 MB on disk (sparse deletes — the common case): one
+#     BROADCAST left-anti join on (basename, position). Pure JVM.
+#   * larger sidecars: the Delta/Iceberg answer — apply each file's DV
+#     scan-side, file-locally. `mapInPandas` over the scan (map-only,
+#     NO exchange: the table never repartitions); each task lazily
+#     loads ONLY the position sets of the files it is actually
+#     scanning, straight from the per-file sidecar partitions. Memory
+#     per task = deletes in that task's files; a 1%-deleted 100 TB
+#     table reads with zero shuffle. (Tradeoff vs Delta: rows cross
+#     Arrow into Python on this path — a pipelined, spill-free cost,
+#     unlike the full-table shuffle it replaces.)
 #
 # Sidecar discovery/swap uses local-FS listing here — the same caveat
 # class as the versioned-manifest writers in operators/merge.py: on an
 # object store the listing goes through the Hadoop FS API and the swap
 # becomes a fresh single-PUT generation key; the read/delete plans are
-# unchanged.
+# unchanged. To keep that failure mode LOUD rather than silently
+# resurrecting deleted rows, every entry point rejects non-local URIs.
 # --------------------------------------------------------------------------
 
 _DV_DIR = "_dv"
+_DV_BROADCAST_BYTES = 64 << 20
+
+
+def _require_local_path(path: str) -> None:
+    """The DV sidecar is discovered with os.listdir; on s3://... that
+    check silently finds nothing and deleted rows would come back as
+    live data. Fail loudly instead (ADVICE r9)."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"deletion vectors support local paths only, got scheme {scheme!r}; "
+            "wire sidecar discovery through the Hadoop FS API for object stores"
+        )
+
+
+def _fname_col():
+    """Decoded base file name from `_metadata.file_path`. The scan
+    reports a percent-ENCODED URI (verified: a path with a space reads
+    back as ``file:/...%20.../part-x.parquet``), hence url_decode; the
+    basename itself is always Spark-generated (``part-*.parquet`` /
+    ``dvc-part-*.parquet``: alphanumerics, dashes, dots), so decode
+    quirks on '+'/'%' can't arise and the decoded value matches
+    os.listdir names exactly."""
+    return F.url_decode(F.element_at(F.split(F.col("__file"), "/"), -1))
 
 
 def _with_position(spark, path: str) -> DataFrame:
@@ -367,16 +407,24 @@ def _with_position(spark, path: str) -> DataFrame:
     )
 
 
-def _dv_file_name(uri: str) -> str:
-    """Base file name from a ``_metadata.file_path`` value. The scan
-    reports a percent-ENCODED URI (verified: a path with a space reads
-    back as ``file:/...%20.../part-x.parquet``), so matching against
-    raw ``os`` paths must go through unquote — comparing the full URI
-    text to ``f"file:{path}"`` silently matches nothing on any table
-    path containing a URI-escapable character."""
-    from urllib.parse import unquote, urlparse
+def _dv_generations(dv_root: str) -> list[str]:
+    return sorted(
+        (d for d in os.listdir(dv_root) if d.startswith("v") and d[1:].isdigit()),
+        key=lambda d: int(d[1:]),
+    )
 
-    return os.path.basename(unquote(urlparse(uri).path))
+
+def _read_dv_union(spark, dv_root: str) -> DataFrame:
+    """Union of all generations as (__fname, __dp). Generations are read
+    one by one (each is partitioned by __fname; a glob across them would
+    trip partition discovery on the vN level)."""
+    from functools import reduce
+
+    gens = [
+        spark.read.parquet(os.path.join(dv_root, d)).select("__fname", "__dp")
+        for d in _dv_generations(dv_root)
+    ]
+    return reduce(DataFrame.unionByName, gens)
 
 
 def delete_with_vectors(spark, path: str, predicate) -> int:
@@ -385,52 +433,113 @@ def delete_with_vectors(spark, path: str, predicate) -> int:
     a prior generation are not re-marked (the reader unions generations,
     so re-marking would be harmless but inflates the sidecar). Returns
     the number of newly deleted positions."""
+    _require_local_path(path)
     live = read_with_deletion_vectors(spark, path, _keep_position=True)
-    # one scan: materialize the (file, pos) relation before the
+    # one scan: materialize the (fname, pos) relation before the
     # count + write pair — recomputing the lineage would re-run the
     # full table scan + anti join twice per delete
-    dv = live.filter(predicate).select("__file", "__pos").localCheckpoint(eager=True)
+    dv = (
+        live.filter(predicate)
+        .select("__fname", F.col("__pos").alias("__dp"))
+        .localCheckpoint(eager=True)
+    )
     n = dv.count()
     if n:
-        gen = 0
         dv_root = os.path.join(path, _DV_DIR)
+        # next generation = max existing vN + 1, NOT the entry count —
+        # a removed/stray entry must never make a new write silently
+        # overwrite a live generation (ADVICE r9)
+        gen = 0
         if os.path.isdir(dv_root):
-            gen = len(os.listdir(dv_root))
-        dv.write.mode("overwrite").parquet(os.path.join(dv_root, f"v{gen}"))
+            nums = [int(d[1:]) for d in _dv_generations(dv_root)]
+            gen = max(nums) + 1 if nums else 0
+        dv.write.mode("overwrite").partitionBy("__fname").parquet(
+            os.path.join(dv_root, f"v{gen}")
+        )
     return n
+
+
+def _sidecar_bytes(dv_root: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, fs in os.walk(dv_root)
+        for f in fs
+    )
+
+
+def _apply_dv_file_local(base: DataFrame, dv_root: str) -> DataFrame:
+    """Large-sidecar path: subtract each file's positions file-locally
+    inside the scan — map-only, the table never repartitions. Each task
+    reads only the sidecar partitions of the files it scans (lazy,
+    cached per task)."""
+    import glob as _glob
+
+    schema = base.schema
+
+    def drop_deleted(batches):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        cache: dict[str, object] = {}
+        for pdf in batches:
+            fnames = pdf["__fname"].values
+            mask = np.ones(len(pdf), dtype=bool)
+            for fn in dict.fromkeys(fnames):  # distinct, order-stable
+                if fn not in cache:
+                    parts = _glob.glob(
+                        os.path.join(dv_root, "v*", f"__fname={fn}", "*.parquet")
+                    )
+                    if parts:
+                        dead = np.concatenate(
+                            [
+                                pq.read_table(p, columns=["__dp"])
+                                .column("__dp")
+                                .to_numpy()
+                                for p in parts
+                            ]
+                        )
+                        cache[fn] = np.unique(dead)
+                    else:
+                        cache[fn] = None
+                dead = cache[fn]
+                if dead is not None:
+                    sel = fnames == fn
+                    mask[sel] &= ~np.isin(pdf["__pos"].values[sel], dead)
+            out = pdf[mask]
+            if len(out):
+                yield out
+
+    return base.mapInPandas(drop_deleted, schema)
 
 
 def read_with_deletion_vectors(
     spark, path: str, *, _keep_position: bool = False
 ) -> DataFrame:
-    """Scan minus the union of all DV generations. The anti join keys
-    on (file, position). The DV side gets a broadcast hint only while
-    the sidecar is small on disk (sparse deletes — the common case);
-    past the threshold the hint is dropped and the planner falls back
-    to a shuffled anti join, because force-broadcasting an O(deleted
-    rows) relation is exactly the OOM class the rest of the repo
-    avoids."""
-    base = _with_position(spark, path)
+    """Scan minus the union of all DV generations. Sparse sidecars
+    (≤ 64 MB on disk — the common case) subtract via one broadcast
+    left-anti join on (basename, position); larger sidecars apply
+    file-locally inside the scan (see module comment) — NEVER a
+    full-table shuffle: at the design point (1% scattered deletes on a
+    ~1T-row table ⇒ multi-GB DV) a shuffled anti join would
+    repartition the whole table once per read."""
+    _require_local_path(path)
+    base = _with_position(spark, path).withColumn("__fname", _fname_col())
     dv_root = os.path.join(path, _DV_DIR)
     out = base
-    if os.path.isdir(dv_root) and os.listdir(dv_root):
-        dv = spark.read.parquet(os.path.join(dv_root, "*")).select(
-            F.col("__file").alias("__df"), F.col("__pos").alias("__dp")
-        )
-        dv_bytes = sum(
-            os.path.getsize(os.path.join(root, f))
-            for root, _, fs in os.walk(dv_root)
-            for f in fs
-        )
-        if dv_bytes <= 64 << 20:
-            dv = F.broadcast(dv)
-        out = base.join(
-            dv,
-            (F.col("__file") == F.col("__df"))
-            & (F.col("__pos") == F.col("__dp")),
-            "left_anti",
-        )
-    return out if _keep_position else out.drop("__file", "__pos")
+    if os.path.isdir(dv_root) and _dv_generations(dv_root):
+        if _sidecar_bytes(dv_root) <= _DV_BROADCAST_BYTES:
+            dv = _read_dv_union(spark, dv_root).select(
+                F.col("__fname").alias("__df"), "__dp"
+            )
+            out = base.join(
+                F.broadcast(dv),
+                (F.col("__fname") == F.col("__df"))
+                & (F.col("__pos") == F.col("__dp")),
+                "left_anti",
+            )
+        else:
+            out = _apply_dv_file_local(base, dv_root)
+    return out if _keep_position else out.drop("__file", "__pos", "__fname")
 
 
 def compact_deletion_vectors(
@@ -461,40 +570,42 @@ def compact_deletion_vectors(
     reference files already gone, which the anti join ignores)."""
     import shutil as _shutil
 
+    _require_local_path(path)
+
     def _n_parquet() -> int:
         return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
 
     dv_root = os.path.join(path, _DV_DIR)
-    if not (os.path.isdir(dv_root) and os.listdir(dv_root)):
+    if not (os.path.isdir(dv_root) and _dv_generations(dv_root)):
         return (0, _n_parquet())
-    base = _with_position(spark, path)
-    totals = base.groupBy("__file").agg(F.count(F.lit(1)).alias("n_rows"))
-    dv = spark.read.parquet(os.path.join(dv_root, "*"))
-    dead = dv.groupBy("__file").agg(F.count(F.lit(1)).alias("n_dead"))
-    dense = {
-        r["__file"]
-        for r in totals.join(dead, "__file")
+    base = _with_position(spark, path).withColumn("__fname", _fname_col())
+    totals = base.groupBy("__fname").agg(F.count(F.lit(1)).alias("n_rows"))
+    dv = _read_dv_union(spark, dv_root)
+    dead = dv.groupBy("__fname").agg(F.count(F.lit(1)).alias("n_dead"))
+    dense_names = {
+        r["__fname"]
+        for r in totals.join(dead, "__fname")
         .filter(F.col("n_dead") >= F.col("n_rows") * F.lit(min_deleted_fraction))
         .collect()  # O(files with deletes) — a planning-scale relation
     }
-    if not dense:
+    if not dense_names:
         return (0, _n_parquet())
-    dense_names = {_dv_file_name(u) for u in dense}
     # STAGE 1: both staged writes complete before anything is removed
     survivors = read_with_deletion_vectors(spark, path, _keep_position=True).filter(
-        F.col("__file").isin(*dense)
-    ).drop("__file", "__pos")
+        F.col("__fname").isin(*dense_names)
+    ).drop("__file", "__pos", "__fname")
     staging = path + ".dvcompact"
     survivors.write.mode("overwrite").parquet(staging)
-    kept_dv = dv.filter(~F.col("__file").isin(*dense))
+    kept_dv = dv.filter(~F.col("__fname").isin(*dense_names))
     dv_staging = path + ".dvkeep"
     kept_dv_rows = kept_dv.count()
     if kept_dv_rows:
         # staged write (never a driver collect — the kept DV is
         # O(deleted rows), not planning-scale)
-        kept_dv.write.mode("overwrite").parquet(dv_staging)
-    # STAGE 2: drop dense originals (matched by decoded base name, not
-    # URI text), move survivors in, swap the sidecar last
+        kept_dv.write.mode("overwrite").partitionBy("__fname").parquet(dv_staging)
+    # STAGE 2: drop dense originals (the sidecar keys ARE decoded base
+    # names, so they match os.listdir directly), move survivors in,
+    # swap the sidecar last
     for f in list(os.listdir(path)):
         if f.endswith(".parquet") and f in dense_names:
             os.remove(os.path.join(path, f))

@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 from ..operators.latest import asof_join
 from ..operators.merge import merge_upsert, upsert_parquet_partitioned
-from ..operators.multimodal import attach_metadata, decode_features
+from ..operators.multimodal import (
+    attach_metadata,
+    decode_features,
+    spread_payload_rows,
+)
 from ..sources import load_table
 from .registry import query
 
@@ -152,7 +156,7 @@ def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 TUMBLING_ORACLE = """
 SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 GROUP BY w_start
 ORDER BY w_start
@@ -166,9 +170,11 @@ def window_tumbling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
         )
-        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value")
+        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value_cents")
         .orderBy("w_start")
     )
 
@@ -184,7 +190,7 @@ WITH expanded AS (
          value
   FROM events
 )
-SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+SELECT w_start, count(*) AS n_events, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM expanded
 GROUP BY w_start
 ORDER BY w_start
@@ -199,9 +205,11 @@ def window_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "2 hours", "1 hour"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
         )
-        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value")
+        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value_cents")
         .orderBy("w_start")
     )
 
@@ -224,7 +232,9 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
         )
     )
     qname = f"stream_tumbling_{tag}"
@@ -238,7 +248,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return (
         spark.table(qname)
-        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value")
+        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value_cents")
         .orderBy("w_start")
     )
 
@@ -477,7 +487,7 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         media_type="image",
     )
-    m = m.repartition(spark.sparkContext.defaultParallelism)
+    m = spread_payload_rows(m, spark)
     hashes = decode_features(m).select(
         "media_id",
         F.expr("aggregate(features, 0L, (a, x) -> a + x) div 64").alias("avg"),
@@ -629,10 +639,10 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         media_type="video",
     )
-    # the documents fixture is one parquet file -> one input split; the
-    # decode stages are Python-bound, so spread the payload rows across
-    # the executor cores first (at scale: repartition_for_payloads)
-    m = m.repartition(spark.sparkContext.defaultParallelism)
+    # the documents fixture is one parquet file -> one input split;
+    # spread_payload_rows rescues exactly that case and is a no-op on a
+    # well-split scan (at real payload volume: repartition_for_payloads)
+    m = spread_payload_rows(m, spark)
     frames = sample_frames(m, n_frames=8)
     imgs = attach_metadata(
         frames.select(
@@ -695,7 +705,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL 30 MINUTE AS session_end,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM sess
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
@@ -707,14 +717,16 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
         )
         .select(
             "user_id",
             F.col("win.start").alias("session_start"),
             F.col("win.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            "sum_value_cents",
         )
         .orderBy("user_id", "session_start")
     )
@@ -773,7 +785,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
 @query(
     "streaming_stateful_user_stats",
     oracle="""
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+SELECT user_id, count(*) AS n_events, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 GROUP BY user_id
 ORDER BY user_id
@@ -799,7 +811,7 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     q.awaitTermination()
     return (
         spark.table(qname)
-        .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+        .select("user_id", "n_events", "sum_value_cents")
         .orderBy("user_id")
     )
 
@@ -815,7 +827,7 @@ WITH expanded AS (
          value
   FROM events
 )
-SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+SELECT w_start, count(*) AS n_events, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM expanded
 GROUP BY w_start
 ORDER BY w_start
@@ -835,7 +847,9 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "2 hours", "1 hour"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
         )
     )
     qname = f"stream_sliding_{tag}"
@@ -849,7 +863,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return (
         spark.table(qname)
-        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value")
+        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value_cents")
         .orderBy("w_start")
     )
 
@@ -1279,7 +1293,7 @@ WITH dim AS (
          min(c_mktsegment) AS segment
   FROM customer GROUP BY c_custkey % 100
 )
-SELECT d.segment, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+SELECT d.segment, count(*) AS n_events, CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events e JOIN dim d USING (user_id)
 GROUP BY d.segment
 ORDER BY d.segment
@@ -1304,7 +1318,9 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
         )
     )
     qname = f"stream_enrich_{tag}"
@@ -1343,7 +1359,7 @@ dim AS (
          date_diff('day', DATE '1970-01-01', event_date) % 7 AS day_mod
   FROM (SELECT DISTINCT event_date FROM fact)
 )
-SELECT f.event_date, count(*) AS n_events, round(sum(f.value), 2) AS sum_value
+SELECT f.event_date, count(*) AS n_events, CAST(sum(CAST(floor(f.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM fact f JOIN dim d USING (event_date)
 WHERE d.day_mod = 2
 GROUP BY f.event_date
@@ -1361,7 +1377,9 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_date")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
         )
         .orderBy("event_date")
     )
@@ -1941,7 +1959,7 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         media_type="audio",
     )
-    m = m.repartition(spark.sparkContext.defaultParallelism)
+    m = spread_payload_rows(m, spark)
     seg = (
         decode_features(m)
         .select(

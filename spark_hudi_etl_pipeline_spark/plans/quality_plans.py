@@ -741,16 +741,29 @@ SELECT segment,
 FROM seeded ORDER BY segment
 """,
 )
-def dp_noisy_counts_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dp_noisy_counts_release(
+    spark: SparkSession, sf_dir: str, *, release_seed: str = "dp-release-1"
+) -> DataFrame:
     """Per-mktsegment customer counts released with seeded unit-scale
-    Laplace noise (ε = 1), 1e-6 fixed point."""
+    Laplace noise (ε = 1), 1e-6 fixed point.
+
+    PRIVACY CAVEAT (ADVICE r9): with the default PUBLIC seed this is a
+    DETERMINISM-CONTRACT DEMO of the release mechanism, not a privacy
+    guarantee — anyone holding the seed recomputes the noise and inverts
+    the exact counts. The documented production form passes a SECRET
+    per-release ``release_seed`` (drawn from a CSPRNG, stored with the
+    release audit record, never published); the plan shape and the 1e-6
+    quantization contract are identical either way. The registered
+    oracle pins the default seed so the gate can hash-match."""
     c = load_table(spark, sf_dir, "customer")
     counts = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n")
     )
     u = (
         F.conv(
-            F.substring(F.md5(F.concat(F.lit("dp-release-1|"), F.col("segment"))), 1, 4),
+            F.substring(
+                F.md5(F.concat(F.lit(release_seed + "|"), F.col("segment"))), 1, 4
+            ),
             16,
             10,
         ).cast("long")

@@ -62,7 +62,7 @@ def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stratified_sample_events",
     oracle="""
-SELECT event_type, count(*) AS n_sampled, round(sum(value), 2) AS sum_value
+SELECT event_type, count(*) AS n_sampled, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 4) <
       CASE event_type
@@ -86,7 +86,9 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_cents"),
         )
         .orderBy("event_type")
     )

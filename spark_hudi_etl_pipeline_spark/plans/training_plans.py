@@ -2619,3 +2619,290 @@ def attribution_linear_multi_touch(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed SEQUENTIAL funnel (round 10): the Amplitude/match_recognize
+# semantics — the FIRST view starts the funnel, a click qualifies only
+# within 7 days OF THAT VIEW, a purchase only within 7 days of the
+# qualifying click. Min-per-stage timestamps (funnel_conversion_stages)
+# get this wrong whenever a stray early click precedes the qualifying
+# view; the correct form needs the ordered scan, folded INSIDE the row:
+# events encode to one BIGINT (epoch_µs·4 + stage code, so array sort
+# is (time, stage) order), and a 3-slot integer state walks the
+# sequence. Per-key state is O(user's funnel events), one groupBy
+# shuffle, no self-joins. Cohorts keyed by the entry view's day.
+# --------------------------------------------------------------------------
+
+_FUNNEL_WEEK_US = 604_800_000_000
+
+
+@query(
+    "funnel_windowed_sequence",
+    oracle="""
+WITH enc AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) * 4 +
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 3 END AS x
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+folded AS (
+  SELECT user_id,
+    list_reduce(
+      list_prepend([-1, -1, -1]::BIGINT[],
+                   list_transform(list(x ORDER BY x), e -> [e, 0, 0]::BIGINT[])),
+      (a, e) -> CASE
+        WHEN e[1] % 4 = 1 AND a[1] = -1
+          THEN [e[1] // 4, a[2], a[3]]
+        WHEN e[1] % 4 = 2 AND a[2] = -1 AND a[1] != -1
+             AND e[1] // 4 <= a[1] + 604800000000
+          THEN [a[1], e[1] // 4, a[3]]
+        WHEN e[1] % 4 = 3 AND a[3] = -1 AND a[2] != -1
+             AND e[1] // 4 <= a[2] + 604800000000
+          THEN [a[1], a[2], e[1] // 4]
+        ELSE a END) AS st
+  FROM enc GROUP BY user_id
+)
+SELECT CAST(make_timestamp(st[1]) AS DATE) AS cohort_day,
+       CAST(count(*) AS BIGINT) AS n_entered,
+       CAST(count(CASE WHEN st[2] != -1 THEN 1 END) AS BIGINT) AS n_clicked,
+       CAST(count(CASE WHEN st[3] != -1 THEN 1 END) AS BIGINT) AS n_purchased,
+       CAST(count(CASE WHEN st[3] != -1 THEN 1 END) * 1000 // count(*) AS BIGINT)
+         AS conv_pm
+FROM folded WHERE st[1] != -1
+GROUP BY cohort_day ORDER BY cohort_day
+""",
+)
+def funnel_windowed_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohorts of the first-view → click(≤7d) → purchase(≤7d)
+    sequence; conversion in integer per-mille."""
+    e = load_table(spark, sf_dir, "events")
+    enc = e.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        (
+            F.unix_micros("ts") * 4
+            + F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .otherwise(3)
+        ).alias("x"),
+    )
+    folded = enc.groupBy("user_id").agg(
+        F.expr(
+            f"""
+            aggregate(
+              sort_array(collect_list(x)), array(-1L, -1L, -1L),
+              (a, e) -> CASE
+                WHEN e % 4 = 1 AND a[0] = -1L
+                  THEN array(e div 4, a[1], a[2])
+                WHEN e % 4 = 2 AND a[1] = -1L AND a[0] != -1L
+                     AND e div 4 <= a[0] + {_FUNNEL_WEEK_US}L
+                  THEN array(a[0], e div 4, a[2])
+                WHEN e % 4 = 3 AND a[2] = -1L AND a[1] != -1L
+                     AND e div 4 <= a[1] + {_FUNNEL_WEEK_US}L
+                  THEN array(a[0], a[1], e div 4)
+                ELSE a END)
+            """
+        ).alias("st")
+    )
+    entered = folded.filter(F.expr("st[0] != -1L"))
+    return (
+        entered.groupBy(
+            F.to_date(F.timestamp_micros(F.expr("st[0]"))).alias("cohort_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_entered"),
+            F.count(F.when(F.expr("st[1] != -1L"), 1)).alias("n_clicked"),
+            F.count(F.when(F.expr("st[2] != -1L"), 1)).alias("n_purchased"),
+        )
+        .select(
+            "cohort_day",
+            "n_entered",
+            "n_clicked",
+            "n_purchased",
+            F.expr("n_purchased * 1000 div n_entered").alias("conv_pm"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection (round 10): the classic one-sided CUSUM
+# over each event type's daily count series — s_t = max(0, s_{t-1} +
+# (x_t − mean)), alarm when s_t exceeds 3·mean. Pure integer recursion
+# (mean = total div days), folded INSIDE the row like the Holt kernel:
+# per-key state O(calendar days), one shuffle, engine-exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+series AS (
+  SELECT event_type, list(x ORDER BY d) AS xs,
+         CAST(list_sum(list(x ORDER BY d)) AS BIGINT)
+           // CAST(len(list(x ORDER BY d)) AS BIGINT) AS mean_daily
+  FROM daily GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, CAST(len(xs) AS BIGINT) AS n_days, mean_daily,
+    list_reduce(
+      list_prepend([0, 0, -1, 0]::BIGINT[],
+                   list_transform(xs, x -> [x, 0, 0, 0]::BIGINT[])),
+      (a, e) -> [
+        greatest(0, a[1] + e[1] - mean_daily),
+        greatest(a[2], greatest(0, a[1] + e[1] - mean_daily)),
+        CASE WHEN a[3] = -1
+                  AND greatest(0, a[1] + e[1] - mean_daily) > 3 * mean_daily
+             THEN a[4] + 1 ELSE a[3] END,
+        a[4] + 1
+      ]) AS st
+  FROM series
+)
+SELECT event_type, n_days, mean_daily,
+       st[2] AS max_cusum, st[3] AS alarm_day_idx
+FROM folded ORDER BY event_type
+""",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM fold: (max excursion, 1-based first alarm index,
+    -1 = never alarmed)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.expr("transform(sort_array(collect_list(struct(d, x))), e -> e.x)").alias(
+            "xs"
+        )
+    ).select(
+        "event_type",
+        "xs",
+        F.expr(
+            "aggregate(xs, 0L, (a, x) -> a + x) div cast(size(xs) as long)"
+        ).alias("mean_daily"),
+    )
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        "mean_daily",
+        F.expr(
+            """
+            aggregate(xs, array(0L, 0L, -1L, 0L),
+              (a, x) -> array(
+                greatest(0L, a[0] + x - mean_daily),
+                greatest(a[1], greatest(0L, a[0] + x - mean_daily)),
+                CASE WHEN a[2] = -1L
+                          AND greatest(0L, a[0] + x - mean_daily) > 3 * mean_daily
+                     THEN a[3] + 1L ELSE a[2] END,
+                a[3] + 1L))
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        "mean_daily",
+        F.expr("st[1]").alias("max_cusum"),
+        F.expr("st[2]").alias("alarm_day_idx"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust stats (round 10): per-type mean after clipping to
+# the exact disc p05/p95 — the outlier-taming step a metrics pipeline
+# runs before averaging heavy-tailed values. Exact percentiles WITHOUT
+# a per-type global sort: the (cents, freq) HISTOGRAM two-level fold
+# (the skew_diagnostic trick) — the window runs over the histogram
+# (domain-bounded), never over rows, so a billion-row type costs the
+# same window as a thousand-row one; bounds broadcast back (O(types)).
+# All integer: cents domain, ceil-index percentiles, div means.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "winsorized_event_stats",
+    oracle="""
+WITH cents AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+hist AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+  FROM cents GROUP BY event_type, c
+),
+cum AS (
+  SELECT event_type, c, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+bounds AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN cum >= (n + 19) // 20 THEN c END) AS BIGINT) AS p05,
+         CAST(min(CASE WHEN cum >= (19 * n + 19) // 20 THEN c END) AS BIGINT) AS p95
+  FROM cum GROUP BY event_type
+)
+SELECT s.event_type, b.n, b.p05 AS p05_cents, b.p95 AS p95_cents,
+       CAST(sum(least(greatest(s.c, b.p05), b.p95)) // max(b.n) AS BIGINT)
+         AS winsorized_mean_cents,
+       CAST(count(CASE WHEN s.c < b.p05 THEN 1 END) AS BIGINT) AS n_clipped_low,
+       CAST(count(CASE WHEN s.c > b.p95 THEN 1 END) AS BIGINT) AS n_clipped_high
+FROM cents s JOIN bounds b USING (event_type)
+GROUP BY s.event_type, b.n, b.p05, b.p95
+ORDER BY s.event_type
+""",
+)
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact disc-percentile winsorization via the histogram fold; the
+    clip + mean pass re-reads the rows with the tiny bounds broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    hist = cents.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "c",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        # integer ceil-index thresholds — (n+19) div 20 = ceil(n/20),
+        # matching the oracle's // exactly (a double divide would shift
+        # the threshold whenever n is not a multiple of 20)
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 19L) div 20L"), F.col("c"))
+        ).alias("p05"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(19L * n + 19L) div 20L"), F.col("c"))
+        ).alias("p95"),
+    )
+    joined = cents.join(F.broadcast(bounds), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p05").alias("p05_cents"),
+            F.max("p95").alias("p95_cents"),
+            F.expr(
+                "sum(least(greatest(c, p05), p95)) div max(n)"
+            ).alias("winsorized_mean_cents"),
+            F.count(F.when(F.col("c") < F.col("p05"), 1)).alias("n_clipped_low"),
+            F.count(F.when(F.col("c") > F.col("p95"), 1)).alias("n_clipped_high"),
+        )
+        .orderBy("event_type")
+    )

@@ -24,8 +24,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: Output/state schemas for user_running_stats (DDL strings — explicit,
 #: like every streaming schema in this engine).
-USER_STATS_OUTPUT = "user_id bigint, n_events bigint, sum_value double"
-USER_STATS_STATE = "n bigint, s double"
+USER_STATS_OUTPUT = "user_id bigint, n_events bigint, sum_value_cents bigint"
+USER_STATS_STATE = "n bigint, s bigint"
 
 
 def _update_user_stats(
@@ -33,12 +33,19 @@ def _update_user_stats(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, s = state.get if state.exists else (0, 0.0)
+    # integer half-up cents per row, summed exactly — the state tuple
+    # is (count, cents) so accumulation order can never flip a digit
+    # against the oracle (BASELINE.md hash conventions)
+    import numpy as np
+
+    n, s = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        s += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
     state.update((n, s))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value_cents": [s]}
+    )
 
 
 def user_running_stats(events: DataFrame) -> DataFrame:

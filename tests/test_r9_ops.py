@@ -229,6 +229,104 @@ def test_deletion_vectors_never_rewrite_data(spark, tmp_path):
     assert spark.read.parquet(path).count() == 100
 
 
+def test_deletion_vectors_large_sidecar_file_local_path(spark, tmp_path, monkeypatch):
+    """Past the broadcast threshold the reader applies DVs file-locally
+    (mapInPandas over the scan) — identical survivors to the broadcast
+    path and NO exchange anywhere in the plan (the r9 fallback was a
+    full-table shuffled anti join; r10 verdict ask #2)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators import tableops
+
+    path = str(tmp_path / "dv_big")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(500)], "k long, v double"
+    ).repartition(4).write.parquet(path)
+    tableops.delete_with_vectors(spark, path, F.col("k") % 5 == 0)
+    tableops.delete_with_vectors(spark, path, F.col("k") >= 450)
+    expect = {r["k"] for r in tableops.read_with_deletion_vectors(spark, path).collect()}
+    # force the large-sidecar path
+    monkeypatch.setattr(tableops, "_DV_BROADCAST_BYTES", 0)
+    df = tableops.read_with_deletion_vectors(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: the table never repartitions
+    assert "MapInPandas" in plan
+    got = {r["k"] for r in df.collect()}
+    assert got == expect == {i for i in range(450) if i % 5 != 0}
+    # compaction shares the reader; it must also survive the forced path
+    rewritten, _ = tableops.compact_deletion_vectors(
+        spark, path, min_deleted_fraction=0.05
+    )
+    assert rewritten >= 1
+    got2 = {r["k"] for r in tableops.read_with_deletion_vectors(spark, path).collect()}
+    assert got2 == expect
+
+
+def test_deletion_vectors_survive_table_relocation(spark, tmp_path):
+    """Sidecars key on decoded BASENAMES, not absolute URIs — moving the
+    table directory must not silently resurrect deleted rows (ADVICE r9)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.tableops import (
+        delete_with_vectors,
+        read_with_deletion_vectors,
+    )
+
+    old = str(tmp_path / "orig")
+    spark.createDataFrame(
+        [(i,) for i in range(60)], "k long"
+    ).repartition(2).write.parquet(old)
+    assert delete_with_vectors(spark, old, F.col("k") < 10) == 10
+    new = str(tmp_path / "moved")
+    shutil.move(old, new)
+    got = {r["k"] for r in read_with_deletion_vectors(spark, new).collect()}
+    assert got == set(range(10, 60))
+
+
+def test_deletion_vector_generation_numbering_is_max_plus_one(spark, tmp_path):
+    """A removed earlier generation must not make the next delete
+    overwrite a LIVE generation: numbering is max(vN)+1, not the
+    directory-entry count (ADVICE r9)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.tableops import (
+        delete_with_vectors,
+        read_with_deletion_vectors,
+    )
+
+    path = str(tmp_path / "dv_gen")
+    spark.createDataFrame([(i,) for i in range(30)], "k long").coalesce(
+        1
+    ).write.parquet(path)
+    delete_with_vectors(spark, path, F.col("k") == 0)
+    delete_with_vectors(spark, path, F.col("k") == 1)
+    shutil.rmtree(os.path.join(path, "_dv", "v0"))  # k=0 resurrects
+    delete_with_vectors(spark, path, F.col("k") == 2)
+    # entry-count numbering would have written v1 again, erasing the
+    # k=1 delete; max+1 writes v2 and keeps it
+    assert sorted(os.listdir(os.path.join(path, "_dv"))) == ["v1", "v2"]
+    got = {r["k"] for r in read_with_deletion_vectors(spark, path).collect()}
+    assert got == set(range(30)) - {1, 2}
+
+
+def test_deletion_vectors_reject_remote_paths(spark):
+    import pytest as _pytest
+
+    from spark_hudi_etl_pipeline_spark.operators.tableops import (
+        read_with_deletion_vectors,
+    )
+
+    with _pytest.raises(NotImplementedError, match="local paths only"):
+        read_with_deletion_vectors(spark, "s3://bucket/table")
+
+
 def test_inverted_index_conjunctive_docs_contain_all_terms(spark):
     from spark_hudi_etl_pipeline_spark.sources import load_table
 
