@@ -38,72 +38,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in iteration order. Round-10 window (FROZEN at round start, BEFORE any new
-# registrations, per COVERAGE.md §Rotation): the 17 round-9 post-freeze
-# registrations (the only queries with no CORRECTNESS row in r1-r9), plus
-# the 33 least-recently-attested oracle-bearing proven greens as cross-round
-# regression canaries — computed as: every oracle-bearing, non-rows-only
-# query sorted by (last driver row, name); all 33 land in the r5 cohort
-# (alphabetically first of the 36 queries whose last driver row is r5).
-# Rows-only-by-design queries are excluded from canary slots so every r10
-# row is hash-checkable. Any query registered later this round appends
-# AFTER the window and rotates in r11. Everything NOT in the window still
-# passes the identical local gate (``tools/oracle_check.py`` runs all).
-# Once this window lands, cumulative driver attestation = 254/254 of the
-# pre-r10 registry.
+# in iteration order. Round-11 window (FROZEN at round start, BEFORE any new
+# registrations, per COVERAGE.md §Rotation): the 3 round-10 post-freeze
+# registrations (the only oracle-bearing queries with no CORRECTNESS row in
+# r1-r10), plus the 47 least-recently-attested oracle-bearing proven greens
+# as cross-round regression canaries — computed as: every oracle-bearing,
+# non-rows-only query sorted by (last driver green row, name); that takes
+# the r5 cohort's one remaining member (``wap_publish_clean``) and the 46
+# alphabetically-first of the 50-query r6 cohort. Rows-only-by-design
+# queries are excluded from canary slots so every r11 row is hash-checkable.
+# Any query registered later this round appends AFTER the window and rotates
+# in r12. Everything NOT in the window still passes the identical local gate
+# (``tools/oracle_check.py`` runs all). Once this window lands, cumulative
+# driver attestation = 257/257 of the pre-r11 registry.
 PRIORITY_WINDOW: list[str] = [
-    # round-9 additions never driver-checked (17)
-    "attribution_linear_multi_touch",
-    "audio_vad_segments",
-    "crossmodal_image_to_text_topk",
-    "dedup_intra_doc_spans",
-    "deletion_vector_read",
-    "dp_noisy_counts_release",
-    "dv_compaction_read",
-    "events_holt_forecast",
-    "gdpr_subject_access_export",
-    "hybrid_rrf_retrieval",
-    "image_ahash_neardup",
-    "inverted_index_conjunctive",
-    "knn_filtered_label",
-    "kwic_snippets",
-    "merge_full_sync_orders",
-    "skew_diagnostic_events",
-    "video_scene_cuts",
-    # last-driver-row-r5 canaries, alphabetically first (33)
-    "insert_overwrite_restate",
-    "knn_pq_adc",
-    "lakehouse_end_to_end",
-    "merge_into_orders",
-    "mixture_epoch_plan",
-    "q1_pricing_summary",
-    "quality_model_filter",
-    "quarantine_split_orders",
-    "recluster_scan_equivalence",
-    "scd2_point_in_time_join",
-    "scd2_user_status",
-    "secondary_index_lookup",
-    "semantic_dedup_semdedup",
-    "source_contamination_matrix",
-    "streaming_chained_rollup",
-    "streaming_interval_join_outer",
-    "streaming_scd2_enrich",
-    "streaming_timeline_ingest",
-    "timeline_auto_compact_read",
-    "timeline_bootstrap_read",
-    "timeline_cdc_images",
-    "timeline_cdc_incremental",
-    "timeline_cleaned_read",
-    "timeline_describe_history",
-    "timeline_read_optimized",
-    "timeline_read_with_meta",
-    "timeline_realtime_snapshot",
-    "timeline_restore_savepoint",
-    "timeline_rollback_read",
-    "upsert_global_index",
-    "upsert_partial_update",
-    "upsert_precombine",
-    "upsert_record_indexed",
+    # round-10 additions never driver-checked (3)
+    "events_cusum_changepoint",
+    "funnel_windowed_sequence",
+    "winsorized_event_stats",
+    # least-recently-attested oracle-bearing canaries (47): the last
+    # r5-cohort member + the 46 alphabetically-first of the r6 cohort
+    "wap_publish_clean",
+    "bag_set_ops_custkeys",
+    "cdc_apply_downstream",
+    "cube_status_priority",
+    "datetime_functions_surface",
+    "decontaminate_apply",
+    "distinct_counts",
+    "dsir_importance_weights",
+    "dsir_resample_topk",
+    "dsir_weights_hashed",
+    "events_fill_forward",
+    "grouping_sets_status_priority",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_orders",
+    "kmeans_lloyd_int",
+    "latest_order_per_customer",
+    "mom_revenue_growth",
+    "ntile_balance_quartiles",
+    "percentiles_order_price",
+    "pipeline_health_rollup",
+    "pivot_status_by_segment",
+    "posexplode_doc_tokens",
+    "q10_returned_item_revenue",
+    "q12_priority_class_by_status",
+    "q13_customer_distribution",
+    "q14_promo_revenue_pct",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_late_supplier",
+    "q22_idle_high_balance",
+    "q2_top_supplier_per_nation",
+    "q3_shipping_priority",
+    "q4_late_shipment_priority",
+    "q5_regional_revenue",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q8_market_share",
+    "range_join_price_bands",
+    "rollup_returnflag_linestatus",
+    "salted_agg_order_priority",
+    "set_ops_segments",
+    "stats_lineitem_moments",
+    "streaming_interval_join_semi",
+    "streaming_quality_filter",
+    "string_functions_surface",
+    "topk_orders_by_price",
 ]
 
 
