@@ -533,7 +533,13 @@ def spread_payload_rows(df: DataFrame, spark) -> DataFrame:
     fine and an unconditional repartition would shuffle every payload
     byte for nothing. At production scale the right knobs are input
     splits (`spark.sql.files.maxPartitionBytes`) or the byte-budgeted
-    repartition_for_payloads — this helper only rescues tiny inputs."""
+    repartition_for_payloads — this helper only rescues tiny inputs.
+
+    MUST be called on the scan-side DataFrame, BEFORE any
+    shuffle-inducing op: the split probe reads the physical
+    partitioning of the whole upstream plan, so after a shuffle it
+    would see ``spark.sql.shuffle.partitions`` (usually ≥ cores) and
+    the rescue would silently never fire."""
     cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= cores:
         return df

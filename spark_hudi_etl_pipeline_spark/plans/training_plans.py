@@ -341,8 +341,9 @@ def doc_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_gapfill_daily",
     oracle="""
 WITH daily AS (
-  SELECT user_id, CAST(ts AS DATE) AS day,
-         count(*) AS n_events, round(sum(value), 2) AS total_value
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_value_cents
   FROM events GROUP BY user_id, CAST(ts AS DATE)
 ),
 span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
@@ -353,7 +354,7 @@ spine AS (
 )
 SELECT s.user_id, s.day,
        coalesce(d.n_events, 0) AS n_events,
-       coalesce(d.total_value, 0.0) AS total_value
+       coalesce(d.total_value_cents, 0) AS total_value_cents
 FROM spine s LEFT JOIN daily d USING (user_id, day)
 ORDER BY user_id, day
 """,
@@ -366,7 +367,12 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # half-up integer cents BEFORE the sum (repo hash convention:
+        # never hash a rounded float sum over raw doubles — the
+        # accumulation order can flip the last cent across engines)
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("total_value_cents"),
     )
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -381,7 +387,9 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "day",
             F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.coalesce("total_value_cents", F.lit(0)).cast("long").alias(
+                "total_value_cents"
+            ),
         )
         .orderBy("user_id", "day")
     )
@@ -844,7 +852,8 @@ WITH tagged AS (
 )
 SELECT coalesce(touch_type, 'none') AS touch_type,
        count(*) AS n_purchases,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_value_cents
 FROM tagged
 WHERE event_type = 'purchase'
 GROUP BY coalesce(touch_type, 'none')
@@ -872,7 +881,11 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("touch_type", F.lit("none")).alias("touch_type"))
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # half-up cents before summing (hash convention — see
+            # events_gapfill_daily)
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_value_cents"),
         )
         .orderBy("touch_type")
     )
@@ -2458,31 +2471,41 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_holt_forecast",
+    # Recursion via RECURSIVE CTE, not ``list_reduce`` (DuckDB 1.0.0's
+    # grouped fold is corrupt — r10 verdict): one row per (type, day
+    # index) advances the (level, trend) state; the same >> floor-shift
+    # arithmetic keeps it bit-exact with the Spark in-row fold.
     oracle="""
-WITH daily AS (
+WITH RECURSIVE daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
          CAST(count(*) AS BIGINT) AS x
   FROM events GROUP BY event_type, date_trunc('day', ts)
 ),
-series AS (
-  SELECT event_type, list(x ORDER BY d) AS xs FROM daily GROUP BY event_type
+idxd AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS i,
+         x
+  FROM daily
 ),
-folded AS (
-  SELECT event_type, CAST(len(xs) AS BIGINT) AS n_days,
-    CASE WHEN len(xs) = 1 THEN [xs[1], CAST(0 AS BIGINT)]
-    ELSE list_reduce(
-      list_prepend([xs[1], CAST(0 AS BIGINT)],
-                   list_transform(list_slice(xs, 2, len(xs)), x -> [x, CAST(0 AS BIGINT)])),
-      (a, e) -> [
-        (e[1] + a[1] + a[2]) >> 1,
-        ((((e[1] + a[1] + a[2]) >> 1) - a[1]) + a[2]) >> 1
-      ])
-    END AS sb
-  FROM series
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM idxd GROUP BY event_type
+),
+rec AS (
+  SELECT event_type, i, x AS s, CAST(0 AS BIGINT) AS b
+  FROM idxd WHERE i = 1
+  UNION ALL
+  SELECT d.event_type, d.i,
+         (d.x + r.s + r.b) >> 1,
+         ((((d.x + r.s + r.b) >> 1) - r.s) + r.b) >> 1
+  FROM rec r JOIN idxd d ON d.event_type = r.event_type AND d.i = r.i + 1
 )
-SELECT event_type, n_days, sb[1] AS level, sb[2] AS trend,
-       sb[1] + sb[2] AS forecast_1
-FROM folded ORDER BY event_type
+SELECT r.event_type, n.n_days, r.s AS level, r.b AS trend,
+       r.s + r.b AS forecast_1
+FROM rec r JOIN n USING (event_type)
+WHERE r.i = n.n_days
+ORDER BY r.event_type
 """,
 )
 def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2639,37 +2662,45 @@ _FUNNEL_WEEK_US = 604_800_000_000
 
 @query(
     "funnel_windowed_sequence",
+    # The oracle deliberately avoids folding (DuckDB 1.0.0's grouped
+    # ``list_reduce`` silently corrupts multi-group folds — r10 verdict).
+    # The sequential fold reduces EXACTLY to chained conditional mins
+    # because events fold in (ts, stage) order: the entry view is the
+    # user's min view; the qualifying click is the min click with
+    # ts >= v (the stage tiebreak makes click-after-view at equal ts
+    # fold in order, i.e. x_click > x_view ⟺ ts_click >= ts_view) and
+    # ts <= v + 7d; the qualifying purchase likewise off the click.
+    # Later candidates can never beat an earlier in-window one (time is
+    # monotone along the fold), so min = first-qualifying.
     oracle="""
-WITH enc AS (
-  SELECT user_id,
-         epoch_us(CAST(ts AS TIMESTAMP)) * 4 +
-         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 3 END AS x
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
   FROM events WHERE event_type IN ('view', 'click', 'purchase')
 ),
-folded AS (
-  SELECT user_id,
-    list_reduce(
-      list_prepend([-1, -1, -1]::BIGINT[],
-                   list_transform(list(x ORDER BY x), e -> [e, 0, 0]::BIGINT[])),
-      (a, e) -> CASE
-        WHEN e[1] % 4 = 1 AND a[1] = -1
-          THEN [e[1] // 4, a[2], a[3]]
-        WHEN e[1] % 4 = 2 AND a[2] = -1 AND a[1] != -1
-             AND e[1] // 4 <= a[1] + 604800000000
-          THEN [a[1], e[1] // 4, a[3]]
-        WHEN e[1] % 4 = 3 AND a[3] = -1 AND a[2] != -1
-             AND e[1] // 4 <= a[2] + 604800000000
-          THEN [a[1], a[2], e[1] // 4]
-        ELSE a END) AS st
-  FROM enc GROUP BY user_id
+v AS (
+  SELECT user_id, min(us) AS v_us FROM ev WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.us) AS c_us
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.us >= v.v_us AND e.us <= v.v_us + 604800000000
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.us) AS p_us
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.us >= c.c_us AND e.us <= c.c_us + 604800000000
+  GROUP BY e.user_id
 )
-SELECT CAST(make_timestamp(st[1]) AS DATE) AS cohort_day,
+SELECT CAST(make_timestamp(v.v_us) AS DATE) AS cohort_day,
        CAST(count(*) AS BIGINT) AS n_entered,
-       CAST(count(CASE WHEN st[2] != -1 THEN 1 END) AS BIGINT) AS n_clicked,
-       CAST(count(CASE WHEN st[3] != -1 THEN 1 END) AS BIGINT) AS n_purchased,
-       CAST(count(CASE WHEN st[3] != -1 THEN 1 END) * 1000 // count(*) AS BIGINT)
-         AS conv_pm
-FROM folded WHERE st[1] != -1
+       CAST(count(c.c_us) AS BIGINT) AS n_clicked,
+       CAST(count(p.p_us) AS BIGINT) AS n_purchased,
+       CAST(count(p.p_us) * 1000 // count(*) AS BIGINT) AS conv_pm
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 GROUP BY cohort_day ORDER BY cohort_day
 """,
 )
@@ -2738,36 +2769,40 @@ def funnel_windowed_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_cusum_changepoint",
+    # No fold in the oracle (DuckDB 1.0.0 grouped ``list_reduce`` is
+    # corrupt — r10 verdict): the CUSUM recursion has a closed form.
+    # With y_t = x_t − mean and prefix P_t = Σ_{i≤t} y_i,
+    #   s_t = max(0, s_{t-1} + y_t)  ⟺  s_t = P_t − min(0, min_{j≤t} P_j)
+    # (s_t is the best suffix-sum ending at t; the running prefix-min
+    # realizes it). Two window passes, engine-exact integers.
     oracle="""
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
          CAST(count(*) AS BIGINT) AS x
   FROM events GROUP BY event_type, date_trunc('day', ts)
 ),
-series AS (
-  SELECT event_type, list(x ORDER BY d) AS xs,
-         CAST(list_sum(list(x ORDER BY d)) AS BIGINT)
-           // CAST(len(list(x ORDER BY d)) AS BIGINT) AS mean_daily
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) // count(*) AS BIGINT) AS mean_daily
   FROM daily GROUP BY event_type
 ),
-folded AS (
-  SELECT event_type, CAST(len(xs) AS BIGINT) AS n_days, mean_daily,
-    list_reduce(
-      list_prepend([0, 0, -1, 0]::BIGINT[],
-                   list_transform(xs, x -> [x, 0, 0, 0]::BIGINT[])),
-      (a, e) -> [
-        greatest(0, a[1] + e[1] - mean_daily),
-        greatest(a[2], greatest(0, a[1] + e[1] - mean_daily)),
-        CASE WHEN a[3] = -1
-                  AND greatest(0, a[1] + e[1] - mean_daily) > 3 * mean_daily
-             THEN a[4] + 1 ELSE a[3] END,
-        a[4] + 1
-      ]) AS st
-  FROM series
+pref AS (
+  SELECT d.event_type, s.n_days, s.mean_daily,
+         CAST(row_number() OVER w AS BIGINT) AS idx,
+         CAST(sum(d.x - s.mean_daily) OVER w AS BIGINT) AS p
+  FROM daily d JOIN stats s USING (event_type)
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.d)
+),
+cusum AS (
+  SELECT event_type, n_days, mean_daily, idx,
+         p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY idx)) AS s
+  FROM pref
 )
-SELECT event_type, n_days, mean_daily,
-       st[2] AS max_cusum, st[3] AS alarm_day_idx
-FROM folded ORDER BY event_type
+SELECT event_type, max(n_days) AS n_days, max(mean_daily) AS mean_daily,
+       CAST(max(s) AS BIGINT) AS max_cusum,
+       CAST(coalesce(min(CASE WHEN s > 3 * mean_daily THEN idx END), -1)
+            AS BIGINT) AS alarm_day_idx
+FROM cusum GROUP BY event_type ORDER BY event_type
 """,
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,7 +62,7 @@ def test_chunk_sizes(spark):
 
 def test_gapfill_spine_dense(spark):
     """Per user: row count == span length, days contiguous, zero-filled
-    days carry n_events=0 and total_value=0."""
+    days carry n_events=0 and total_value_cents=0."""
     out = QUERIES["events_gapfill_daily"](spark, SF_SMALL)
     spans = out.groupBy("user_id").agg(
         F.min("day").alias("d0"),
@@ -75,7 +75,7 @@ def test_gapfill_spine_dense(spark):
     ).count()
     assert bad == 0
     zeros = out.filter(F.col("n_events") == 0)
-    assert zeros.filter(F.col("total_value") != 0.0).count() == 0
+    assert zeros.filter(F.col("total_value_cents") != 0).count() == 0
 
 
 def test_gapfill_matches_raw_totals(spark):

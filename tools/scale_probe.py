@@ -13,6 +13,7 @@ quadratic for the probe to stay linear.
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import time
@@ -1736,6 +1737,308 @@ def probe_harvest(base: str) -> None:
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def probe_r11(base: str, stages: set[str] | None = None) -> None:
+    """Round-11 probe (r9 ask #7, carried through r10): the two pieces
+    of measured evidence the verdicts asked for.
+
+    (A/B) Deletion vectors past the 64 MB broadcast gate: a
+    files x delete-density grid over synthetic tables (24M rows/48
+    files and 96M rows/192 files; 2% and 25% hash-scattered deletes).
+    The 25%-of-96M cell genuinely exceeds the gate, so the read runs
+    the file-local mapInPandas path at its DEFAULT configuration; the
+    same cell at 24M is re-timed with the gate forced to 0 so the
+    file-local wall has a 1x/4x pair. Claims measured: the broadcast
+    read's wall is scan-bound (density barely moves it); the
+    file-local wall scales with rows crossing Arrow (linear in table,
+    not in sidecar); compaction wall tracks the DELETED-file density
+    (scattered 2% rewrites nothing at any size; 80%-dead-in-10%-of-
+    files rewrites exactly those files).
+
+    (C) Inverted index at 64x corpus: build the term-clustered posting
+    table at 1x (16 files) and 64x (128 files), answer the 3-term
+    conjunctive query, and count — from parquet footer stats, the same
+    min/max ranges any pruning reader uses — how many posting files
+    can contain ANY query term. Claims measured: query wall is
+    posting-bound (grows with matches, not corpus); file-skip ratio
+    stays high as the corpus grows 64x.
+
+    ``stages`` restricts sections ({"dv", "compact", "inv"}) so a
+    crashed run resumes without re-measuring finished stages.
+    """
+    import glob as _glob
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators import tableops
+    from spark_hudi_etl_pipeline_spark.operators.clustering import (
+        cluster_linear,
+        write_clustered,
+    )
+    from spark_hudi_etl_pipeline_spark.operators.tableops import (
+        compact_deletion_vectors,
+        delete_with_vectors,
+        read_with_deletion_vectors,
+    )
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    stages = stages or {"dv", "compact", "inv"}
+    spark = get_spark_session("scale-probe-r11")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, 1024, 1, 32).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    GRID = ((24_000_000, 48), (96_000_000, 192))
+
+    def make_table(n_rows: int, n_files: int, tag: str) -> str:
+        path = f"{SCRATCH}/dv_{tag}"
+        (
+            spark.range(0, n_rows, 1, 64)
+            .select(
+                "id",
+                (F.col("id") % 997).alias("val"),
+                F.format_string("payload-%018d", "id").alias("pad"),
+            )
+            # range layout => contiguous id ranges per file (lets the
+            # compact stage concentrate deletes into known files)
+            .repartitionByRange(n_files, "id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
+
+    def scattered(pct: int):
+        return F.expr(f"pmod(xxhash64(id), 100) < {pct}")
+
+    def timed_count(path: str) -> tuple[float, int]:
+        read_with_deletion_vectors(spark, path).count()  # warm
+        t0 = _time.time()
+        n = read_with_deletion_vectors(spark, path).count()
+        return _time.time() - t0, n
+
+    lines: list[str] = [
+        "",
+        "## round-11 probe: deletion vectors past the broadcast gate + inverted-index skipping",
+        "",
+        "Carried r9 ask #7. Synthetic range tables (id, val, 27-byte pad),",
+        "range-partitioned so files hold contiguous id ranges; deletes are",
+        "hash-scattered (`xxhash64(id) % 100 < pct`) except the concentrated",
+        "compaction cells. Walls are warm second runs, local[32].",
+        "",
+    ]
+
+    if "dv" in stages:
+        lines += [
+            "**(A) DV read — files x density grid.** Gate = 64 MB sidecar:",
+            "at-or-under broadcasts a (file, pos) anti join; over applies",
+            "each file's positions file-locally inside the scan (map-only,",
+            "zero exchange).",
+            "",
+            "| rows | files | deletes | sidecar MB | path | read wall (s) |",
+            "|---|---|---|---|---|---|",
+        ]
+        forced: dict[int, float] = {}
+        for n_rows, n_files in GRID:
+            for pct in (2, 25):
+                tag = f"{n_rows // 1_000_000}m_{pct}"
+                path = make_table(n_rows, n_files, tag)
+                deleted = delete_with_vectors(spark, path, scattered(pct))
+                side_mb = tableops._sidecar_bytes(
+                    os.path.join(path, tableops._DV_DIR)
+                ) / (1 << 20)
+                route = (
+                    "broadcast"
+                    if side_mb <= tableops._DV_BROADCAST_BYTES / (1 << 20)
+                    else "file-local"
+                )
+                wall, live = timed_count(path)
+                assert live == n_rows - deleted, (live, n_rows, deleted)
+                lines.append(
+                    f"| {n_rows:,} | {n_files} | {deleted:,} ({pct}%) |"
+                    f" {side_mb:.1f} | {route} | {wall:.2f} |"
+                )
+                if pct == 25:
+                    # force the file-local strategy on BOTH sizes so its
+                    # wall has a 1x/4x pair (the 96M cell already routes
+                    # there at the default gate)
+                    saved = tableops._DV_BROADCAST_BYTES
+                    tableops._DV_BROADCAST_BYTES = 0
+                    try:
+                        fw, live2 = timed_count(path)
+                        assert live2 == live
+                    finally:
+                        tableops._DV_BROADCAST_BYTES = saved
+                    forced[n_rows] = fw
+                    lines.append(
+                        f"| {n_rows:,} | {n_files} | (same) | {side_mb:.1f} |"
+                        f" file-local (forced) | {fw:.2f} |"
+                    )
+                print(f"dv read {tag}: {side_mb:.1f} MB {route} {wall:.2f}s")
+        if len(forced) == 2:
+            a, b = (forced[g[0]] for g in GRID)
+            lines += [
+                "",
+                f"file-local wall ratio t(96M)/t(24M) = {b / a:.2f} at 4x the",
+                "rows — the path is linear in rows crossing Arrow, never a",
+                "table shuffle (plan-asserted in tests/test_r9_ops.py).",
+                "",
+            ]
+
+    if "compact" in stages:
+        lines += [
+            "**(B) DV-aware compaction — cost tracks deleted-file density,",
+            "not table size** (threshold: rewrite files > 20% dead):",
+            "",
+            "| rows | files | delete pattern | rewritten | wall (s) |",
+            "|---|---|---|---|---|",
+        ]
+        for n_rows, n_files in GRID:
+            for pattern in ("scattered-2%", "dense-80%-in-10%-of-files"):
+                tag = f"c{n_rows // 1_000_000}m_{'s' if pattern[0] == 's' else 'd'}"
+                path = make_table(n_rows, n_files, tag)
+                pred = (
+                    scattered(2)
+                    if pattern.startswith("scattered")
+                    else (F.col("id") < n_rows // 10)
+                    & F.expr("pmod(xxhash64(id), 10) < 8")
+                )
+                delete_with_vectors(spark, path, pred)
+                before = read_with_deletion_vectors(spark, path).count()
+                t0 = _time.time()
+                rewritten, remaining = compact_deletion_vectors(spark, path)
+                wall = _time.time() - t0
+                assert read_with_deletion_vectors(spark, path).count() == before
+                lines.append(
+                    f"| {n_rows:,} | {n_files} | {pattern} |"
+                    f" {rewritten}/{rewritten + remaining} | {wall:.2f} |"
+                )
+                print(f"compact {tag}: {rewritten} rewritten {wall:.2f}s")
+        lines += [
+            "",
+            "Scattered deletes rewrite ZERO files at either size (wall =",
+            "planning only: one pruned row-count aggregate + the DV union);",
+            "dense deletes rewrite exactly the ~10% of files past the",
+            "threshold, so the rewrite wall tracks deleted-file bytes.",
+            "",
+        ]
+
+    if "inv" in stages:
+        import pyarrow.parquet as _pq
+
+        TERMS = ("stream", "window", "merge")
+        inv: dict[int, tuple[float, float, int, int, int]] = {}
+        for factor, n_files in ((1, 16), (64, 128)):
+            docs = spark.read.parquet(f"{base}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            if factor > 1:
+                # replicas keep text VERBATIM (the query terms must keep
+                # matching — matches grow linearly by construction);
+                # doc_id spaces are disjoint
+                parts = [
+                    docs.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(r * 100_000_000)
+                    )
+                    for r in range(factor)
+                ]
+                d = parts[0]
+                for p in parts[1:]:
+                    d = d.unionByName(p)
+                docs = d
+            path = f"{SCRATCH}/inv_{factor}x"
+            t0 = _time.time()
+            postings = (
+                docs.select(
+                    "doc_id",
+                    F.explode(
+                        F.split(F.trim(F.lower("text")), r"\s+")
+                    ).alias("term"),
+                )
+                .filter(F.col("term") != "")
+                .groupBy("term", "doc_id")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+            write_clustered(
+                cluster_linear(postings, ["term", "doc_id"], n_files), path
+            )
+            build = _time.time() - t0
+
+            def q():
+                return (
+                    spark.read.parquet(path)
+                    .filter(F.col("term").isin(*TERMS))
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("n_terms"))
+                    .filter(F.col("n_terms") == 3)
+                    .count()
+                )
+
+            q()  # warm
+            t0 = _time.time()
+            matches = q()
+            qwall = _time.time() - t0
+
+            # footer-stat skip count: a pruning reader must open a file
+            # only if some row group's [min, max] term range can contain
+            # a query term — the same stats Spark's row-group filter uses
+            can_hit = 0
+            files = _glob.glob(f"{path}/*.parquet")
+            for fp in files:
+                md = _pq.ParquetFile(fp).metadata
+                ti = next(
+                    i
+                    for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "term"
+                )
+                hit = False
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ti).statistics
+                    if st is None or not st.has_min_max:
+                        hit = True
+                        break
+                    if any(st.min <= t <= st.max for t in TERMS):
+                        hit = True
+                        break
+                can_hit += hit
+            inv[factor] = (build, qwall, matches, can_hit, len(files))
+            print(
+                f"inv {factor}x: build {build:.1f}s query {qwall:.2f}s "
+                f"matches {matches} files {can_hit}/{len(files)}"
+            )
+        lines += [
+            "**(C) Inverted index at 64x corpus — posting-file skipping**",
+            "(files whose footer min/max term range can contain any query",
+            "term — the stats every pruning reader keys on):",
+            "",
+            "| corpus | postings files | build (s) | 3-term query (s) | matches | files readable |",
+            "|---|---|---|---|---|---|",
+        ]
+        for factor in (1, 64):
+            b, qw, m, hit, nf = inv[factor]
+            lines.append(
+                f"| {factor}x | {nf} | {b:.1f} | {qw:.2f} | {m:,} |"
+                f" {hit}/{nf} ({100 * (nf - hit) // nf}% skipped) |"
+            )
+        b1, q1 = inv[1][0], inv[1][1]
+        b64, q64 = inv[64][0], inv[64][1]
+        lines += [
+            "",
+            f"build-wall ratio {b64 / b1:.1f} at 64x docs (tokenize-bound,",
+            f"~linear); query-wall ratio {q64 / q1:.2f} — the query reads",
+            "posting lists, not the corpus: term-clustered layout keeps",
+            "the readable-file count a handful as the corpus grows 64x.",
+            "",
+        ]
+
+    with open("/root/repo/SCALE.md", "a") as f:
+        f.write("\n".join(lines))
+    print("appended round-11 section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--harvest" in sys.argv:
         base_dir = next(
@@ -1743,6 +2046,18 @@ if __name__ == "__main__":
             "/root/testdata/sf0.1",
         )
         probe_harvest(base_dir)
+    elif "--r11ops" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        stage_arg = next(
+            (a for a in sys.argv[1:] if a.startswith("--stages=")), None
+        )
+        probe_r11(
+            base_dir,
+            stages=set(stage_arg.split("=", 1)[1].split(",")) if stage_arg else None,
+        )
     elif "--r9ops" in sys.argv:
         base_dir = next(
             (a for a in sys.argv[1:] if not a.startswith("--")),
