@@ -106,7 +106,18 @@ MODAL = [
     "events_holt_forecast",
 ]
 
-HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL
+#: Behavioral-analytics tier added in round 11 (timed separately as
+#: behavior_sec): histogram-binned RFM segmentation, basket association
+#: rules through the checkpointed (customer, brand) set, token-budget
+#: greedy dataset selection, and the Markov transition matrix.
+BEHAVIOR = [
+    "rfm_customer_segments",
+    "assoc_rules_brand_lift",
+    "token_budget_selection",
+    "event_transition_matrix",
+]
+
+HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL + BEHAVIOR
 
 
 def _cpu_canary() -> float:
@@ -229,6 +240,7 @@ def main() -> None:
                     sum(timings[n] for n in TIMESERIES), 3
                 ),
                 "modal_sec": round(sum(timings[n] for n in MODAL), 3),
+                "behavior_sec": round(sum(timings[n] for n in BEHAVIOR), 3),
                 "cpu_canary_sec": _cpu_canary(),
                 "spark_canary_sec": _spark_canary(spark),
                 "queries": timings,

@@ -57,6 +57,33 @@ def topk_cosine(
     )
 
 
+def radius_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Range search: every (query, corpus) pair whose cosine reaches
+    ``threshold`` (applied to the round-4 similarity, so the cut is the
+    same grid value both engines hash). Queries broadcast, the corpus
+    never shuffles, and — unlike top-k — there is no per-query window at
+    all: the plan is scan → broadcast-nested-loop → filter, map-only on
+    the corpus side. Output size is bounded by the threshold, not k."""
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+    return (
+        c.crossJoin(q)
+        .select("qid", "cid", F.round(vectors.cosine("cv", "qv"), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("qid", "cid")
+    )
+
+
 # --------------------------------------------------------------------------
 # Random-hyperplane LSH ANN
 # --------------------------------------------------------------------------

@@ -57,6 +57,36 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "radius_search_cosine",
+    oracle=f"""
+SELECT qid, cid, cosine FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         {_COS_SQL} AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 20
+) WHERE cosine >= 0.35
+ORDER BY qid, cid
+""",
+)
+def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search (all neighbors within a similarity radius,
+    the dual of top-k) for query vectors vec_id<20 against the whole
+    corpus. Self-matches (cosine 1.0) are retained as a built-in sanity
+    signal. No per-query window — the corpus side is map-only behind the
+    broadcast, so the operator has zero shuffles at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.radius_cosine(
+        emb,
+        queries,
+        corpus_id="vec_id",
+        query_id="vec_id",
+        vec_col="embedding",
+        threshold=0.35,
+    )
+
+
 #: The 8 seeded Rademacher planes of the portable sketch, interpolated
 #: as ±1 literal arrays — the oracle recomputes the exact same integer
 #: dot-product sign bits as the Spark plan (quantized embeddings, no

@@ -2941,3 +2941,101 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget dataset selection (round 11): greedily take the
+# highest-quality documents until the token budget (half the corpus) is
+# spent — the core operation of quality-pruned pretraining mixes.
+# Greedy order = (quality DESC, doc_id ASC), a document is selected iff
+# the running token total INCLUDING it stays within budget.
+#
+# The scale trick: the oracle's single global running sum decomposes
+# into (a) a cumulative sum over the QUALITY-BUCKET histogram (domain
+# ≤ 1001 rows — quality is an integer permille), which wholly selects
+# every bucket whose prefix fits, plus (b) one doc-level window inside
+# the single boundary bucket. No global row-ordered window anywhere.
+# Quality = alpha-chars per mille (integer floor division — exact in
+# both engines); tokens = the whitespace count every text query uses.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_budget_selection",
+    oracle=r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST((1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+              // greatest(length(text), 1) AS BIGINT) AS quality_pm
+  FROM documents
+),
+b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM m),
+cum AS (
+  SELECT doc_id, quality_pm, n_tokens,
+         sum(n_tokens) OVER (ORDER BY quality_pm DESC, doc_id) AS running
+  FROM m
+)
+SELECT doc_id, quality_pm, n_tokens
+FROM cum, b
+WHERE running <= b.budget
+ORDER BY doc_id
+""",
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-threshold greedy selection: buckets whose histogram
+    prefix fits are selected whole; only the one boundary bucket runs a
+    doc-level window (partitioned to that bucket). Equivalent to the
+    oracle's global cumsum because within a bucket the greedy order is
+    doc_id and every document has ≥1 token (so nothing past the budget
+    can re-qualify)."""
+    d = load_table(spark, sf_dir, "documents")
+    # One scan of documents: the (doc, tokens, quality) projection is
+    # consumed by the budget scalar, the bucket histogram, and both
+    # selection branches — checkpoint the 3-column materialization.
+    m = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+        F.expr(
+            "CAST((1000L * length(regexp_replace(text, '[^A-Za-z]', '')))"
+            " div greatest(length(text), 1L) AS BIGINT)"
+        ).alias("quality_pm"),
+    ).localCheckpoint(eager=True)
+    budget = m.agg(
+        F.expr("CAST(sum(n_tokens) div 2L AS BIGINT)").alias("budget")
+    )
+    # (a) bucket histogram + prefix sum over the quality domain
+    hist = m.groupBy("quality_pm").agg(F.sum("n_tokens").alias("btok"))
+    w_b = Window.orderBy(F.desc("quality_pm")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bcum = (
+        hist.select(
+            "quality_pm",
+            F.sum("btok").over(w_b).alias("bcum"),
+            (F.sum("btok").over(w_b) - F.col("btok")).alias("bprev"),
+        )
+        .crossJoin(F.broadcast(budget))
+    )
+    full = bcum.filter(F.col("bcum") <= F.col("budget")).select("quality_pm")
+    boundary = bcum.filter(
+        (F.col("bcum") > F.col("budget")) & (F.col("bprev") < F.col("budget"))
+    ).select("quality_pm", "bprev", "budget")
+    # (b) whole buckets join + the one boundary bucket's local window
+    sel_full = m.join(F.broadcast(full), "quality_pm")
+    w_doc = Window.partitionBy("quality_pm").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sel_bnd = (
+        m.join(F.broadcast(boundary), "quality_pm")
+        .withColumn("cumw", F.sum("n_tokens").over(w_doc))
+        .filter(F.col("bprev") + F.col("cumw") <= F.col("budget"))
+    )
+    cols = ["doc_id", "quality_pm", "n_tokens"]
+    return (
+        sel_full.select(*cols)
+        .unionByName(sel_bnd.select(*cols))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,259 @@
+"""Round-11 behavioral-analytics + curation kernels: RFM quartile
+segmentation, Markov transitions, day-of-week seasonal decomposition,
+brand-basket association rules, cosine radius search, and token-budget
+dataset selection — planted-evidence fixtures for the tie/boundary
+cases each docstring claims the naive form gets wrong. Cross-engine
+value parity is covered by the DuckDB oracles (tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from spark_hudi_etl_pipeline_spark.plans.registry import QUERIES
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def _t(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _write(spark, path, table, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# rfm_customer_segments
+# --------------------------------------------------------------------------
+
+
+def test_rfm_quartiles_and_strict_rank_binning(spark, tmp_path):
+    """Customer k (1..8) places k orders of $100k each, last on day k —
+    all three metrics rank identically, so with n=8 the strict-rank
+    thresholds (ceil 2/4/6) bin customers (1,2)->1, (3,4)->2,
+    (5,6)->3, (7,8)->4 on every dimension."""
+    rows, okey = [], 0
+    for k in range(1, 9):
+        for j in range(k):
+            okey += 1
+            rows.append((okey, k, "O", 100.0 * k, _t(k), "1-URGENT"))
+    _write(spark, tmp_path, "orders", rows, ORDERS_SCHEMA)
+    got = {
+        r["o_custkey"]: r
+        for r in QUERIES["rfm_customer_segments"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 8
+    for k in range(1, 9):
+        r = got[k]
+        expect = 1 + (k - 1 >= 2) + (k - 1 >= 4) + (k - 1 >= 6)
+        assert r["recency_days"] == 8 - k
+        assert r["frequency"] == k
+        assert r["monetary_cents"] == k * k * 10_000
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (expect,) * 3, k
+
+
+def test_rfm_ties_share_a_bin(spark, tmp_path):
+    """4 customers with IDENTICAL frequency (and recency) all land in
+    f_score=1/r_score=1 (cnt_less=0 for every tie), while their
+    distinct spends still spread m_score 1..4."""
+    rows = [(k, k, "O", 100.0 * k, _t(5), "1-URGENT") for k in range(1, 5)]
+    _write(spark, tmp_path, "orders", rows, ORDERS_SCHEMA)
+    got = {
+        r["o_custkey"]: r
+        for r in QUERIES["rfm_customer_segments"](spark, str(tmp_path)).collect()
+    }
+    assert [got[k]["f_score"] for k in range(1, 5)] == [1, 1, 1, 1]
+    assert [got[k]["r_score"] for k in range(1, 5)] == [1, 1, 1, 1]
+    assert [got[k]["m_score"] for k in range(1, 5)] == [1, 2, 3, 4]
+
+
+# --------------------------------------------------------------------------
+# event_transition_matrix
+# --------------------------------------------------------------------------
+
+
+def test_transition_counts_and_row_stochastic_probs(spark, tmp_path):
+    """u1: A->B->A->C, u2: B->A — transitions (A,B)=1, (A,C)=1,
+    (B,A)=2; each src row sums to probability 1."""
+    rows = [
+        (10, _t(1), 1, "A", 0.0, "{}"),
+        (11, _t(2), 1, "B", 0.0, "{}"),
+        (12, _t(3), 1, "A", 0.0, "{}"),
+        (13, _t(4), 1, "C", 0.0, "{}"),
+        (20, _t(1), 2, "B", 0.0, "{}"),
+        (21, _t(2), 2, "A", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EVENTS_SCHEMA)
+    got = {
+        (r["src_type"], r["dst_type"]): r
+        for r in QUERIES["event_transition_matrix"](spark, str(tmp_path)).collect()
+    }
+    assert got[("A", "B")]["n_transitions"] == 1
+    assert got[("A", "C")]["n_transitions"] == 1
+    assert got[("B", "A")]["n_transitions"] == 2
+    assert got[("A", "B")]["p_q"] == 0.5
+    assert got[("A", "C")]["p_q"] == 0.5
+    assert got[("B", "A")]["p_q"] == 1.0
+
+
+def test_transition_equal_ts_tiebreaks_on_event_id(spark, tmp_path):
+    """Two events at the SAME microsecond order by event_id, so the
+    transition is X->Y (id 30 before 31), never Y->X."""
+    rows = [
+        (30, _t(1), 3, "X", 0.0, "{}"),
+        (31, _t(1), 3, "Y", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EVENTS_SCHEMA)
+    got = QUERIES["event_transition_matrix"](spark, str(tmp_path)).collect()
+    assert [(r["src_type"], r["dst_type"], r["n_transitions"]) for r in got] == [
+        ("X", "Y", 1)
+    ]
+
+
+# --------------------------------------------------------------------------
+# seasonal_dow_profile
+# --------------------------------------------------------------------------
+
+
+def test_seasonal_dow_mean_and_residuals(spark, tmp_path):
+    """Two Mondays ($10, $20 → mean 1500¢) and one Tuesday; residuals
+    are ±500 on the Mondays, 0 on the Tuesday; non-purchase events are
+    excluded from revenue entirely. 2024-01-01 is a Monday (iso 1)."""
+    rows = [
+        (1, _t(1), 1, "purchase", 10.0, "{}"),
+        (2, _t(8), 1, "purchase", 20.0, "{}"),
+        (3, _t(2), 1, "purchase", 5.0, "{}"),
+        (4, _t(1), 1, "click", 999.0, "{}"),  # ignored
+    ]
+    _write(spark, tmp_path, "events", rows, EVENTS_SCHEMA)
+    got = {
+        r["day"].isoformat(): r
+        for r in QUERIES["seasonal_dow_profile"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-08"}
+    m1, tu, m2 = got["2024-01-01"], got["2024-01-02"], got["2024-01-08"]
+    assert (m1["iso_dow"], tu["iso_dow"], m2["iso_dow"]) == (1, 2, 1)
+    assert (m1["total_cents"], m2["total_cents"]) == (1000, 2000)
+    assert m1["dow_mean_cents"] == m2["dow_mean_cents"] == 1500
+    assert (m1["resid_cents"], m2["resid_cents"]) == (-500, 500)
+    assert (tu["dow_mean_cents"], tu["resid_cents"]) == (500, 0)
+
+
+# --------------------------------------------------------------------------
+# assoc_rules_brand_lift
+# --------------------------------------------------------------------------
+
+LINEITEM_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+PART_SCHEMA = (
+    "p_partkey long, p_name string, p_brand string, p_type string, "
+    "p_size int, p_retailprice double"
+)
+
+
+def test_assoc_rules_min_support_and_lift(spark, tmp_path):
+    """Customers 1-5 buy brands X and Y, customer 6 buys X only, and
+    customers 1-4 also buy Z. Only (X,Y) clears min_support=5:
+    support 5/6, confidence 5/6, lift 5·6/(6·5)=1.0; the n=4 pairs
+    (X,Z)/(Y,Z) are filtered out."""
+    parts = [
+        (1, "px", "X", "t", 1, 1.0),
+        (2, "py", "Y", "t", 1, 1.0),
+        (3, "pz", "Z", "t", 1, 1.0),
+    ]
+    orders, lines, okey = [], [], 0
+    for c in range(1, 7):
+        basket = [1] if c == 6 else [1, 2]
+        if c <= 4:
+            basket.append(3)
+        okey += 1
+        orders.append((okey, c, "O", 1.0, _t(1), "1-URGENT"))
+        for i, pk in enumerate(basket):
+            lines.append(
+                (okey, pk, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _t(2))
+            )
+    _write(spark, tmp_path, "part", parts, PART_SCHEMA)
+    _write(spark, tmp_path, "orders", orders, ORDERS_SCHEMA)
+    _write(spark, tmp_path, "lineitem", lines, LINEITEM_SCHEMA)
+    got = QUERIES["assoc_rules_brand_lift"](spark, str(tmp_path)).collect()
+    assert [(r["brand_a"], r["brand_b"]) for r in got] == [("X", "Y")]
+    r = got[0]
+    assert (r["n_both"], r["n_a"], r["n_b"]) == (5, 6, 5)
+    assert (r["support_q"], r["conf_q"], r["lift_q"]) == (0.8333, 0.8333, 1.0)
+
+
+# --------------------------------------------------------------------------
+# radius_search_cosine
+# --------------------------------------------------------------------------
+
+
+def test_radius_search_threshold_cut(spark, tmp_path):
+    """Query vec 0 = e1: the identical corpus vector (cos 1.0) and the
+    45-degree one (cos 0.7071) pass the 0.35 radius; the orthogonal
+    (0.0) and antipodal (-1.0) do not. The self-match is retained."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),  # the query (vec_id < 20)
+        (100, [2.0, 0.0, 0.0, 0.0], 1),  # parallel → cos 1.0
+        (101, [0.0, 1.0, 0.0, 0.0], 1),  # orthogonal → 0.0
+        (102, [1.0, 1.0, 0.0, 0.0], 1),  # 45° → 0.7071
+        (103, [-1.0, 0.0, 0.0, 0.0], 1),  # antipodal → -1.0
+    ]
+    _write(spark, tmp_path, "embeddings", vecs, EMB_SCHEMA)
+    got = QUERIES["radius_search_cosine"](spark, str(tmp_path)).collect()
+    assert [(r["qid"], r["cid"], r["cosine"]) for r in got] == [
+        (0, 0, 1.0),
+        (0, 100, 1.0),
+        (0, 102, 0.7071),
+    ]
+
+
+# --------------------------------------------------------------------------
+# token_budget_selection
+# --------------------------------------------------------------------------
+
+
+def _doc(i, text):
+    return (i, text, "en", "src", len(text))
+
+
+def test_token_budget_greedy_by_quality(spark, tmp_path):
+    """4 two-token docs, budget = 8//2 = 4 tokens: the two
+    highest-alpha-ratio docs (1: 857‰, 3: 666‰) fit exactly; doc 2
+    (571‰) would overflow and doc 4 (0‰) is never reached."""
+    docs = [
+        _doc(1, "aaa bbb"),  # 6/7 → 857
+        _doc(2, "cc dd!!"),  # 4/7 → 571
+        _doc(3, "e f"),  # 2/3 → 666
+        _doc(4, "!!! ???"),  # 0/7 → 0
+    ]
+    _write(spark, tmp_path, "documents", docs, DOCS_SCHEMA)
+    got = QUERIES["token_budget_selection"](spark, str(tmp_path)).collect()
+    assert [(r["doc_id"], r["quality_pm"], r["n_tokens"]) for r in got] == [
+        (1, 857, 2),
+        (3, 666, 2),
+    ]
+
+
+def test_token_budget_boundary_bucket_splits_on_doc_id(spark, tmp_path):
+    """Two docs with IDENTICAL quality (same text), 3 tokens each,
+    budget 6//2 = 3: only the lower doc_id fits — the boundary bucket
+    must order by doc_id, not take both or neither."""
+    docs = [_doc(7, "aa bb cc"), _doc(8, "aa bb cc")]
+    _write(spark, tmp_path, "documents", docs, DOCS_SCHEMA)
+    got = QUERIES["token_budget_selection"](spark, str(tmp_path)).collect()
+    assert [(r["doc_id"], r["n_tokens"]) for r in got] == [(7, 3)]
