@@ -84,6 +84,99 @@ def radius_cosine(
     )
 
 
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 8,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranked top-k: greedily pick, per
+    query, the candidate maximizing ``lam·rel − mu·max(sim to already
+    picked)`` from the m-candidate relevance short-list (self-matches
+    excluded). ``mu`` is passed explicitly rather than computed as
+    ``1 − lam`` so the double literal is bit-identical to the oracle's.
+
+    The greedy recursion is unrolled into k relational steps (window
+    argmax → broadcast the pick → score the survivors), so there is no
+    fold and no per-row Python; every step's frame is bounded by
+    |queries|·m. The expensive part — the m-candidate short-list — is
+    the same broadcast-queries scan as plain top-k, checkpointed once
+    and consumed by all k steps. All cosines round to 4 decimals BEFORE
+    any MMR arithmetic, and argmax ties break on the corpus id, so the
+    selection is deterministic and engine-portable.
+
+    Output: (qid, mmr_rank 1..k, cid, rel)."""
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid", "cid", "cv", F.round(vectors.cosine("cv", "qv"), 4).alias("rel")
+        )
+    )
+    w_rel = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w_rel))
+        .filter(F.col("rnk") <= m)
+        .drop("rnk")
+        .localCheckpoint(eager=True)
+    )
+    picks: list[DataFrame] = []
+    cur = cand
+    sim_cols: list[str] = []
+    for step in range(1, k + 1):
+        if not sim_cols:
+            score = F.col("rel")
+        else:
+            worst = (
+                F.greatest(*[F.col(s) for s in sim_cols])
+                if len(sim_cols) > 1
+                else F.col(sim_cols[0])
+            )
+            score = F.lit(lam) * F.col("rel") - F.lit(mu) * worst
+        w_s = Window.partitionBy("qid").orderBy(score.desc(), F.asc("cid"))
+        pick = (
+            cur.withColumn("rn", F.row_number().over(w_s))
+            .filter(F.col("rn") == 1)
+            .select(
+                "qid",
+                F.col("cid").alias("pick_cid"),
+                F.col("cv").alias("pick_v"),
+                F.col("rel").alias("pick_rel"),
+            )
+        )
+        picks.append(
+            pick.select(
+                "qid",
+                F.lit(step).cast("long").alias("mmr_rank"),
+                F.col("pick_cid").alias("cid"),
+                F.col("pick_rel").alias("rel"),
+            )
+        )
+        if step < k:
+            sim = f"sim{step}"
+            cur = (
+                cur.join(F.broadcast(pick.drop("pick_rel")), "qid")
+                .filter(F.col("cid") != F.col("pick_cid"))
+                .withColumn(sim, F.round(vectors.cosine("cv", "pick_v"), 4))
+                .drop("pick_cid", "pick_v")
+            )
+            sim_cols.append(sim)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("qid", "mmr_rank")
+
+
 # --------------------------------------------------------------------------
 # Random-hyperplane LSH ANN
 # --------------------------------------------------------------------------

@@ -26,9 +26,10 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.binning import quartile_score, quartile_thresholds
 from ..sources import load_table
 from .registry import query
 
@@ -105,52 +106,23 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary_cents",
     )
 
-    def thresholds(metric: Column, name: str) -> DataFrame:
-        """3-row threshold frame for one metric (higher = better):
-        t_k = min value whose cumulative count reaches ceil(k*n/4)."""
-        hist = per.groupBy(metric.alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
-        w_cum = Window.orderBy("v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        cum = hist.select(
-            "v",
-            F.sum("cnt").over(w_cum).alias("cum"),
-            F.sum("cnt").over(Window.partitionBy()).alias("n"),
-        )
-        return cum.agg(
-            F.min(F.when(F.col("cum") >= F.expr("(n + 3L) div 4L"), F.col("v"))).alias(
-                f"{name}_t25"
-            ),
-            F.min(F.when(F.col("cum") >= F.expr("(n + 1L) div 2L"), F.col("v"))).alias(
-                f"{name}_t50"
-            ),
-            F.min(
-                F.when(F.col("cum") >= F.expr("(3L * n + 3L) div 4L"), F.col("v"))
-            ).alias(f"{name}_t75"),
-        )
-
     scored = (
-        per.crossJoin(F.broadcast(thresholds(-F.col("recency_days"), "r")))
-        .crossJoin(F.broadcast(thresholds(F.col("frequency"), "f")))
-        .crossJoin(F.broadcast(thresholds(F.col("monetary_cents"), "m")))
+        per.crossJoin(
+            F.broadcast(quartile_thresholds(per, -F.col("recency_days"), "r"))
+        )
+        .crossJoin(F.broadcast(quartile_thresholds(per, F.col("frequency"), "f")))
+        .crossJoin(
+            F.broadcast(quartile_thresholds(per, F.col("monetary_cents"), "m"))
+        )
     )
-
-    def score(v: Column, name: str) -> Column:
-        return (
-            F.lit(1)
-            + (v > F.col(f"{name}_t25")).cast("long")
-            + (v > F.col(f"{name}_t50")).cast("long")
-            + (v > F.col(f"{name}_t75")).cast("long")
-        ).cast("long")
-
     return scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        score(-F.col("recency_days"), "r").alias("r_score"),
-        score(F.col("frequency"), "f").alias("f_score"),
-        score(F.col("monetary_cents"), "m").alias("m_score"),
+        quartile_score(-F.col("recency_days"), "r").alias("r_score"),
+        quartile_score(F.col("frequency"), "f").alias("f_score"),
+        quartile_score(F.col("monetary_cents"), "m").alias("m_score"),
     ).orderBy("o_custkey")
 
 

@@ -87,6 +87,89 @@ def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cos2(x: str, y: str) -> str:
+    """Pairwise round-4 cosine between two list columns in DuckDB,
+    mirroring functions.vectors.cosine's accumulation exactly."""
+    return f"""
+round(
+  list_sum(list_transform(list_zip({x}, {y}),
+           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({x}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+   * sqrt(list_sum(list_transform({y}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))),
+4)
+"""
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, b.embedding AS cv,
+         {_cos2("a.embedding", "b.embedding")} AS rel
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 5 AND b.vec_id != a.vec_id
+),
+cand AS (
+  SELECT qid, cid, cv, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rnk
+    FROM scored
+  ) WHERE rnk <= 8
+),
+p1 AS (
+  SELECT qid, cid, cv, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT c.qid, c.cid, c.cv, c.rel, {_cos2("c.cv", "p.cv")} AS sim1
+  FROM cand c JOIN p1 p ON c.qid = p.qid AND c.cid != p.cid
+),
+p2 AS (
+  SELECT qid, cid, cv, rel, sim1 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY 0.7 * rel - 0.3 * sim1 DESC, cid) AS rn
+    FROM c1
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT c.qid, c.cid, c.rel, c.sim1, {_cos2("c.cv", "p.cv")} AS sim2
+  FROM c1 c JOIN p2 p ON c.qid = p.qid AND c.cid != p.cid
+),
+p3 AS (
+  SELECT qid, cid, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid
+      ORDER BY 0.7 * rel - 0.3 * greatest(sim1, sim2) DESC, cid) AS rn
+    FROM c2
+  ) WHERE rn = 1
+)
+SELECT qid, CAST(1 AS BIGINT) AS mmr_rank, cid, rel FROM p1
+UNION ALL SELECT qid, CAST(2 AS BIGINT), cid, rel FROM p2
+UNION ALL SELECT qid, CAST(3 AS BIGINT), cid, rel FROM p3
+ORDER BY qid, mmr_rank
+""",
+)
+def mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-3 (λ=0.7) from each query's 8-candidate
+    relevance short-list — the re-ranking pass retrieval stacks run
+    between ANN and the consumer. The oracle unrolls the identical 3
+    greedy steps as chained window-argmax CTEs (no folds)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.mmr_topk(
+        emb,
+        queries,
+        corpus_id="vec_id",
+        query_id="vec_id",
+        vec_col="embedding",
+        k=3,
+        m=8,
+        lam=0.7,
+        mu=0.3,
+    )
+
+
 #: The 8 seeded Rademacher planes of the portable sketch, interpolated
 #: as ±1 literal arrays — the oracle recomputes the exact same integer
 #: dot-product sign bits as the Spark plan (quantized embeddings, no

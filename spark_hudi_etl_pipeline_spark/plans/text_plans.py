@@ -1241,3 +1241,76 @@ def kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus (round 11): domain-shift
+# diagnostics for mixture planning — KL(P_source ‖ P_corpus) over the
+# top-100 corpus vocabulary. Each term's contribution is floor-quantized
+# to 1e-8 fixed point BEFORE the sum, so the aggregate is an
+# order-invariant integer sum (no parallel-vs-sequential float drift);
+# ln() runs on identical exact-integer ratios in both engines (the
+# TF-IDF/BM25 quantize-the-transcendental idiom).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_kl_divergence",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({_LOWER_TOKS}) AS tok FROM documents
+),
+cc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_cnt FROM toks GROUP BY tok),
+topv AS (SELECT tok, c_cnt FROM cc ORDER BY c_cnt DESC, tok LIMIT 100),
+tot AS (SELECT CAST(sum(c_cnt) AS BIGINT) AS c_tot FROM topv),
+sc AS (
+  SELECT t.source, t.tok, v.c_cnt, CAST(count(*) AS BIGINT) AS s_cnt
+  FROM toks t JOIN topv v USING (tok)
+  GROUP BY t.source, t.tok, v.c_cnt
+),
+st AS (SELECT source, CAST(sum(s_cnt) AS BIGINT) AS s_tot FROM sc GROUP BY source)
+SELECT sc.source, st.s_tot AS n_tokens_topv,
+       CAST(sum(CAST(floor(
+         (s_cnt / CAST(s_tot AS DOUBLE))
+         * ln((s_cnt / CAST(s_tot AS DOUBLE)) / (c_cnt / CAST(c_tot AS DOUBLE)))
+         * 100000000) AS BIGINT)) AS BIGINT) AS kl_q8
+FROM sc JOIN st USING (source) CROSS JOIN tot
+GROUP BY sc.source, st.s_tot
+ORDER BY sc.source
+""",
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One tokenize pass per aggregate (map-side explode, never
+    checkpointed — re-scanning beats materializing the token stream at
+    corpus scale); the 100-row vocabulary and per-source totals
+    broadcast back. Positive KL ⇒ the source's unigram mix diverges
+    from the corpus head."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    cc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_cnt"))
+    topv = cc.orderBy(F.desc("c_cnt"), F.asc("tok")).limit(100)
+    tot = topv.agg(F.sum("c_cnt").alias("c_tot"))
+    sc = (
+        toks.join(F.broadcast(topv), "tok")
+        .groupBy("source", "tok", "c_cnt")
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    st = sc.groupBy("source").agg(F.sum("s_cnt").alias("s_tot"))
+    term = (
+        (F.col("s_cnt") / F.col("s_tot").cast("double"))
+        * F.log(
+            (F.col("s_cnt") / F.col("s_tot").cast("double"))
+            / (F.col("c_cnt") / F.col("c_tot").cast("double"))
+        )
+        * F.lit(100000000)
+    )
+    return (
+        sc.join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", F.col("s_tot").alias("n_tokens_topv"))
+        .agg(F.sum(F.floor(term).cast("long")).cast("long").alias("kl_q8"))
+        .orderBy("source")
+    )

@@ -3039,3 +3039,65 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sel_bnd.select(*cols))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum epoch plan (round 11): stage documents easiest-first for
+# curriculum training — difficulty = token count, binned into 4 stages
+# by strict-rank quartiles (operators/binning.py: thresholds from the
+# token-count HISTOGRAM, windows over the domain, never a global rank
+# over documents), plus a portable seeded shuffle position (md5-60bit)
+# for deterministic within-stage order at any parallelism.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curriculum_difficulty_epochs",
+    oracle=r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         rank() OVER (ORDER BY n_tokens) - 1 AS lt,
+         count(*) OVER () AS n
+  FROM m
+)
+SELECT doc_id, n_tokens,
+       1 + CAST(lt >= (n + 3) // 4 AS BIGINT) + CAST(lt >= (n + 1) // 2 AS BIGINT)
+         + CAST(lt >= (3 * n + 3) // 4 AS BIGINT) AS stage,
+       CAST('0x' || substring(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS shuffle_pos
+FROM r
+ORDER BY doc_id
+""",
+)
+def curriculum_difficulty_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1 = shortest quartile … stage 4 = longest; ties share a
+    stage (strict-rank binning, provably equal to the oracle's rank()
+    form — operators/binning.py). shuffle_pos is the engine-portable
+    md5-60bit of 'cur:<doc_id>' — map-only, reproducible across runs
+    and cluster sizes."""
+    from ..functions.text import portable_hash60
+    from ..operators.binning import quartile_score, quartile_thresholds
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    ).localCheckpoint(eager=True)  # consumed by thresholds + output
+    scored = m.crossJoin(
+        F.broadcast(quartile_thresholds(m, F.col("n_tokens"), "d"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        quartile_score(F.col("n_tokens"), "d").alias("stage"),
+        portable_hash60(
+            F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_pos"),
+    ).orderBy("doc_id")

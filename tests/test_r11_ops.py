@@ -257,3 +257,110 @@ def test_token_budget_boundary_bucket_splits_on_doc_id(spark, tmp_path):
     _write(spark, tmp_path, "documents", docs, DOCS_SCHEMA)
     got = QUERIES["token_budget_selection"](spark, str(tmp_path)).collect()
     assert [(r["doc_id"], r["n_tokens"]) for r in got] == [(7, 3)]
+
+
+# --------------------------------------------------------------------------
+# mmr_diversified_topk
+# --------------------------------------------------------------------------
+
+
+def test_mmr_prefers_diverse_over_near_duplicate(spark, tmp_path):
+    """Plain relevance order is c100, c101 (exact duplicate of c100),
+    c102 — MMR (λ=0.7) must demote the duplicate: sim(101,100)=1.0
+    gives it score .63−.30=.33 while the 27°-apart c102 scores
+    .56−.138=.422, so the diversified order is c100, c102, c101."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),  # query
+        (100, [0.9, 0.43589, 0.0, 0.0], 1),  # rel .9 → pick 1
+        (101, [0.9, 0.43589, 0.0, 0.0], 1),  # duplicate of c100
+        (102, [0.8, -0.6, 0.0, 0.0], 1),  # rel .8, sim to c100 .4585
+        (103, [0.5, 0.0, 0.866, 0.0], 1),  # rel .5 — never picked
+    ]
+    _write(spark, tmp_path, "embeddings", vecs, EMB_SCHEMA)
+    got = QUERIES["mmr_diversified_topk"](spark, str(tmp_path)).collect()
+    assert [(r["qid"], r["mmr_rank"], r["cid"]) for r in got] == [
+        (0, 1, 100),
+        (0, 2, 102),
+        (0, 3, 101),
+    ]
+
+
+# --------------------------------------------------------------------------
+# curriculum_difficulty_epochs
+# --------------------------------------------------------------------------
+
+
+def test_curriculum_stages_and_portable_shuffle_pos(spark, tmp_path):
+    """Doc k has k tokens (k=1..8): stages bin (1,2)->1 … (7,8)->4 by
+    the strict-rank quartile rule; shuffle_pos is the md5-60bit of
+    'cur:<doc_id>', reproducible outside Spark."""
+    import hashlib
+
+    docs = [_doc(k, " ".join(["tok"] * k)) for k in range(1, 9)]
+    _write(spark, tmp_path, "documents", docs, DOCS_SCHEMA)
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["curriculum_difficulty_epochs"](spark, str(tmp_path)).collect()
+    }
+    for k in range(1, 9):
+        assert got[k]["n_tokens"] == k
+        assert got[k]["stage"] == 1 + (k - 1 >= 2) + (k - 1 >= 4) + (k - 1 >= 6)
+        expect = int(hashlib.md5(f"cur:{k}".encode()).hexdigest()[:15], 16)
+        assert got[k]["shuffle_pos"] == expect
+
+
+def test_curriculum_ties_share_a_stage(spark, tmp_path):
+    """Identical lengths all land in stage 1 (strict-rank ties)."""
+    docs = [_doc(i, "a b c") for i in range(4)]
+    _write(spark, tmp_path, "documents", docs, DOCS_SCHEMA)
+    got = QUERIES["curriculum_difficulty_epochs"](spark, str(tmp_path)).collect()
+    assert [r["stage"] for r in got] == [1, 1, 1, 1]
+
+
+# --------------------------------------------------------------------------
+# source_kl_divergence
+# --------------------------------------------------------------------------
+
+
+def test_kl_zero_for_single_source(spark, tmp_path):
+    """With one source, P_source == P_corpus exactly — every term's
+    ln ratio is 0, so the fixed-point KL is exactly 0."""
+    docs = [
+        (1, "x y x", "en", "only", 5),
+        (2, "y x y", "en", "only", 5),
+    ]
+    _write(spark, tmp_path, "documents", docs, DOCS_SCHEMA)
+    got = QUERIES["source_kl_divergence"](spark, str(tmp_path)).collect()
+    assert [(r["source"], r["n_tokens_topv"], r["kl_q8"]) for r in got] == [
+        ("only", 6, 0)
+    ]
+
+
+def test_kl_positive_for_skewed_source(spark, tmp_path):
+    """Source b over-represents 'x' (3:1) vs the corpus (2:1): its KL
+    must be positive and match the hand-computed fixed-point fold
+    (±2 quanta for ln library slack); balanced source a diverges the
+    other way and is also positive."""
+    import math
+
+    docs = [
+        (1, "x y", "en", "a", 3),
+        (2, "x x x y", "en", "b", 7),
+    ]
+    _write(spark, tmp_path, "documents", docs, DOCS_SCHEMA)
+    got = {
+        r["source"]: r
+        for r in QUERIES["source_kl_divergence"](spark, str(tmp_path)).collect()
+    }
+    # corpus: x=4, y=2 of 6 → q = (2/3, 1/3)
+    def kl(px, py):
+        return sum(
+            math.floor(p * math.log(p / q) * 1e8)
+            for p, q in ((px, 4 / 6), (py, 2 / 6))
+        )
+
+    assert got["a"]["n_tokens_topv"] == 2
+    assert got["b"]["n_tokens_topv"] == 4
+    assert abs(got["a"]["kl_q8"] - kl(1 / 2, 1 / 2)) <= 2
+    assert abs(got["b"]["kl_q8"] - kl(3 / 4, 1 / 4)) <= 2
+    assert got["a"]["kl_q8"] > 0 and got["b"]["kl_q8"] > 0
