@@ -1297,6 +1297,10 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(F.broadcast(topv), "tok")
         .groupBy("source", "tok", "c_cnt")
         .agg(F.count(F.lit(1)).alias("s_cnt"))
+        # |sources|·100 rows, consumed by both the per-source totals and
+        # the final fold — checkpoint so the token stream is scanned
+        # once for it, not once per consumer
+        .localCheckpoint(eager=True)
     )
     st = sc.groupBy("source").agg(F.sum("s_cnt").alias("s_tot"))
     term = (
