@@ -69,9 +69,11 @@ def radius_cosine(
     """Range search: every (query, corpus) pair whose cosine reaches
     ``threshold`` (applied to the round-4 similarity, so the cut is the
     same grid value both engines hash). Queries broadcast, the corpus
-    never shuffles, and — unlike top-k — there is no per-query window at
-    all: the plan is scan → broadcast-nested-loop → filter, map-only on
-    the corpus side. Output size is bounded by the threshold, not k."""
+    never shuffles, and — unlike top-k — there is no per-query window:
+    scan → broadcast-nested-loop → filter is map-only on the corpus
+    side; the one exchange in the plan is the final presentation sort
+    over the (threshold-bounded) RESULT, not the corpus. Output size is
+    bounded by the threshold, not k."""
     q = F.broadcast(
         queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
     )

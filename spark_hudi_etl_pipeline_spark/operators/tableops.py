@@ -467,6 +467,20 @@ def _sidecar_bytes(dv_root: str) -> int:
     )
 
 
+def dv_read_route(dv_root: str) -> str:
+    """The routing decision the DV read path makes for this sidecar —
+    'broadcast' (anti join against the broadcast (file, pos) relation)
+    at-or-under the gate, 'file-local' (per-file positions applied
+    inside the scan) over it. The single source of truth for the gate:
+    read_with_deletion_vectors and the scale probe both call this, so
+    published measurements can never be attributed to the wrong path."""
+    return (
+        "broadcast"
+        if _sidecar_bytes(dv_root) <= _DV_BROADCAST_BYTES
+        else "file-local"
+    )
+
+
 def _apply_dv_file_local(base: DataFrame, dv_root: str) -> DataFrame:
     """Large-sidecar path: subtract each file's positions file-locally
     inside the scan — map-only, the table never repartitions. Each task
@@ -527,7 +541,7 @@ def read_with_deletion_vectors(
     dv_root = os.path.join(path, _DV_DIR)
     out = base
     if os.path.isdir(dv_root) and _dv_generations(dv_root):
-        if _sidecar_bytes(dv_root) <= _DV_BROADCAST_BYTES:
+        if dv_read_route(dv_root) == "broadcast":
             dv = _read_dv_union(spark, dv_root).select(
                 F.col("__fname").alias("__df"), "__dp"
             )

@@ -181,8 +181,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Day-of-week seasonal decomposition of daily purchase revenue:
 # total = dow-mean (the seasonal component) + residual. Integer cents
-# end-to-end; the dow mean is an integer floor division (values are
-# positive, so DuckDB's floor `//` and Spark's truncating `div` agree).
+# end-to-end; the dow mean FLOOR-divides on both engines — Spark's
+# `div` truncates toward zero, so the Spark side computes floor
+# division explicitly as (s - pmod(s, n)) div n (pmod is non-negative),
+# which equals DuckDB's `//` for any sign of the day totals (refund-
+# heavy days with negative sums included), not just the current
+# all-positive fixtures.
 # --------------------------------------------------------------------------
 
 
@@ -232,8 +236,12 @@ def seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "iso_dow",
         "total_cents",
+        # exact integer FLOOR division (matches DuckDB //): subtract the
+        # non-negative pmod remainder, then the truncating div is exact
         F.expr(
-            "sum(total_cents) OVER (PARTITION BY iso_dow)"
+            "(sum(total_cents) OVER (PARTITION BY iso_dow)"
+            " - pmod(sum(total_cents) OVER (PARTITION BY iso_dow),"
+            "        count(*) OVER (PARTITION BY iso_dow)))"
             " div count(*) OVER (PARTITION BY iso_dow)"
         ).alias("dow_mean_cents"),
     )

@@ -19,16 +19,23 @@ from ..operators import similarity
 from ..sources import load_table
 from .registry import query
 
-#: Manual double-precision cosine in DuckDB, mirroring
-#: functions.vectors.cosine's left-to-right accumulation exactly.
-_COS_SQL = """
+def _cos2(x: str, y: str) -> str:
+    """Pairwise round-4 cosine between two DuckDB list columns,
+    mirroring functions.vectors.cosine's left-to-right double
+    accumulation exactly — the ONE SQL twin every similarity oracle
+    derives from (keep a single copy or the oracles de-synchronize)."""
+    return f"""
 round(
-  list_sum(list_transform(list_zip(a.embedding, b.embedding),
-           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+  list_sum(list_transform(list_zip({x}, {y}),
+           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({x}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+   * sqrt(list_sum(list_transform({y}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))),
 4)
 """
+
+
+#: The (a, b)-aliased embedding-pair instance used by the knn oracles.
+_COS_SQL = _cos2("a.embedding", "b.embedding")
 
 
 @query(
@@ -73,8 +80,9 @@ def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine RANGE search (all neighbors within a similarity radius,
     the dual of top-k) for query vectors vec_id<20 against the whole
     corpus. Self-matches (cosine 1.0) are retained as a built-in sanity
-    signal. No per-query window — the corpus side is map-only behind the
-    broadcast, so the operator has zero shuffles at any corpus size."""
+    signal. No per-query window — the corpus side is map-only behind
+    the broadcast; the plan's only exchange is the presentation sort of
+    the threshold-bounded result, never the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.radius_cosine(
@@ -85,19 +93,6 @@ def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         threshold=0.35,
     )
-
-
-def _cos2(x: str, y: str) -> str:
-    """Pairwise round-4 cosine between two list columns in DuckDB,
-    mirroring functions.vectors.cosine's accumulation exactly."""
-    return f"""
-round(
-  list_sum(list_transform(list_zip({x}, {y}),
-           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-  / (sqrt(list_sum(list_transform({x}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
-   * sqrt(list_sum(list_transform({y}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))),
-4)
-"""
 
 
 @query(

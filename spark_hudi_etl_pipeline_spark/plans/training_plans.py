@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as textfns
 from ..sources import load_table
 from .registry import query
 
@@ -2995,9 +2996,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selection branches — checkpoint the 3-column materialization.
     m = d.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
-            "n_tokens"
-        ),
+        textfns.token_count("text").cast("long").alias("n_tokens"),
         F.expr(
             "CAST((1000L * length(regexp_replace(text, '[^A-Za-z]', '')))"
             " div greatest(length(text), 1L) AS BIGINT)"
@@ -3086,9 +3085,7 @@ def curriculum_difficulty_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     m = d.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
-            "n_tokens"
-        ),
+        textfns.token_count("text").cast("long").alias("n_tokens"),
     ).localCheckpoint(eager=True)  # consumed by thresholds + output
     scored = m.crossJoin(
         F.broadcast(quartile_thresholds(m, F.col("n_tokens"), "d"))

@@ -364,3 +364,21 @@ def test_kl_positive_for_skewed_source(spark, tmp_path):
     assert abs(got["a"]["kl_q8"] - kl(1 / 2, 1 / 2)) <= 2
     assert abs(got["b"]["kl_q8"] - kl(3 / 4, 1 / 4)) <= 2
     assert got["a"]["kl_q8"] > 0 and got["b"]["kl_q8"] > 0
+
+
+def test_seasonal_negative_sums_floor_divide(spark, tmp_path):
+    """Refund-heavy days: two Mondays totaling -501¢ must floor-divide
+    to a -251¢ mean (DuckDB // semantics), not truncate to -250 — the
+    (s - pmod(s, n)) div n form pins it for negative sums."""
+    rows = [
+        (1, _t(1), 1, "purchase", -3.00, "{}"),
+        (2, _t(8), 1, "purchase", -2.01, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EVENTS_SCHEMA)
+    got = {
+        r["day"].isoformat(): r
+        for r in QUERIES["seasonal_dow_profile"](spark, str(tmp_path)).collect()
+    }
+    assert got["2024-01-01"]["dow_mean_cents"] == -251
+    assert got["2024-01-01"]["resid_cents"] == -300 - (-251)
+    assert got["2024-01-08"]["resid_cents"] == -201 - (-251)

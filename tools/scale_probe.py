@@ -1846,14 +1846,11 @@ def probe_r11(base: str, stages: set[str] | None = None) -> None:
                 tag = f"{n_rows // 1_000_000}m_{pct}"
                 path = make_table(n_rows, n_files, tag)
                 deleted = delete_with_vectors(spark, path, scattered(pct))
-                side_mb = tableops._sidecar_bytes(
-                    os.path.join(path, tableops._DV_DIR)
-                ) / (1 << 20)
-                route = (
-                    "broadcast"
-                    if side_mb <= tableops._DV_BROADCAST_BYTES / (1 << 20)
-                    else "file-local"
-                )
+                dv_root = os.path.join(path, tableops._DV_DIR)
+                side_mb = tableops._sidecar_bytes(dv_root) / (1 << 20)
+                # ask the implementation which path it will take — never
+                # re-derive the gate here
+                route = tableops.dv_read_route(dv_root)
                 wall, live = timed_count(path)
                 assert live == n_rows - deleted, (live, n_rows, deleted)
                 lines.append(
@@ -1988,6 +1985,11 @@ def probe_r11(base: str, stages: set[str] | None = None) -> None:
             files = _glob.glob(f"{path}/*.parquet")
             for fp in files:
                 md = _pq.ParquetFile(fp).metadata
+                if md.num_row_groups == 0:
+                    # an empty range partition writes a 0-row-group file;
+                    # no stats to prune on, so a reader must open it
+                    can_hit += 1
+                    continue
                 ti = next(
                     i
                     for i in range(md.num_columns)
