@@ -533,6 +533,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    k: int = 5,
+) -> DataFrame:
+    """Directional shingle CONTAINMENT pairs — |A∩B| / |A| (and / |B|) —
+    the asymmetric dual of :func:`ngram_jaccard_pairs`. Catches
+    subset-duplication Jaccard misses: a short document quoted whole
+    inside a long one has containment ≈ 1 but Jaccard ≈ |A|/|B| (tiny).
+    Same inverted-index join (shuffle key = shingle, cost bounded by
+    true collisions, never all-pairs); a pair is emitted when EITHER
+    round-4 direction reaches ``threshold``."""
+    sh = barrier_col(
+        _fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))),
+        "sh",
+        F.array_distinct(text.shingles(text_col, k)),
+    )
+    inv = sh.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
+    )
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
+    )
+    return (
+        common.select(
+            "id_a",
+            "id_b",
+            F.round(F.col("common") / F.col("sz_a"), 4).alias("cont_a_q"),
+            F.round(F.col("common") / F.col("sz_b"), 4).alias("cont_b_q"),
+        )
+        .filter(F.greatest("cont_a_q", "cont_b_q") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -1320,3 +1320,46 @@ def dedup_intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Directional containment (round 11): |A∩B|/|A| per direction — the
+# asymmetric near-dup measure that catches a short doc quoted whole
+# inside a long one (Jaccard ≈ |A|/|B| misses it; the injected
+# tail-appended near-copies have containment(orig ⊂ copy) = 1.0).
+# Same inverted-index join as dedup_ngram_jaccard; filter on the
+# round-4 grid in BOTH engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="WITH "
+    + _NEAR_CORPUS_SQL
+    + f""",
+sh AS (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM corpus),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, cont_a_q, cont_b_q FROM (
+  SELECT id_a, id_b,
+         round(common * 1.0 / sa.sz, 4) AS cont_a_q,
+         round(common * 1.0 / sb.sz, 4) AS cont_b_q
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+) WHERE greatest(cont_a_q, cont_b_q) >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment ≥ 0.8 pairs over the near-dup corpus: the 5 injected
+    (original, tail-appended copy) pairs surface with cont_a_q = 1.0."""
+    corpus = _with_near_dups(spark, sf_dir)
+    return dedup.containment_pairs(
+        corpus, "doc_id", "text", threshold=0.8, k=5
+    )

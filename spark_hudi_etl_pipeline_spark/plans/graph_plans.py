@@ -18,7 +18,7 @@ query's depth is fixed (3) so it runs with chained lazy joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -357,5 +357,95 @@ def graph_triangle_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         triangle_participation(pairs)
         .orderBy(F.desc("tri_cnt"), "node")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Synchronous label propagation (round 11): community detection on the
+# same customer–supplier bipartite graph. Each of the 3 fixed rounds
+# relabels every node with the MODE of its neighbors' labels (count
+# desc, then min label — fully deterministic); labels start as node
+# ids. Distinct from connected components (operators/dedup.py): LP
+# converges to dense neighborhoods, not reachability classes. Per
+# round: one src-keyed join + one (node, label) fold + one bounded
+# argmax window per node — state O(nodes), never O(edges²). The oracle
+# unrolls the identical 3 rounds as chained CTEs.
+# --------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _lp_round_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT node, lab FROM (
+    SELECT e.src AS node, l.lab,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY count(*) DESC, l.lab) AS rn
+    FROM edges e JOIN {prev} l ON l.node = e.dst
+    GROUP BY e.src, l.lab
+  ) WHERE rn = 1
+)"""
+
+
+def _lp_oracle() -> str:
+    rounds = ",".join(_lp_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LP_ROUNDS))
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e0
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+{rounds}
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes
+FROM l{_LP_ROUNDS}
+GROUP BY lab
+ORDER BY n_nodes DESC, community
+LIMIT 20
+"""
+
+
+@query("graph_label_propagation", oracle=_lp_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 communities (by size) after 3 synchronous LP rounds."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)  # consumed once per LP round
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LP_ROUNDS):
+        labels = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "lab"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
         .limit(20)
     )

@@ -3098,3 +3098,102 @@ def curriculum_difficulty_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))
         ).alias("shuffle_pos"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Burst detection via gaps-and-islands (round 11): per event type, find
+# runs of consecutive days whose event count strictly exceeds 2× the
+# type's median daily count. The median comes from the (count, freq)
+# histogram (the winsorized idiom — window over the count DOMAIN, never
+# over days); islands anchor on day − row_number, the classic
+# shuffle-light formulation (one window over the qualifying days).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_burst_islands",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+hist AS (
+  SELECT event_type, n AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM daily GROUP BY event_type, n
+),
+cum AS (
+  SELECT event_type, v, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS nn
+  FROM hist
+),
+med AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN cum >= (nn + 1) // 2 THEN v END) AS BIGINT) AS med
+  FROM cum GROUP BY event_type
+),
+qual AS (
+  SELECT d.event_type, d.day, d.n,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+  FROM daily d JOIN med m USING (event_type)
+  WHERE d.n > 2 * m.med
+)
+SELECT event_type, min(day) AS start_day, max(day) AS end_day,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(n) AS BIGINT) AS peak_daily,
+       CAST(sum(n) AS BIGINT) AS total_events
+FROM qual
+GROUP BY event_type, day - CAST(rn AS INT)
+ORDER BY event_type, start_day
+""",
+)
+def events_burst_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-lite burst runs: strictly-above-2×-median days grouped
+    into maximal consecutive islands. Every ordered window runs over
+    the daily grain or the count domain; the per-type median broadcast
+    joins back (O(types) rows)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hist = daily.groupBy("event_type", F.col("n").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "event_type",
+        "v",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("nn"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(nn + 1L) div 2L"), F.col("v"))
+        ).alias("med")
+    )
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    qual = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(F.col("n") > 2 * F.col("med"))
+        .withColumn("rn", F.row_number().over(w_day))
+    )
+    return (
+        qual.groupBy(
+            "event_type", F.date_sub("day", F.col("rn")).alias("anchor")
+        )
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("n").alias("peak_daily"),
+            F.sum("n").alias("total_events"),
+        )
+        .drop("anchor")
+        .select(
+            "event_type", "start_day", "end_day", "n_days", "peak_daily",
+            "total_events",
+        )
+        .orderBy("event_type", "start_day")
+    )

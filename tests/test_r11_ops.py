@@ -382,3 +382,87 @@ def test_seasonal_negative_sums_floor_divide(spark, tmp_path):
     assert got["2024-01-01"]["dow_mean_cents"] == -251
     assert got["2024-01-01"]["resid_cents"] == -300 - (-251)
     assert got["2024-01-08"]["resid_cents"] == -201 - (-251)
+
+
+# --------------------------------------------------------------------------
+# events_burst_islands
+# --------------------------------------------------------------------------
+
+
+def test_burst_islands_split_on_gap(spark, tmp_path):
+    """Type 'a': 5 events/day for days 1-10, 20/day on days 11,12 and
+    14 — median 5, threshold 10, so the qualifying days form TWO
+    islands (11-12 and 14, split by the quiet day 13). Flat type 'b'
+    never bursts."""
+    rows, eid = [], 0
+    for day in range(1, 15):
+        n_a = 20 if day in (11, 12, 14) else (5 if day <= 10 else 0)
+        for _ in range(n_a):
+            eid += 1
+            rows.append((eid, _t(day), 1, "a", 0.0, "{}"))
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, _t(day), 1, "b", 0.0, "{}"))
+    _write(spark, tmp_path, "events", rows, EVENTS_SCHEMA)
+    got = QUERIES["events_burst_islands"](spark, str(tmp_path)).collect()
+    assert [
+        (r["event_type"], r["start_day"].isoformat(), r["end_day"].isoformat(),
+         r["n_days"], r["peak_daily"], r["total_events"])
+        for r in got
+    ] == [
+        ("a", "2024-01-11", "2024-01-12", 2, 20, 40),
+        ("a", "2024-01-14", "2024-01-14", 1, 20, 20),
+    ]
+
+
+# --------------------------------------------------------------------------
+# graph_label_propagation
+# --------------------------------------------------------------------------
+
+
+def test_label_propagation_star_communities(spark, tmp_path):
+    """Star: customer 1 (node 2) buys from suppliers 1,2,3 (nodes
+    3,5,7). Round 1 ties on all three leaf labels -> min label 3 for
+    the hub; after 3 synchronous rounds the leaves carry label 2 and
+    the hub label 3 — communities (2: 3 nodes), (3: 1 node)."""
+    orders = [(1, 1, "O", 1.0, _t(1), "1-URGENT")]
+    lines = [
+        (1, 10 + s, s, s, 1.0, 1.0, 0.0, 0.0, "N", "O", _t(2))
+        for s in (1, 2, 3)
+    ]
+    parts = [(10 + s, f"p{s}", "B", "t", 1, 1.0) for s in (1, 2, 3)]
+    _write(spark, tmp_path, "orders", orders, ORDERS_SCHEMA)
+    _write(spark, tmp_path, "lineitem", lines, LINEITEM_SCHEMA)
+    _write(spark, tmp_path, "part", parts, PART_SCHEMA)
+    got = QUERIES["graph_label_propagation"](spark, str(tmp_path)).collect()
+    assert [(r["community"], r["n_nodes"]) for r in got] == [(2, 3), (3, 1)]
+
+
+# --------------------------------------------------------------------------
+# dedup_containment_pairs
+# --------------------------------------------------------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
+    """doc 2 = doc 1 plus a tail: every shingle of doc 1 appears in
+    doc 2, so containment(1 ⊂ 2) = 1.0 while Jaccard is only 0.5 —
+    below the 0.8 gate a symmetric measure would need. The unrelated
+    doc 3 pairs with nothing. (The query also injects tail-appended
+    copies of doc_id < 5 as ids +10000 — those surface too.)"""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 36),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 46),
+        (3, "one two three four five six seven", "en", "s", 33),
+    ]
+    _write(spark, tmp_path, "documents", docs, DOCS_SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in QUERIES["dedup_containment_pairs"](spark, str(tmp_path)).collect()
+    }
+    r = got[(1, 2)]
+    assert r["cont_a_q"] == 1.0 and r["cont_b_q"] == 0.5
+    # injected near-copies: originals fully contained in their copies
+    assert all(
+        got[(i, i + 10000)]["cont_a_q"] == 1.0 for i in (1, 2, 3) if (i, i + 10000) in got
+    )
+    assert (1, 3) not in got and (2, 3) not in got
