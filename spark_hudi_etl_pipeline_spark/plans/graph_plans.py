@@ -425,9 +425,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)  # consumed once per LP round
+    # pagerank_edges' layout rule: pre-partition the edge relation on
+    # the per-round join key and persist (not localCheckpoint — a
+    # checkpoint scan forgets its outputPartitioning), so each round's
+    # edges⋈labels join reuses the cached layout and only the O(nodes)
+    # label vector moves; freed below once the tiny result materializes.
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("dst")
+        .persist()
+    )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
@@ -443,9 +452,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", "lab")
         )
-    return (
+    out = (
         labels.groupBy(F.col("lab").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy(F.desc("n_nodes"), F.asc("community"))
         .limit(20)
+        # 20-row eager checkpoint so the edge cache can be freed now
+        # instead of leaking for the session (the r6 pagerank lesson)
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
+    return out
