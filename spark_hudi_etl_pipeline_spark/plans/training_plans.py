@@ -3107,15 +3107,29 @@ def curriculum_difficulty_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # histogram (the winsorized idiom — window over the count DOMAIN, never
 # over days); islands anchor on day − row_number, the classic
 # shuffle-light formulation (one window over the qualifying days).
+# The fixture's daily counts are uniform (no organic bursts at
+# sf ≥ 0.01), so — like the dedup corpus's injected near-copies — both
+# engines first inject a deterministic burst: every 'error' event on
+# the LAST calendar day is replayed 4× (shifted event_ids), making the
+# gate row non-trivial at every sf while planted pytest fixtures cover
+# the multi-island/gap semantics.
 # --------------------------------------------------------------------------
 
 
 @query(
     "events_burst_islands",
     oracle="""
-WITH daily AS (
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+injected AS (
+  SELECT event_id, ts, event_type FROM events
+  UNION ALL
+  SELECT e.event_id + 1000000000 * g.i AS event_id, e.ts, e.event_type
+  FROM events e CROSS JOIN mx CROSS JOIN range(1, 5) g(i)
+  WHERE e.event_type = 'error' AND CAST(e.ts AS DATE) = mx.d
+),
+daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY event_type, CAST(ts AS DATE)
+  FROM injected GROUP BY event_type, CAST(ts AS DATE)
 ),
 hist AS (
   SELECT event_type, n AS v, CAST(count(*) AS BIGINT) AS cnt
@@ -3151,9 +3165,28 @@ def events_burst_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg-lite burst runs: strictly-above-2×-median days grouped
     into maximal consecutive islands. Every ordered window runs over
     the daily grain or the count domain; the per-type median broadcast
-    joins back (O(types) rows)."""
-    e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+    joins back (O(types) rows). Injects the deterministic last-day
+    'error' burst first (see the block comment above)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    mx = e.agg(F.max(F.to_date("ts")).alias("d"))
+    replay = (
+        e.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("event_type") == "error") & (F.to_date("ts") == F.col("d"))
+        )
+        .crossJoin(F.broadcast(spark.range(1, 5).select(F.col("id").alias("i"))))
+        .select(
+            (F.col("event_id") + F.lit(1_000_000_000) * F.col("i")).alias(
+                "event_id"
+            ),
+            "ts",
+            "event_type",
+        )
+    )
+    injected = e.unionByName(replay)
+    daily = injected.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
     hist = daily.groupBy("event_type", F.col("n").alias("v")).agg(
