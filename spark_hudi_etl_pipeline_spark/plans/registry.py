@@ -38,73 +38,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in iteration order. Round-11 window (FROZEN at round start, BEFORE any new
-# registrations, per COVERAGE.md §Rotation): the 3 round-10 post-freeze
+# in iteration order. Round-12 window (FROZEN at round start, BEFORE any new
+# registrations, per COVERAGE.md §Rotation): the 12 round-11 post-freeze
 # registrations (the only oracle-bearing queries with no CORRECTNESS row in
-# r1-r10), plus the 47 least-recently-attested oracle-bearing proven greens
+# r1-r11), plus the 38 least-recently-attested oracle-bearing proven greens
 # as cross-round regression canaries — computed as: every oracle-bearing,
 # non-rows-only query sorted by (last driver green row, name); that takes
-# the r5 cohort's one remaining member (``wap_publish_clean``) and the 46
-# alphabetically-first of the 50-query r6 cohort. Rows-only-by-design
-# queries are excluded from canary slots so every r11 row is hash-checkable.
-# Any query registered later this round appends AFTER the window and rotates
-# in r12. Everything NOT in the window still passes the identical local gate
+# the 4 remaining members of the 50-query r6 cohort
+# (``unpivot_lineitem_measures`` … ``window_value_functions``) and the 34
+# alphabetically-first of the r7 cohort. Rows-only-by-design queries are
+# excluded from canary slots so every r12 row is hash-checkable. Any query
+# registered later this round appends AFTER the window and rotates in r13.
+# Everything NOT in the window still passes the identical local gate
 # (``tools/oracle_check.py`` runs all). Once this window lands, cumulative
-# driver attestation = 257/257 of the pre-r11 registry.
+# driver attestation = 269/269 of the pre-r12 registry.
 PRIORITY_WINDOW: list[str] = [
-    # round-10 additions never driver-checked (3)
-    "events_cusum_changepoint",
-    "funnel_windowed_sequence",
-    "winsorized_event_stats",
-    # least-recently-attested oracle-bearing canaries (47): the last
-    # r5-cohort member + the 46 alphabetically-first of the r6 cohort
-    "wap_publish_clean",
-    "bag_set_ops_custkeys",
-    "cdc_apply_downstream",
-    "cube_status_priority",
-    "datetime_functions_surface",
-    "decontaminate_apply",
-    "distinct_counts",
-    "dsir_importance_weights",
-    "dsir_resample_topk",
-    "dsir_weights_hashed",
-    "events_fill_forward",
-    "grouping_sets_status_priority",
-    "join_anti_customers_without_orders",
-    "join_semi_customers_with_orders",
-    "kmeans_lloyd_int",
-    "latest_order_per_customer",
-    "mom_revenue_growth",
-    "ntile_balance_quartiles",
-    "percentiles_order_price",
-    "pipeline_health_rollup",
-    "pivot_status_by_segment",
-    "posexplode_doc_tokens",
-    "q10_returned_item_revenue",
-    "q12_priority_class_by_status",
-    "q13_customer_distribution",
-    "q14_promo_revenue_pct",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q21_sole_late_supplier",
-    "q22_idle_high_balance",
-    "q2_top_supplier_per_nation",
-    "q3_shipping_priority",
-    "q4_late_shipment_priority",
-    "q5_regional_revenue",
-    "q6_revenue_forecast",
-    "q7_nation_volume",
-    "q8_market_share",
-    "range_join_price_bands",
-    "rollup_returnflag_linestatus",
-    "salted_agg_order_priority",
-    "set_ops_segments",
-    "stats_lineitem_moments",
-    "streaming_interval_join_semi",
-    "streaming_quality_filter",
-    "string_functions_surface",
-    "topk_orders_by_price",
+    # round-11 additions never driver-checked (12)
+    "rfm_customer_segments",
+    "event_transition_matrix",
+    "seasonal_dow_profile",
+    "assoc_rules_brand_lift",
+    "radius_search_cosine",
+    "token_budget_selection",
+    "mmr_diversified_topk",
+    "curriculum_difficulty_epochs",
+    "source_kl_divergence",
+    "events_burst_islands",
+    "graph_label_propagation",
+    "dedup_containment_pairs",
+    # least-recently-attested oracle-bearing canaries (38): the 4 remaining
+    # r6-cohort members + the 34 alphabetically-first of the r7 cohort
+    "unpivot_lineitem_measures",
+    "window_range_frame_spend",
+    "window_running_customer_spend",
+    "window_value_functions",
+    "asof_purchase_prior_click",
+    "clustered_scan_bands",
+    "collect_statuses_by_segment",
+    "corpus_curation_pipeline",
+    "decimal_exact_totals",
+    "dedup_exact_fingerprint",
+    "dedup_incremental_batch",
+    "dedup_ngram_jaccard",
+    "dedup_resolve_canonical",
+    "embedding_centroids",
+    "embedding_neardup_blocked",
+    "events_json_extract",
+    "events_props_map",
+    "events_sessionize",
+    "extract_full_load",
+    "incremental_agg_refresh",
+    "ivf_upsert_probe",
+    "knn_bruteforce_cosine",
+    "leakage_safe_split",
+    "multimodal_metadata_prune",
+    "pagerank_cust_supp_top20",
+    "profile_orders",
+    "q11_important_part_value",
+    "q15_top_supplier",
+    "q16_supplier_relationship",
+    "q20_majority_supplier",
+    "q9_profit_by_nation_year",
+    "recursive_ancestor_walk",
+    "salted_join_segment_volume",
+    "session_window_stats",
+    "snapshot_diff_cdc",
+    "status_report_window",
+    "stratified_sample_events",
+    "streaming_dedup_within_watermark",
 ]
 
 
