@@ -485,6 +485,83 @@ def minhash_dedup_pairs(
     )
 
 
+def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """``(id, sh, sz)``: distinct shingle set + size per document, one
+    shingling pass (Generate barrier)."""
+    sh = barrier_col(
+        _fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))),
+        "sh",
+        F.array_distinct(text.shingles(text_col, k)),
+    )
+    return sh.select("id", "sh", F.size("sh").alias("sz"))
+
+
+def _prefix_inverted_index(sh: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered inverted index (AllPairs/PPJoin; Bayardo et al.
+    WWW'07, Xiao et al. WWW'08): rank each document's shingles in the
+    global (document-frequency ASC, shingle) order and keep only the
+    first ``sz − ⌈t·sz⌉ + 1`` as join keys.
+
+    EXACT for Jaccard ≥ t: if ``|A∩B| ≥ ⌈t·max(|A|,|B|)⌉`` then the
+    globally-smallest common shingle lies inside BOTH prefixes
+    (pigeonhole on the suffix), so a prefix-prefix collision is
+    guaranteed for every qualifying pair. The corpus-frequent
+    boilerplate shingle that makes an unfiltered inverted-index
+    self-join quadratic sorts LAST in this order, so it is excluded
+    from prefixes unless a document consists almost entirely of hot
+    shingles — in which case the output itself is quadratic and no
+    exact operator can do better. The ``⌈·⌉`` is computed on
+    ``t·sz − 1e-9`` so a floating-point wobble can only LENGTHEN a
+    prefix (more candidates, same verified output), never shorten one.
+
+    Returns ``(id, sz, shingle)`` rows — the prefix entries only.
+    """
+    inv = sh.select("id", "sz", F.explode("sh").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    # Linear shuffle on the shingle (hot keys are skewed but O(n) rows,
+    # split by AQE) — NOT the quadratic pair join this index prevents.
+    ranked = inv.join(dfreq, on="shingle").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("id").orderBy("dfreq", "shingle")),
+    )
+    plen = F.greatest(
+        F.lit(1),
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1,
+    )
+    return ranked.filter(F.col("rk") <= plen).select("id", "sz", "shingle")
+
+
+def _verified_pairs(sh: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact ``(id_a, id_b, common, sz_a, sz_b)`` for candidate pairs:
+    semi-join the shingle sets down to involved docs, then intersect the
+    full arrays per pair. Cost is O(|A|+|B|) per CANDIDATE, never
+    all-pairs."""
+    cands = cands.localCheckpoint(eager=True)
+    involved = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = sh.join(F.broadcast(involved), on="id", how="left_semi")
+    a = sets.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
+    )
+    b = sets.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            "sz_a",
+            "sz_b",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -493,35 +570,28 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs via shingle inverted index:
-    explode distinct shingles, self-join on shingle, count common, divide
-    by union size. Exact (no LSH approximation); the shuffle key is the
-    shingle, so cost is bounded by true shingle collisions. The
+    """Exact n-gram Jaccard similarity pairs via a PREFIX-FILTERED
+    shingle inverted index (AllPairs/PPJoin): candidates are generated by
+    self-joining only each document's ``sz − ⌈t·sz⌉ + 1`` globally-rarest
+    shingles (:func:`_prefix_inverted_index` — exact at threshold ``t``,
+    and the fix for the hot-boilerplate-shingle quadratic blowup of a
+    full inverted-index self-join), then verified with the exact
+    array-intersection Jaccard. Exact (no LSH approximation). The
     SQL-expressible twin of :func:`minhash_dedup_pairs` (DuckDB oracle in
-    plans/dedup_plans.py)."""
-    # One shingling pass (Generate barrier), set size carried through the
-    # explode so no second pass / size join is needed.
-    sh = barrier_col(
-        _fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))),
-        "sh",
-        F.array_distinct(text.shingles(text_col, k)),
-    )
-    inv = sh.select(
-        "id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
-    )
-    common = (
-        inv.alias("a")
-        .join(inv.alias("b"), on="shingle")
+    plans/dedup_plans.py computes the same result the direct way — the
+    gate proves the filter lossless)."""
+    sh = _shingled(df, id_col, text_col, k)
+    prefix = _prefix_inverted_index(sh, threshold)
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="shingle")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.first("a.sz").alias("sz_a"),
-            F.first("b.sz").alias("sz_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
+    v = _verified_pairs(sh, cands)
     return (
-        common.select(
+        v.select(
             "id_a",
             "id_b",
             F.round(
@@ -545,30 +615,38 @@ def containment_pairs(
     the asymmetric dual of :func:`ngram_jaccard_pairs`. Catches
     subset-duplication Jaccard misses: a short document quoted whole
     inside a long one has containment ≈ 1 but Jaccard ≈ |A|/|B| (tiny).
-    Same inverted-index join (shuffle key = shingle, cost bounded by
-    true collisions, never all-pairs); a pair is emitted when EITHER
-    round-4 direction reaches ``threshold``."""
-    sh = barrier_col(
-        _fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))),
-        "sh",
-        F.array_distinct(text.shingles(text_col, k)),
-    )
-    inv = sh.select(
-        "id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
-    )
-    common = (
-        inv.alias("a")
+
+    A pair is emitted when EITHER direction reaches ``threshold``, i.e.
+    ``|A∩B| ≥ ⌈t·min(|A|,|B|)⌉`` — so the prefix bound holds for the
+    SMALLER document only, and candidate generation is the ASYMMETRIC
+    prefix join: the smaller side's prefix (exact at ``t`` by the same
+    pigeonhole as Jaccard) probes the other side's FULL inverted index.
+    The hot boilerplate shingle still appears on the full side, but its
+    prefix-side entry count is ~0 (it sorts last in the
+    document-frequency order), so its join contribution is linear in
+    corpus size, not quadratic. Verification is exact array
+    intersection."""
+    sh = _shingled(df, id_col, text_col, k)
+    prefix = _prefix_inverted_index(sh, threshold)
+    inv = sh.select("id", "sz", F.explode("sh").alias("shingle"))
+    cands = (
+        prefix.alias("a")
         .join(inv.alias("b"), on="shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.first("a.sz").alias("sz_a"),
-            F.first("b.sz").alias("sz_b"),
+        # The prefix bound is valid when the prefix side is the smaller
+        # set; ties broken by id so each unordered pair probes once.
+        .filter(
+            (F.col("a.sz") < F.col("b.sz"))
+            | ((F.col("a.sz") == F.col("b.sz")) & (F.col("a.id") < F.col("b.id")))
         )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
     )
+    v = _verified_pairs(sh, cands)
     return (
-        common.select(
+        v.select(
             "id_a",
             "id_b",
             F.round(F.col("common") / F.col("sz_a"), 4).alias("cont_a_q"),

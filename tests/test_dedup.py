@@ -744,3 +744,88 @@ def test_minhash_store_ingest_semantics_and_replay(spark):
         assert spark.table(tbl).count() == grown
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# --------------------------------------------------------------------------
+# Prefix filtering (AllPairs/PPJoin) — the hot-boilerplate-shingle guard
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hot_shingle_corpus(spark):
+    """1 000 mutually-dissimilar docs all sharing ONE boilerplate
+    5-shingle (the 5-word common prefix; every other shingle straddles
+    into each doc's unique suffix). An unfiltered inverted-index
+    self-join explodes this into ~1000²/2 join rows; the prefix index
+    must exclude the hot shingle from every prefix. Docs 10001/10002
+    are identical to each other (a true pair the filter must keep)."""
+    common = "shared boilerplate header words here"
+    rows = [
+        (i, common + " " + " ".join(f"u{i}w{j}" for j in range(10)))
+        for i in range(1000)
+    ]
+    dup = common + " " + " ".join(f"d0w{j}" for j in range(10))
+    rows += [(10001, dup), (10002, dup)]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_prefix_index_excludes_hot_shingle(spark, hot_shingle_corpus):
+    """The corpus-frequent shingle sorts last in the (document-frequency,
+    shingle) order, so it lands in NO document's prefix — the quadratic
+    join key is gone before the pair join runs."""
+    sh = dedup._shingled(hot_shingle_corpus, "doc_id", "text", 5)
+    prefix = dedup._prefix_inverted_index(sh, 0.5)
+    hot = prefix.filter(
+        F.col("shingle") == "shared boilerplate header words here"
+    ).count()
+    assert hot == 0
+    # candidate join row count is bounded by TRUE prefix collisions: only
+    # the planted identical pair collides, not the 1000-doc boilerplate.
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select("a.id", "b.id")
+    )
+    assert cands.count() <= 20  # 1 pair × ≤ prefix-length collisions
+
+
+def test_hot_shingle_jaccard_exact_output(spark, hot_shingle_corpus):
+    """Output parity: only the planted identical pair qualifies at
+    t=0.5; the 1 000 boilerplate-sharing docs produce NO pairs."""
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            hot_shingle_corpus, "doc_id", "text", threshold=0.5, k=5
+        ).collect()
+    }
+    assert got == {(10001, 10002): 1.0}
+
+
+def test_hot_shingle_containment_exact_output(spark, hot_shingle_corpus):
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a_q"], r["cont_b_q"])
+        for r in dedup.containment_pairs(
+            hot_shingle_corpus, "doc_id", "text", threshold=0.8, k=5
+        ).collect()
+    }
+    assert got == {(10001, 10002): (1.0, 1.0)}
+
+
+def test_containment_asymmetric_prefix_finds_subset_pair(spark):
+    """A short doc fully quoted inside a long one: Jaccard is tiny but
+    containment = 1.0 — the asymmetric (smaller-side prefix × full
+    index) candidate join must surface it."""
+    short = " ".join(f"s{j}" for j in range(8))
+    long = short + " " + " ".join(f"l{j}" for j in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, " ".join(f"z{j}" for j in range(12)))],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cont_a_q"]
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", threshold=0.8, k=5
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
