@@ -1270,10 +1270,10 @@ sc AS (
 ),
 st AS (SELECT source, CAST(sum(s_cnt) AS BIGINT) AS s_tot FROM sc GROUP BY source)
 SELECT sc.source, st.s_tot AS n_tokens_topv,
-       CAST(sum(CAST(floor(
+       CAST(sum(CAST(floor(round(
          (s_cnt / CAST(s_tot AS DOUBLE))
          * ln((s_cnt / CAST(s_tot AS DOUBLE)) / (c_cnt / CAST(c_tot AS DOUBLE)))
-         * 100000000) AS BIGINT)) AS BIGINT) AS kl_q8
+         * 100000000, 3)) AS BIGINT)) AS BIGINT) AS kl_q8
 FROM sc JOIN st USING (source) CROSS JOIN tot
 GROUP BY sc.source, st.s_tot
 ORDER BY sc.source
@@ -1311,10 +1311,21 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(100000000)
     )
+    # floor-of-float-log hardening (r11 verdict): a term landing within
+    # one libm ulp of an integer could floor differently between Spark's
+    # and DuckDB's ln. Quantize to 1e-3 (of the 1e8-scaled value, i.e.
+    # relative 1e-11) BEFORE flooring on both engines, so only a value
+    # within an ulp of an x.0005 rounding boundary — not a "natural"
+    # landing spot for a log of rational ratios, unlike exact integers —
+    # could ever diverge.
     return (
         sc.join(F.broadcast(st), "source")
         .crossJoin(F.broadcast(tot))
         .groupBy("source", F.col("s_tot").alias("n_tokens_topv"))
-        .agg(F.sum(F.floor(term).cast("long")).cast("long").alias("kl_q8"))
+        .agg(
+            F.sum(F.floor(F.round(term, 3)).cast("long"))
+            .cast("long")
+            .alias("kl_q8")
+        )
         .orderBy("source")
     )
