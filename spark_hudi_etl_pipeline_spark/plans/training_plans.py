@@ -3230,3 +3230,354 @@ def events_burst_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "start_day")
     )
+
+
+# --------------------------------------------------------------------------
+# Sessionized funnel ATTRIBUTION (round 12; r11 verdict "optional
+# widening" #1): compose the windowed sequential funnel with last-touch
+# attribution — each COMPLETED first-view → click(≤7d) → purchase(≤7d)
+# funnel is credited to the user's last acquisition touch (click or
+# signup) STRICTLY BEFORE the funnel-entry view, answering "which
+# channel brought converting users into the funnel". Everything is
+# user-keyed: the funnel fold is the one groupBy(user) shuffle, the
+# touch argmax and the purchase-value lookup are user-keyed aggregates
+# over co-partitioned joins — no self-join over events, no window over
+# the full stream.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "funnel_attributed_conversions",
+    # Same chained-conditional-min funnel oracle as
+    # funnel_windowed_sequence (fold ⇒ min equivalence documented
+    # there); the attribution leg is a row_number pick of the latest
+    # (us, event_id) click/signup before the entry view, and the
+    # revenue leg sums purchase cents at exactly the qualifying
+    # purchase's microsecond (deterministic in both engines).
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+v AS (
+  SELECT user_id, min(us) AS v_us FROM ev WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.us) AS c_us
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.us >= v.v_us AND e.us <= v.v_us + 604800000000
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.us) AS p_us
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.us >= c.c_us AND e.us <= c.c_us + 604800000000
+  GROUP BY e.user_id
+),
+done AS (
+  SELECT v.user_id, v.v_us, p.p_us
+  FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+),
+touch AS (
+  SELECT user_id, event_type AS channel FROM (
+    SELECT e.user_id, e.event_type,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.us DESC, e.event_id DESC) AS rn
+    FROM ev e JOIN done d USING (user_id)
+    WHERE e.event_type IN ('click', 'signup') AND e.us < d.v_us
+  ) WHERE rn = 1
+),
+rev AS (
+  SELECT e.user_id,
+         CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM ev e JOIN done d USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us = d.p_us
+  GROUP BY e.user_id
+)
+SELECT coalesce(t.channel, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(r.cents) AS BIGINT) AS revenue_cents,
+       CAST(sum((d.p_us - d.v_us) // 1000000) AS BIGINT) AS ttc_sec_total
+FROM done d LEFT JOIN touch t USING (user_id) JOIN rev r USING (user_id)
+GROUP BY coalesce(t.channel, 'none')
+ORDER BY channel
+""",
+)
+def funnel_attributed_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-acquisition-channel conversion counts, revenue (cents of the
+    qualifying purchase), and total time-to-convert seconds for users
+    completing the windowed funnel. Channel = last click/signup strictly
+    before the entry view; 'none' when the view was organic."""
+    e = load_table(spark, sf_dir, "events")
+    enc = e.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        (
+            F.unix_micros("ts") * 4
+            + F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .otherwise(3)
+        ).alias("x"),
+    )
+    done = (
+        enc.groupBy("user_id")
+        .agg(
+            F.expr(
+                f"""
+                aggregate(
+                  sort_array(collect_list(x)), array(-1L, -1L, -1L),
+                  (a, e) -> CASE
+                    WHEN e % 4 = 1 AND a[0] = -1L
+                      THEN array(e div 4, a[1], a[2])
+                    WHEN e % 4 = 2 AND a[1] = -1L AND a[0] != -1L
+                         AND e div 4 <= a[0] + {_FUNNEL_WEEK_US}L
+                      THEN array(a[0], e div 4, a[2])
+                    WHEN e % 4 = 3 AND a[2] = -1L AND a[1] != -1L
+                         AND e div 4 <= a[1] + {_FUNNEL_WEEK_US}L
+                      THEN array(a[0], a[1], e div 4)
+                    ELSE a END)
+                """
+            ).alias("st")
+        )
+        .filter(F.expr("st[2] != -1L"))
+        .select(
+            "user_id",
+            F.expr("st[0]").alias("v_us"),
+            F.expr("st[2]").alias("p_us"),
+        )
+        # |converting users| rows, consumed by three user-keyed legs —
+        # materialize once instead of re-folding events per leg.
+        .localCheckpoint(eager=True)
+    )
+    base = e.select(
+        "user_id", "event_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    touch = (
+        base.filter(F.col("event_type").isin("click", "signup"))
+        .join(done.select("user_id", "v_us"), "user_id")
+        .filter(F.col("us") < F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.max_by("event_type", F.struct("us", "event_id")).alias("channel"))
+    )
+    rev = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(done.select("user_id", "p_us"), "user_id")
+        .filter(F.col("us") == F.col("p_us"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    return (
+        done.join(touch, "user_id", "left")
+        .join(rev, "user_id")
+        .groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("cents").alias("revenue_cents"),
+            F.sum(F.expr("(p_us - v_us) div 1000000L")).alias("ttc_sec_total"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-gated decontamination (round 12; r11 verdict "optional widening"
+# #3): the corpus-vs-benchmark shape that survives 100 TB. Exact
+# decontamination (decontaminate_apply) must get every corpus 8-gram to
+# the benchmark gram set; at 100 TB you want the corpus side MAP-ONLY.
+# This query gates on a Bloom-style position filter first: benchmark
+# grams hash (portable md5-60bit) to TWO positions in a 2^20 slot space;
+# the distinct position set broadcasts; a corpus gram is SUSPECTED only
+# if both its positions hit. Docs with zero suspected grams are cleared
+# map-side without ever touching the exact set; only the suspected
+# sliver (false-positive rate ≈ (fill ratio)² per gram) reaches the
+# exact gram join, so the final verdict is EXACT — the Bloom gate
+# changes cost, never output. Both hash legs are engine-portable, so
+# the oracle replays the identical gate (n_fast_clean is
+# deterministic, not approximate).
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 20  # position-space slots
+_BLOOM_SQL_H = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
+
+
+@query(
+    "decontaminate_bloom_gate",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - 7),
+             i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 29 = 0),
+bloom AS (
+  SELECT DISTINCT p FROM (
+    SELECT {_BLOOM_SQL_H} % {_BLOOM_M} AS p FROM bench
+    UNION ALL
+    SELECT ({_BLOOM_SQL_H} // {_BLOOM_M}) % {_BLOOM_M} AS p FROM bench
+  )
+),
+corpus AS (
+  SELECT DISTINCT doc_id, source, g,
+         {_BLOOM_SQL_H} % {_BLOOM_M} AS p1,
+         ({_BLOOM_SQL_H} // {_BLOOM_M}) % {_BLOOM_M} AS p2
+  FROM sh WHERE doc_id % 29 <> 0
+),
+gated AS (
+  SELECT c.doc_id, c.source, c.g,
+         CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+              THEN 1 ELSE 0 END AS suspected
+  FROM corpus c
+  LEFT JOIN bloom b1 ON b1.p = c.p1
+  LEFT JOIN bloom b2 ON b2.p = c.p2
+),
+per_doc AS (
+  SELECT g2.doc_id, g2.source,
+         count(*) AS n_grams,
+         sum(g2.suspected) AS n_suspected,
+         sum(CASE WHEN g2.suspected = 1 AND bench.g IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_hits
+  FROM gated g2 LEFT JOIN bench ON g2.suspected = 1 AND bench.g = g2.g
+  GROUP BY g2.doc_id, g2.source
+),
+verdicts AS (
+  SELECT source,
+         CASE WHEN n_suspected = 0 THEN 1 ELSE 0 END AS fast_clean,
+         CASE WHEN CAST(floor(n_hits * {_DECON_FRAC_Q}.0 / n_grams) AS BIGINT)
+                   >= {_DECON_THRESHOLD_Q} THEN 1 ELSE 0 END AS dropped
+  FROM per_doc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(fast_clean) AS BIGINT) AS n_fast_clean,
+       CAST(sum(1 - dropped) AS BIGINT) AS n_kept,
+       CAST(sum(dropped) AS BIGINT) AS n_dropped
+FROM verdicts GROUP BY source ORDER BY source
+""",
+)
+def decontaminate_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase decontamination: broadcast Bloom position gate (two
+    portable-hash positions per gram, 2^20 slots) clears untainted docs
+    map-side; only suspected grams reach the exact benchmark-gram join.
+    Output is exact; n_fast_clean reports how many docs the gate cleared
+    without an exact lookup (the 100 TB win)."""
+    from ..functions.text import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens().alias("t")
+    )
+    n = F.size("t")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                _gram_starts(n, 8),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
+            )
+        ).alias("g"),
+    )
+    h = portable_hash60("g")
+    bench = (
+        sh.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
+        # consumed twice (bloom positions + exact verify) — tiny
+        .localCheckpoint(eager=True)
+    )
+    # Second position via shiftright (M = 2^20): exact on the 60-bit
+    # long, and identical to the oracle's BIGINT `// M` on positives —
+    # a double division here would round above 2^53 and truncate off by
+    # one.
+    bloom = (
+        bench.select((portable_hash60("g") % _BLOOM_M).alias("p"))
+        .unionAll(
+            bench.select(
+                (F.shiftright(portable_hash60("g"), 20) % _BLOOM_M).alias("p")
+            )
+        )
+        .distinct()
+    )
+    corpus = (
+        sh.filter(F.col("doc_id") % 29 != 0)
+        .select("doc_id", "source", "g")
+        .distinct()
+        .select(
+            "doc_id",
+            "source",
+            "g",
+            (h % _BLOOM_M).alias("p1"),
+            (F.shiftright(h, 20) % _BLOOM_M).alias("p2"),
+        )
+    )
+    gated = (
+        corpus.join(
+            F.broadcast(bloom.select(F.col("p").alias("p1"), F.lit(1).alias("h1"))),
+            "p1",
+            "left",
+        )
+        .join(
+            F.broadcast(bloom.select(F.col("p").alias("p2"), F.lit(1).alias("h2"))),
+            "p2",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "g",
+            F.when(F.col("h1").isNotNull() & F.col("h2").isNotNull(), 1)
+            .otherwise(0)
+            .alias("suspected"),
+        )
+    )
+    bench_hit = F.broadcast(
+        bench.select(F.col("g").alias("bg"), F.lit(1).alias("hit"))
+    )
+    per_doc = (
+        gated.join(
+            bench_hit,
+            (F.col("suspected") == 1) & (F.col("g") == F.col("bg")),
+            "left",
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("suspected").alias("n_suspected"),
+            F.sum(
+                F.when((F.col("suspected") == 1) & F.col("hit").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_hits"),
+        )
+    )
+    verdicts = per_doc.select(
+        "source",
+        F.when(F.col("n_suspected") == 0, 1).otherwise(0).alias("fast_clean"),
+        F.when(
+            F.floor(
+                F.col("n_hits") * float(_DECON_FRAC_Q) / F.col("n_grams")
+            ).cast("long")
+            >= _DECON_THRESHOLD_Q,
+            1,
+        )
+        .otherwise(0)
+        .alias("dropped"),
+    )
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fast_clean").cast("long").alias("n_fast_clean"),
+            F.sum(1 - F.col("dropped")).cast("long").alias("n_kept"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
