@@ -2041,6 +2041,163 @@ def probe_r11(base: str, stages: set[str] | None = None) -> None:
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def probe_r12(base: str, stages: set[str] | None = None) -> None:
+    """Round-12 probes (1x/16x/64x, min-of-3 warm walls):
+
+    - ``lp``: graph_label_propagation — 3 rounds of edges⋈labels over a
+      linearly-growing order/lineitem graph. Claim: the pagerank persist
+      layout holds the per-round cost to the O(nodes) label shuffle, so
+      wall grows ≈linearly with edges.
+    - ``shingle``: the prefix-filtered exact pair operators
+      (ngram_jaccard_pairs / containment_pairs) on a corpus where EVERY
+      document shares an injected boilerplate prefix — the adversarial
+      input that made the unfiltered inverted-index self-join quadratic
+      (r11 verdict "what's wrong" #1). Replica text is token-suffixed so
+      true pairs stay within a replica (output grows linearly); the hot
+      boilerplate shingle's document frequency grows with the corpus.
+      Claim: prefix filtering keeps the wall ≈linear.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators import dedup
+    from spark_hudi_etl_pipeline_spark.plans import QUERIES
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("scale-probe-r12")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()
+
+    factors = (1, 16, 64)
+
+    def min3(thunk) -> float:
+        thunk()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.time()
+            thunk()
+            best = min(best, _time.time() - t0)
+        return best
+
+    lines = ["", "## round-12 probes (1x/16x/64x, min-of-3 warm walls)", ""]
+
+    if stages is None or "lp" in stages:
+        walls, edge_counts = {}, {}
+        for factor in factors:
+            sf_dir = f"{SCRATCH}/lp_{factor}x"
+            for table, id_cols in (
+                ("lineitem", ["l_orderkey", "l_suppkey"]),
+                ("orders", ["o_orderkey", "o_custkey"]),
+            ):
+                df = spark.read.parquet(f"{base}/{table}.parquet")
+                parts = []
+                for r in range(factor):
+                    d = df
+                    for c in id_cols:
+                        d = d.withColumn(c, F.col(c) + F.lit(r * 100_000_000))
+                    parts.append(d)
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                out.write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+            edge_counts[factor] = (
+                li.join(o, li["l_orderkey"] == o["o_orderkey"])
+                .select("o_custkey", "l_suppkey")
+                .distinct()
+                .count()
+            )
+            walls[factor] = min3(
+                lambda: QUERIES["graph_label_propagation"](spark, sf_dir)
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+            print(
+                f"lp {factor}x: edges={edge_counts[factor]} "
+                f"wall={walls[factor]:.2f}s (min of 3 warm)"
+            )
+        lines += [
+            "### graph_label_propagation (pinned persist layout)",
+            "",
+            "| factor | undirected edges/2 | wall (s) | wall ratio vs 1x |",
+            "|---|---|---|---|",
+        ]
+        for factor in factors:
+            lines.append(
+                f"| {factor}x | {edge_counts[factor]:,} | {walls[factor]:.2f} "
+                f"| {walls[factor] / walls[1]:.1f}x |"
+            )
+        lines.append("")
+
+    if stages is None or "shingle" in stages:
+        boiler = "shared boilerplate header tokens appear on every single document "
+        walls = {}
+        doc_counts = {}
+        for factor in factors:
+            path = replicate(
+                spark, base, "documents", factor, ["doc_id"], text_col="text"
+            )
+            corpus = spark.read.parquet(path).select(
+                "doc_id", F.concat(F.lit(boiler), F.col("text")).alias("text")
+            )
+            corpus = corpus.localCheckpoint(eager=True)
+            doc_counts[factor] = corpus.count()
+            for op_name, thunk in (
+                (
+                    "ngram_jaccard_pairs",
+                    lambda: dedup.ngram_jaccard_pairs(
+                        corpus, "doc_id", "text", threshold=0.5, k=5
+                    )
+                    .write.mode("overwrite")
+                    .format("noop")
+                    .save(),
+                ),
+                (
+                    "containment_pairs",
+                    lambda: dedup.containment_pairs(
+                        corpus, "doc_id", "text", threshold=0.8, k=5
+                    )
+                    .write.mode("overwrite")
+                    .format("noop")
+                    .save(),
+                ),
+            ):
+                walls[(op_name, factor)] = min3(thunk)
+                print(
+                    f"shingle {op_name} {factor}x: docs={doc_counts[factor]} "
+                    f"wall={walls[(op_name, factor)]:.2f}s (min of 3 warm)"
+                )
+            corpus.unpersist()
+        lines += [
+            "### prefix-filtered exact pair ops under a universal boilerplate shingle",
+            "",
+            "Every document carries the same injected boilerplate prefix, so the",
+            "hot shingle's document frequency equals the corpus size — the input",
+            "that made the UNFILTERED inverted-index self-join quadratic. The",
+            "AllPairs/PPJoin prefix index excludes corpus-frequent shingles from",
+            "join keys (operators/dedup.py::_prefix_inverted_index), so walls must",
+            "track corpus size, not its square.",
+            "",
+            "| operator | 1x wall (s) | 16x wall (s) | 64x wall (s) | w(64x)/w(1x) | docs 64x |",
+            "|---|---|---|---|---|---|",
+        ]
+        for op_name in ("ngram_jaccard_pairs", "containment_pairs"):
+            w1, w16, w64 = (walls[(op_name, f)] for f in factors)
+            lines.append(
+                f"| {op_name} | {w1:.2f} | {w16:.2f} | {w64:.2f} "
+                f"| {w64 / w1:.1f}x | {doc_counts[64]:,} |"
+            )
+        lines.append("")
+
+    with open("/root/repo/SCALE.md", "a") as f:
+        f.write("\n".join(lines))
+    print("appended round-12 section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def probe_behavior(base: str) -> None:
     """Round-11 behavior-tier probe: measured evidence for the
     histogram-binning scale claim (operators/binning.py) — the quartile
@@ -2076,6 +2233,15 @@ def probe_behavior(base: str) -> None:
                 p = d
                 for c in id_cols:
                     p = p.withColumn(c, F.col(c) + F.lit(r * 100_000_000))
+                # Perturb the continuous metric per replica (r cents on
+                # every order) so the monetary-cents value DOMAIN grows
+                # with the row count — identical replicas would reuse the
+                # same histogram keys and mask the high-cardinality cost
+                # the probe exists to measure (r11 advisor finding).
+                if table == "orders":
+                    p = p.withColumn(
+                        "o_totalprice", F.col("o_totalprice") + F.lit(r) * 0.01
+                    )
                 parts.append(p)
             out = parts[0]
             for p in parts[1:]:
@@ -2088,14 +2254,20 @@ def probe_behavior(base: str) -> None:
             QUERIES[qname](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()  # warm
-            t0 = _time.time()
-            QUERIES[qname](spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            walls[(qname, factor)] = _time.time() - t0
+            # min-of-3 warm walls: this host swings 2-4x between quiet
+            # and contended windows (r11 verdict §4), so a single-sample
+            # wall can misstate the linearity ratio.
+            best = float("inf")
+            for _ in range(3):
+                t0 = _time.time()
+                QUERIES[qname](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                best = min(best, _time.time() - t0)
+            walls[(qname, factor)] = best
             print(
                 f"behavior {qname} {factor}x: rows={rows[(qname, factor)]} "
-                f"wall={walls[(qname, factor)]:.2f}s"
+                f"wall={walls[(qname, factor)]:.2f}s (min of 3 warm)"
             )
 
     lines = [
@@ -2131,6 +2303,18 @@ if __name__ == "__main__":
             "/root/testdata/sf0.1",
         )
         probe_harvest(base_dir)
+    elif "--r12ops" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        stage_arg = next(
+            (a for a in sys.argv[1:] if a.startswith("--stages=")), None
+        )
+        probe_r12(
+            base_dir,
+            stages=set(stage_arg.split("=", 1)[1].split(",")) if stage_arg else None,
+        )
     elif "--behavior" in sys.argv:
         base_dir = next(
             (a for a in sys.argv[1:] if not a.startswith("--")),
