@@ -130,7 +130,15 @@ BEHAVIOR = [
     "event_transition_matrix",
 ]
 
-HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL + BEHAVIOR
+#: Round-12 tier (timed separately as r12_sec): sessionized funnel
+#: attribution (user-keyed fold + touch argmax) and Bloom-gated
+#: decontamination (map-side position gate + exact verify).
+R12 = [
+    "funnel_attributed_conversions",
+    "decontaminate_bloom_gate",
+]
+
+HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL + BEHAVIOR + R12
 
 #: A/B probe set: one representative per tier, restricted to queries old
 #: enough to exist in the previous snapshot's registry, including the four
@@ -360,6 +368,7 @@ def main() -> None:
                 ),
                 "modal_sec": round(sum(timings[n] for n in MODAL), 3),
                 "behavior_sec": round(sum(timings[n] for n in BEHAVIOR), 3),
+                "r12_sec": round(sum(timings[n] for n in R12), 3),
                 "cpu_canary_sec": cpu_canary,
                 "spark_canary_sec": spark_canary,
                 "queries": timings,
