@@ -3581,3 +3581,117 @@ def decontaminate_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonally-adjusted anomaly detection (round 12): compose the
+# seasonal-naive DOW profile with robust MAD outlier flagging — the
+# day-of-week mean is removed from each event type's daily count series
+# FIRST, so a busy-Monday pattern is not repeatedly flagged the way a
+# raw-count MAD gate (events_anomaly_mad) would. Every aggregate runs
+# over the calendar domain (one row per (type, day)): one shuffle to
+# daily grain regardless of event volume, then |types|·|days|-sized
+# median/MAD reductions with broadcast joins back — the monitoring
+# query you run on a 100 TB event stream for the cost of its daily
+# rollup.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonal_anomaly",
+    # Residuals are exact integers (count − floor-mean), so the
+    # interpolated medians land on .0/.5 halves — exactly representable
+    # doubles, comparison-safe in both engines (same convention as
+    # events_anomaly_mad).
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+prof AS (
+  SELECT event_type, day, n,
+         CAST(sum(n) OVER (PARTITION BY event_type, isodow(day))
+              // count(*) OVER (PARTITION BY event_type, isodow(day))
+              AS BIGINT) AS mu
+  FROM daily
+),
+resid AS (SELECT event_type, day, n - mu AS r FROM prof),
+med AS (
+  SELECT event_type, quantile_cont(CAST(r AS DOUBLE), 0.5) AS med_r
+  FROM resid GROUP BY event_type
+),
+dev AS (
+  SELECT r.event_type, r.r, m.med_r,
+         abs(CAST(r.r AS DOUBLE) - m.med_r) AS adev
+  FROM resid r JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(d.med_r, 4) AS med_resid,
+       round(m.mad, 4) AS mad,
+       CAST(count(CASE WHEN d.adev > 6 * m.mad THEN 1 END) AS BIGINT)
+         AS n_anomalous_days
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, d.med_r, m.mad
+ORDER BY d.event_type
+""",
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type anomalous-day counts after removing the day-of-week
+    seasonal mean: residual r = daily count − floor-mean(count | type,
+    iso dow); a day is anomalous when |r − median(r)| > 6·MAD(r)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.withColumn(
+        "iso_dow", (F.weekday("day") + F.lit(1)).cast("long")
+    )
+    # counts are non-negative, so the truncating div IS floor division
+    # (matches DuckDB //)
+    prof = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.expr(
+            "sum(n) OVER (PARTITION BY event_type, iso_dow)"
+            " div count(*) OVER (PARTITION BY event_type, iso_dow)"
+        ).alias("mu"),
+    )
+    resid = prof.select(
+        "event_type", "day", (F.col("n") - F.col("mu")).alias("r")
+    # |types|·|days| rows, consumed by the median, deviation, and MAD
+    # branches — checkpoint so the event stream is rolled up ONCE, not
+    # once per branch (the 100 TB cost is the daily rollup scan).
+    ).localCheckpoint(eager=True)
+    med = resid.groupBy("event_type").agg(
+        F.percentile(F.col("r").cast("double"), 0.5).alias("med_r")
+    )
+    dev = resid.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_r",
+        F.abs(F.col("r").cast("double") - F.col("med_r")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_r", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count(F.when(F.col("adev") > 6 * F.col("mad"), 1)).alias(
+                "n_anomalous_days"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round("med_r", 4).alias("med_resid"),
+            F.round("mad", 4).alias("mad"),
+            "n_anomalous_days",
+        )
+        .orderBy("event_type")
+    )

@@ -148,3 +148,40 @@ def test_bloom_gate_partial_overlap_below_threshold_kept(spark, tmp_path):
     assert r["n_fast_clean"] == 0  # the shared gram trips the gate
     assert r["n_dropped"] == 0  # 1/41 < 20% — exact verify keeps it
     assert r["n_kept"] == 1
+
+
+# --------------------------------------------------------------------------
+# events_seasonal_anomaly
+# --------------------------------------------------------------------------
+
+
+def test_seasonal_anomaly_removes_weekly_pattern(spark, tmp_path):
+    """Type A has a strong weekly pattern (Mondays 50, other days 10)
+    and NO anomaly: the DOW profile absorbs it exactly (every residual
+    0), so nothing is flagged — where a raw-count MAD gate would flag
+    every Monday. Type B is flat except one 80-event spike day: the
+    spike (and its dampened DOW cohort-mates, since a degenerate MAD=0
+    gate flags every nonzero deviation) is flagged."""
+    rows, eid = [], 0
+    for day in range(1, 29):
+        ts_day = dt.datetime(2024, 1, day)
+        # Monday = weekday() 0
+        n_a = 50 if ts_day.weekday() == 0 else 10
+        n_b = 80 if day == 17 else 10
+        for i in range(n_a):
+            eid += 1
+            rows.append((eid, ts_day + dt.timedelta(seconds=i), 1, "a", 0.0, "{}"))
+        for i in range(n_b):
+            eid += 1
+            rows.append((eid, ts_day + dt.timedelta(seconds=i), 2, "b", 0.0, "{}"))
+    _write(spark, tmp_path, "events", rows, EVENTS_SCHEMA)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_seasonal_anomaly"](spark, str(tmp_path)).collect()
+    }
+    a, b = got["a"], got["b"]
+    assert a["n_days"] == 28
+    assert (a["med_resid"], a["mad"], a["n_anomalous_days"]) == (0.0, 0.0, 0)
+    assert b["n_days"] == 28
+    # spike day resid 53; its 3 Wednesday cohort-mates -17 each; MAD 0
+    assert b["n_anomalous_days"] == 4
