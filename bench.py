@@ -175,8 +175,12 @@ def _ab_interleaved(sf_dir: str) -> dict:
     passes = int(os.environ.get("SPARK_GRAFT_AB_PASSES", "3"))
     wt = None
     try:
+        # Anchored to the driver's snapshot-subject format — an
+        # unanchored phrase grep would match ordinary commits whose
+        # message merely MENTIONS the snapshot convention (it did).
         rev = subprocess.run(
-            ["git", "-C", repo, "log", "--grep", "end-of-round snapshot",
+            ["git", "-C", repo, "log", "-E",
+             "--grep", r"^round [0-9]+: end-of-round snapshot",
              "--format=%H %s", "-n", "1"],
             capture_output=True, text=True, check=True, timeout=30,
         ).stdout.strip()
