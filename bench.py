@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -238,6 +239,14 @@ def _ab_interleaved(sf_dir: str) -> dict:
                 ["git", "-C", repo, "worktree", "remove", "--force", wt],
                 capture_output=True, timeout=60,
             )
+            # A previously-killed bench can leave the dir registered as
+            # prunable or not registered at all — make removal succeed
+            # either way so the deterministic path is reusable.
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "prune"],
+                capture_output=True, timeout=60,
+            )
+            shutil.rmtree(wt, ignore_errors=True)
 
 
 def _cpu_canary() -> float:
