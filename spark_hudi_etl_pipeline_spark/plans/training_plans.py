@@ -3410,9 +3410,129 @@ _BLOOM_M = 1 << 20  # position-space slots
 _BLOOM_SQL_H = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
 
 
-@query(
-    "decontaminate_bloom_gate",
-    oracle=f"""
+def _doc_grams(d):
+    """Exploded distinct-able 8-gram rows ``(doc_id, source, g)`` from a
+    ``(doc_id, source, t=tokens)`` relation."""
+    n = F.size("t")
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                _gram_starts(n, 8),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
+            )
+        ).alias("g"),
+    )
+
+
+def _bloom_positions(bench):
+    """Distinct two-hash position set of the benchmark grams. Second
+    position via shiftright (M = 2^20): exact on the 60-bit long and
+    identical to the oracle's BIGINT ``// M`` on positives — a double
+    division here would round above 2^53 and truncate off by one."""
+    from ..functions.text import portable_hash60
+
+    return (
+        bench.select((portable_hash60("g") % _BLOOM_M).alias("p"))
+        .unionAll(
+            bench.select(
+                (F.shiftright(portable_hash60("g"), 20) % _BLOOM_M).alias("p")
+            )
+        )
+        .distinct()
+    )
+
+
+def _bloom_gate_verdicts(corpus_grams, bench, bloom):
+    """Per-doc gate verdicts ``(doc_id, source, fast_clean, dropped)``:
+    Bloom position prefilter (both hash positions must hit the broadcast
+    set) then exact verification of ONLY the suspected grams. Stateless
+    across documents — every gram of a doc rides in its row — so the
+    same function serves the batch query and each streaming micro-batch
+    (plans parity, not reimplementation)."""
+    from ..functions.text import portable_hash60
+
+    h = portable_hash60("g")
+    corpus = corpus_grams.distinct().select(
+        "doc_id",
+        "source",
+        "g",
+        (h % _BLOOM_M).alias("p1"),
+        (F.shiftright(h, 20) % _BLOOM_M).alias("p2"),
+    )
+    gated = (
+        corpus.join(
+            F.broadcast(bloom.select(F.col("p").alias("p1"), F.lit(1).alias("h1"))),
+            "p1",
+            "left",
+        )
+        .join(
+            F.broadcast(bloom.select(F.col("p").alias("p2"), F.lit(1).alias("h2"))),
+            "p2",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "g",
+            F.when(F.col("h1").isNotNull() & F.col("h2").isNotNull(), 1)
+            .otherwise(0)
+            .alias("suspected"),
+        )
+    )
+    bench_hit = F.broadcast(
+        bench.select(F.col("g").alias("bg"), F.lit(1).alias("hit"))
+    )
+    per_doc = (
+        gated.join(
+            bench_hit,
+            (F.col("suspected") == 1) & (F.col("g") == F.col("bg")),
+            "left",
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("suspected").alias("n_suspected"),
+            F.sum(
+                F.when((F.col("suspected") == 1) & F.col("hit").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_hits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        F.when(F.col("n_suspected") == 0, 1).otherwise(0).alias("fast_clean"),
+        F.when(
+            F.floor(
+                F.col("n_hits") * float(_DECON_FRAC_Q) / F.col("n_grams")
+            ).cast("long")
+            >= _DECON_THRESHOLD_Q,
+            1,
+        )
+        .otherwise(0)
+        .alias("dropped"),
+    )
+
+
+def _gate_rollup(verdicts):
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fast_clean").cast("long").alias("n_fast_clean"),
+            F.sum(1 - F.col("dropped")).cast("long").alias("n_kept"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+
+#: Shared by the batch and streaming gate queries — the final state is
+#: identical regardless of micro-batching, so one oracle serves both.
+_BLOOM_GATE_ORACLE = f"""
 WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
 sh AS (
   SELECT doc_id, source,
@@ -3464,123 +3584,30 @@ SELECT source,
        CAST(sum(1 - dropped) AS BIGINT) AS n_kept,
        CAST(sum(dropped) AS BIGINT) AS n_dropped
 FROM verdicts GROUP BY source ORDER BY source
-""",
-)
+"""
+
+
+@query("decontaminate_bloom_gate", oracle=_BLOOM_GATE_ORACLE)
 def decontaminate_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase decontamination: broadcast Bloom position gate (two
     portable-hash positions per gram, 2^20 slots) clears untainted docs
     map-side; only suspected grams reach the exact benchmark-gram join.
     Output is exact; n_fast_clean reports how many docs the gate cleared
     without an exact lookup (the 100 TB win)."""
-    from ..functions.text import portable_hash60
-
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", _tokens().alias("t")
     )
-    n = F.size("t")
-    sh = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                _gram_starts(n, 8),
-                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
-            )
-        ).alias("g"),
-    )
-    h = portable_hash60("g")
+    sh = _doc_grams(d)
     bench = (
         sh.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
         # consumed twice (bloom positions + exact verify) — tiny
         .localCheckpoint(eager=True)
     )
-    # Second position via shiftright (M = 2^20): exact on the 60-bit
-    # long, and identical to the oracle's BIGINT `// M` on positives —
-    # a double division here would round above 2^53 and truncate off by
-    # one.
-    bloom = (
-        bench.select((portable_hash60("g") % _BLOOM_M).alias("p"))
-        .unionAll(
-            bench.select(
-                (F.shiftright(portable_hash60("g"), 20) % _BLOOM_M).alias("p")
-            )
-        )
-        .distinct()
+    bloom = _bloom_positions(bench)
+    verdicts = _bloom_gate_verdicts(
+        sh.filter(F.col("doc_id") % 29 != 0), bench, bloom
     )
-    corpus = (
-        sh.filter(F.col("doc_id") % 29 != 0)
-        .select("doc_id", "source", "g")
-        .distinct()
-        .select(
-            "doc_id",
-            "source",
-            "g",
-            (h % _BLOOM_M).alias("p1"),
-            (F.shiftright(h, 20) % _BLOOM_M).alias("p2"),
-        )
-    )
-    gated = (
-        corpus.join(
-            F.broadcast(bloom.select(F.col("p").alias("p1"), F.lit(1).alias("h1"))),
-            "p1",
-            "left",
-        )
-        .join(
-            F.broadcast(bloom.select(F.col("p").alias("p2"), F.lit(1).alias("h2"))),
-            "p2",
-            "left",
-        )
-        .select(
-            "doc_id",
-            "source",
-            "g",
-            F.when(F.col("h1").isNotNull() & F.col("h2").isNotNull(), 1)
-            .otherwise(0)
-            .alias("suspected"),
-        )
-    )
-    bench_hit = F.broadcast(
-        bench.select(F.col("g").alias("bg"), F.lit(1).alias("hit"))
-    )
-    per_doc = (
-        gated.join(
-            bench_hit,
-            (F.col("suspected") == 1) & (F.col("g") == F.col("bg")),
-            "left",
-        )
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("suspected").alias("n_suspected"),
-            F.sum(
-                F.when((F.col("suspected") == 1) & F.col("hit").isNotNull(), 1)
-                .otherwise(0)
-            ).alias("n_hits"),
-        )
-    )
-    verdicts = per_doc.select(
-        "source",
-        F.when(F.col("n_suspected") == 0, 1).otherwise(0).alias("fast_clean"),
-        F.when(
-            F.floor(
-                F.col("n_hits") * float(_DECON_FRAC_Q) / F.col("n_grams")
-            ).cast("long")
-            >= _DECON_THRESHOLD_Q,
-            1,
-        )
-        .otherwise(0)
-        .alias("dropped"),
-    )
-    return (
-        verdicts.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("fast_clean").cast("long").alias("n_fast_clean"),
-            F.sum(1 - F.col("dropped")).cast("long").alias("n_kept"),
-            F.sum("dropped").cast("long").alias("n_dropped"),
-        )
-        .orderBy("source")
-    )
+    return _gate_rollup(verdicts)
 
 
 # --------------------------------------------------------------------------
@@ -3695,3 +3722,69 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# STREAMING decontamination (round 12): the Bloom gate as a real
+# Structured Streaming job — corpus documents staged to a file source
+# and drained in maxFilesPerTrigger=1 micro-batches; each batch runs
+# the SAME _bloom_gate_verdicts the batch query runs (the gate is
+# stateless across documents — a doc's grams ride in its row), against
+# the STATIC checkpointed benchmark gram/position sets built once
+# before the stream starts. Per-batch verdicts land in deterministic
+# per-batch-id directories (overwrite ⇒ a replayed micro-batch is
+# idempotent); the rollup reads them recursively. The oracle is the
+# batch SQL — final state is invariant to micro-batching, extending the
+# engine's batch/streaming-parity contract to continuous-ingest
+# decontamination.
+# --------------------------------------------------------------------------
+
+
+@query("streaming_decontaminate_gate", oracle=_BLOOM_GATE_ORACLE)
+def streaming_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .lifecycle_plans import _scratch
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens().alias("t")
+    )
+    bench = (
+        _doc_grams(d)
+        .filter(F.col("doc_id") % 29 == 0)
+        .select("g")
+        .distinct()
+        # static side of every micro-batch — materialize ONCE, not per
+        # batch
+        .localCheckpoint(eager=True)
+    )
+    bloom = _bloom_positions(bench).localCheckpoint(eager=True)
+
+    corpus_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 != 0)
+        .select("doc_id", "source", "text")
+    )
+    stage = _scratch(sf_dir, "strm_decon")
+    vpath = _scratch(sf_dir, "strm_decon_verdicts")
+    chk = _scratch(sf_dir, "strm_decon_chk")
+    corpus_docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        grams = _doc_grams(
+            batch_df.select("doc_id", "source", _tokens().alias("t"))
+        )
+        _bloom_gate_verdicts(grams, bench, bloom).write.mode(
+            "overwrite"
+        ).parquet(f"{vpath}/b{batch_id}")
+
+    q = (
+        spark.readStream.schema(corpus_docs.schema)
+        .option("maxFilesPerTrigger", 1)  # force a multi-batch drain
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    verdicts = spark.read.option("recursiveFileLookup", "true").parquet(vpath)
+    return _gate_rollup(verdicts)

@@ -185,3 +185,33 @@ def test_seasonal_anomaly_removes_weekly_pattern(spark, tmp_path):
     assert b["n_days"] == 28
     # spike day resid 53; its 3 Wednesday cohort-mates -17 each; MAD 0
     assert b["n_anomalous_days"] == 4
+
+
+# --------------------------------------------------------------------------
+# streaming_decontaminate_gate
+# --------------------------------------------------------------------------
+
+
+def test_streaming_gate_matches_batch(spark, tmp_path):
+    """Micro-batch invariance: the streaming gate (maxFilesPerTrigger=1
+    drain through foreachBatch) must produce exactly the batch query's
+    per-source verdict rollup on the same fixture."""
+    bench_text = " ".join(f"b{i}" for i in range(12))
+    rows = [(0, bench_text, "en", "s0", 1)]
+    for i in range(1, 9):
+        src = f"s{i % 2}"
+        text = bench_text if i <= 2 else " ".join(f"u{i}w{j}" for j in range(12))
+        rows.append((i, text, "en", src, 1))
+    _write(spark, tmp_path, "documents", rows, DOCS_SCHEMA)
+    batch = sorted(
+        tuple(r) for r in QUERIES["decontaminate_bloom_gate"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    stream = sorted(
+        tuple(r) for r in QUERIES["streaming_decontaminate_gate"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert stream == batch
+    assert any(r[4] > 0 for r in stream)  # the verbatim copies dropped
