@@ -38,74 +38,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in iteration order. Round-12 window (FROZEN at round start, BEFORE any new
-# registrations, per COVERAGE.md §Rotation): the 12 round-11 post-freeze
-# registrations (the only oracle-bearing queries with no CORRECTNESS row in
-# r1-r11), plus the 38 least-recently-attested oracle-bearing proven greens
-# as cross-round regression canaries — computed as: every oracle-bearing,
-# non-rows-only query sorted by (last driver green row, name); that takes
-# the 4 remaining members of the 50-query r6 cohort
-# (``unpivot_lineitem_measures`` … ``window_value_functions``) and the 34
-# alphabetically-first of the r7 cohort. Rows-only-by-design queries are
-# excluded from canary slots so every r12 row is hash-checkable. Any query
-# registered later this round appends AFTER the window and rotates in r13.
-# Everything NOT in the window still passes the identical local gate
+# in iteration order. Round-13 window (FROZEN at round start, BEFORE any new
+# registrations, per COVERAGE.md §Rotation and VERDICT.md r12 ask #1): the 4
+# round-12 post-freeze registrations (the only oracle-bearing queries with no
+# CORRECTNESS row in r1-r12; judge-verified green in the r12 verdict), plus
+# the 46 least-recently-attested oracle-bearing proven greens as cross-round
+# regression canaries — computed as: every oracle-bearing, non-rows-only
+# query sorted by (last driver green row, name); that takes the 14 remaining
+# members of the r7 cohort (``streaming_interval_join`` …
+# ``watermark_lookup``) and the 32 alphabetically-first of the r8 cohort
+# (``asof_purchase_next_click`` … ``knn_ivfpq_adc``). Rows-only-by-design
+# queries are excluded from canary slots so every r13 row is hash-checkable.
+# Any query registered later this round appends AFTER the window and rotates
+# in r14. Everything NOT in the window still passes the identical local gate
 # (``tools/oracle_check.py`` runs all). Once this window lands, cumulative
-# driver attestation = 269/269 of the pre-r12 registry.
+# driver attestation = 273/273 of the pre-r13 registry.
 PRIORITY_WINDOW: list[str] = [
-    # round-11 additions never driver-checked (12)
-    "rfm_customer_segments",
-    "event_transition_matrix",
-    "seasonal_dow_profile",
-    "assoc_rules_brand_lift",
-    "radius_search_cosine",
-    "token_budget_selection",
-    "mmr_diversified_topk",
-    "curriculum_difficulty_epochs",
-    "source_kl_divergence",
-    "events_burst_islands",
-    "graph_label_propagation",
-    "dedup_containment_pairs",
-    # least-recently-attested oracle-bearing canaries (38): the 4 remaining
-    # r6-cohort members + the 34 alphabetically-first of the r7 cohort
-    "unpivot_lineitem_measures",
-    "window_range_frame_spend",
-    "window_running_customer_spend",
-    "window_value_functions",
-    "asof_purchase_prior_click",
-    "clustered_scan_bands",
-    "collect_statuses_by_segment",
-    "corpus_curation_pipeline",
-    "decimal_exact_totals",
-    "dedup_exact_fingerprint",
-    "dedup_incremental_batch",
-    "dedup_ngram_jaccard",
-    "dedup_resolve_canonical",
-    "embedding_centroids",
-    "embedding_neardup_blocked",
-    "events_json_extract",
-    "events_props_map",
-    "events_sessionize",
-    "extract_full_load",
-    "incremental_agg_refresh",
-    "ivf_upsert_probe",
-    "knn_bruteforce_cosine",
-    "leakage_safe_split",
-    "multimodal_metadata_prune",
-    "pagerank_cust_supp_top20",
-    "profile_orders",
-    "q11_important_part_value",
-    "q15_top_supplier",
-    "q16_supplier_relationship",
-    "q20_majority_supplier",
-    "q9_profit_by_nation_year",
-    "recursive_ancestor_walk",
-    "salted_join_segment_volume",
-    "session_window_stats",
-    "snapshot_diff_cdc",
-    "status_report_window",
-    "stratified_sample_events",
-    "streaming_dedup_within_watermark",
+    # round-12 additions never driver-checked (4)
+    "funnel_attributed_conversions",
+    "decontaminate_bloom_gate",
+    "events_seasonal_anomaly",
+    "streaming_decontaminate_gate",
+    # least-recently-attested oracle-bearing canaries (46): the 14 remaining
+    # r7-cohort members + the 32 alphabetically-first of the r8 cohort
+    "streaming_interval_join",
+    "streaming_static_enrich",
+    "streaming_tumbling_counts",
+    "supplier_pareto_cumshare",
+    "text_language_id",
+    "text_quality_scores",
+    "text_repetition_filters",
+    "timeline_as_of",
+    "train_test_split_hash",
+    "upsert_file_indexed",
+    "upsert_partition_pruned",
+    "upsert_precombine_delete",
+    "validate_constraints",
+    "watermark_lookup",
+    "asof_purchase_next_click",
+    "attribution_last_touch",
+    "bigram_lm_score",
+    "branch_merge_isolation",
+    "cohort_retention_daily",
+    "compacted_scan_invariance",
+    "compaction_plan_monthly",
+    "contrastive_hard_negatives",
+    "copurchase_pairs_topk",
+    "corpus_vocab_topk",
+    "decontaminate_ngram_overlap",
+    "dedup_chunk_apply",
+    "dedup_chunk_exact",
+    "dedup_shared_spans",
+    "doc_chunk_overlap_windows",
+    "doc_chunk_token_windows",
+    "embedding_assign_nearest",
+    "embedding_dim_stats",
+    "embedding_int8_codes",
+    "embedding_quantize_int8",
+    "events_anomaly_zscore",
+    "events_gapfill_daily",
+    "events_ohlc_daily",
+    "events_ohlc_monthly_cascade",
+    "frequency_cap_events",
+    "funnel_conversion_stages",
+    "gdpr_erase_subject",
+    "graph_triangle_top20",
+    "heavy_hitters_cms",
+    "hist_token_counts",
+    "k_anon_customer_release",
+    "knn_ivfpq_adc",
 ]
 
 
