@@ -510,9 +510,17 @@ def _prefix_inverted_index(sh: DataFrame, threshold: float) -> DataFrame:
     self-join quadratic sorts LAST in this order, so it is excluded
     from prefixes unless a document consists almost entirely of hot
     shingles — in which case the output itself is quadratic and no
-    exact operator can do better. The ``⌈·⌉`` is computed on
-    ``t·sz − 1e-9`` so a floating-point wobble can only LENGTHEN a
-    prefix (more candidates, same verified output), never shorten one.
+    exact operator can do better.
+
+    The prefix length is derived from the EFFECTIVE rounded threshold
+    ``t − 5e-5``, not ``t`` (r12 advisor): the emit filter downstream
+    admits pairs on the 4-decimal grid (``round(ratio, 4) ≥ t``), so a
+    pair with true similarity in ``[t − 5e-5, t)`` rounds up and must
+    still be guaranteed a prefix collision — deriving the length from
+    raw ``t`` would let such a pair slip the candidate join once
+    documents grow past ~20k distinct shingles. The ``⌈·⌉`` is computed
+    on ``t_eff·sz − 1e-9`` so a floating-point wobble can only LENGTHEN
+    a prefix (more candidates, same verified output), never shorten one.
 
     Returns ``(id, sz, shingle)`` rows — the prefix entries only.
     """
@@ -524,9 +532,10 @@ def _prefix_inverted_index(sh: DataFrame, threshold: float) -> DataFrame:
         "rk",
         F.row_number().over(Window.partitionBy("id").orderBy("dfreq", "shingle")),
     )
+    t_eff = max(threshold - 5e-5, 0.0)
     plen = F.greatest(
         F.lit(1),
-        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1,
+        F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz") - F.lit(1e-9)) + 1,
     )
     return ranked.filter(F.col("rk") <= plen).select("id", "sz", "shingle")
 
@@ -542,7 +551,12 @@ def _verified_pairs(sh: DataFrame, cands: DataFrame) -> DataFrame:
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sets = sh.join(F.broadcast(involved), on="id", how="left_semi")
+    # No broadcast hint (r12 advisor): on a high-duplication corpus the
+    # involved-id set approaches corpus size, and a forced broadcast
+    # would blow driver/executor memory at exactly the scale the prefix
+    # filter targets. AQE picks broadcast on its own when the set is
+    # actually small (post-checkpoint stats are accurate).
+    sets = sh.join(involved, on="id", how="left_semi")
     a = sets.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
     )

@@ -829,3 +829,42 @@ def test_containment_asymmetric_prefix_finds_subset_pair(spark):
         ).collect()
     }
     assert got == {(1, 2): 1.0}
+
+
+def test_prefix_length_covers_rounded_threshold(spark):
+    """The emit filter admits pairs on the 4-decimal grid
+    (``round(ratio, 4) >= t``), so the prefix length must be derived
+    from the effective threshold ``t - 5e-5`` (r12 advisor): at
+    sz = 20001 that is one prefix entry MORE than the raw-t formula
+    (10002 vs 10001) — the entry that guarantees a collision for pairs
+    whose true ratio rounds up to t."""
+    sh = spark.createDataFrame(
+        [(1, [f"s{j:06d}" for j in range(20001)], 20001)],
+        "id int, sh array<string>, sz int",
+    )
+    n = dedup._prefix_inverted_index(sh, 0.5).count()
+    assert n == 20001 - 10000 + 1  # ceil(0.49995 * 20001) = 10000
+
+
+def test_ngram_jaccard_rounding_boundary_pair_not_missed(spark):
+    """Adversarial planted pair at the rounding boundary: B (10000
+    1-word shingles) fully contained in A (20002 shingles), true
+    Jaccard 10000/20002 = 0.4999500... < 0.5 but round(.,4) = 0.5 —
+    admitted by the output filter in BOTH engines. All common shingles
+    have document-frequency 2 and A's uniques 1, so the common block
+    sorts LAST in A's prefix order: with the prefix length derived from
+    raw t the first common shingle sat at rank 10003, one past A's
+    10002-entry prefix, and the candidate join silently missed the pair.
+    The effective-threshold length (10003) must find it."""
+    words = [f"w{j:06d}" for j in range(20002)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[:10000]))],
+        "doc_id int, text string",
+    )
+    got = [
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, k=1
+        ).collect()
+    ]
+    assert got == [(1, 2, 0.5)]
