@@ -1,26 +1,31 @@
 """Benchmark harness: runs the headline query suite at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``, writes full per-pass + A/B detail to
+``bench_detail.json``, and prints the compact headline as the LAST
+stdout line (the driver records only the final ~2000 chars):
 
     {"metric": ..., "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "passes": {name: [sec, ...]},
-     "ab": {...}, "sf": ...}
+     "queries": {name: sec, ...}, "ab": {"ratio_geomean": ...}, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect overhead). First run of the session pays JVM/codegen
 warmup; a throwaway warmup query absorbs it so per-query numbers reflect
 steady-state execution.
 
-Comparability protocol (r12, after the r9/r11 drift episodes — see
-BASELINE.md §conventions): (a) the artifact records EVERY pass's wall per
-query, not just the min, so a contended host window is visible inside the
-artifact (uniformly inflated passes ⇒ contention; a single slow pass ⇒
-scheduling noise); (b) the bench A/B's itself — it checks the previous
-round's end-of-round snapshot into a temporary git worktree and alternates
-probe sessions (prev, cur, prev, cur) on the shared probe set, reporting
-per-query min walls and the cur/prev ratio. The interleaving is the point:
-both trees sample the same contention windows, so the RATIO is comparable
-even when absolute walls are not. Disable with SPARK_GRAFT_AB=0.
+Comparability protocol (r12→r13, after the r9/r11/r12 drift episodes —
+see BASELINE.md §conventions): (a) bench_detail.json records EVERY pass's
+wall per query, not just the min, so a contended host window is visible
+inside the artifact (uniformly inflated passes ⇒ contention; a single
+slow pass ⇒ scheduling noise); (b) the bench A/B's itself — it checks the
+previous round's end-of-round snapshot into a temporary git worktree and
+runs probe sessions on a COUNTERBALANCED pair-flipped schedule
+(prev,cur,cur,prev,…) over the shared probe set, reporting per-query min
+walls, per-session start timestamps, and the cur/prev ratio. The
+interleaving is the point: both trees sample the same contention windows,
+so the RATIO is comparable even when absolute walls are not; the
+counterbalancing cancels linear load ramps that strict ABAB ordering
+converted into a phantom 1.36× regression in BENCH_r12 (judge's idle-box
+ABBA re-run read 0.80). Disable with SPARK_GRAFT_AB=0.
 """
 
 from __future__ import annotations
@@ -144,10 +149,18 @@ HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL + BEHAVIOR + R12
 #: A/B probe set: one representative per tier, restricted to queries old
 #: enough to exist in the previous snapshot's registry, including the four
 #: probes the r11 judge adjudication used (q1, upsert_precombine,
-#: events_sessionize, streaming_dedup_store). Kept small so the four
+#: events_sessionize, streaming_dedup_store). Kept small so the
 #: alternating sessions stay within the bench's runtime budget; the full
 #: suite's per-pass walls (``passes``) carry the contention signal for
 #: every other query.
+#:
+#: Per-round rule (r12 verdict ask #6): each round appends its heaviest
+#: changed-path query, so a regression introduced by the round's own
+#: commits is visible to the A/B (the r12 probe set contained only
+#: pre-r11 queries — a blind spot). r13 adds decontaminate_bloom_gate
+#: (heaviest r12 registration, in the r12 snapshot's registry) and
+#: dedup_containment_pairs (its candidate generation changed in r13:
+#: rounding-safe prefix length).
 AB_PROBES = [
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
@@ -157,23 +170,46 @@ AB_PROBES = [
     "streaming_dedup_store",
     "knn_ivfpq_adc",
     "video_scene_cuts",
+    "decontaminate_bloom_gate",
+    "dedup_containment_pairs",
 ]
+
+
+def _ab_schedule(sessions: int) -> list[str]:
+    """Counterbalanced session order (r12 verdict ask #2).
+
+    Strict ABAB puts one side's sessions systematically later, so a
+    monotonically ramping co-tenant load biases the ratio against that
+    side — exactly the artifact the r12 judge adjudicated (recorded
+    geomean 1.364 inverted to 0.798 under an idle-box ABBA re-run).
+    Pair-flipped ordering (prev,cur,cur,prev,prev,cur,cur,prev …) gives
+    both sides the same mean slot for any multiple-of-4 session count,
+    cancelling linear load ramps exactly.
+    """
+    order: list[str] = []
+    flip = False
+    while len(order) < sessions:
+        order += ["cur", "prev"] if flip else ["prev", "cur"]
+        flip = not flip
+    return order[:sessions]
 
 
 def _ab_interleaved(sf_dir: str) -> dict:
     """Interleaved previous-snapshot A/B (BASELINE.md §conventions).
 
     Checks the most recent ``end-of-round snapshot`` commit into a
-    temporary detached worktree, then alternates single-JVM probe sessions
-    (prev, cur, prev, cur — ``tools/ab_probe.py`` subprocesses, each with
-    its own warmup) over :data:`AB_PROBES`. Returns per-tree per-query min
-    walls and the cur/prev ratio. Never raises: on any failure (no git, no
-    snapshot commit, subprocess error) returns ``{"error": ...}`` so the
-    bench artifact still lands.
+    temporary detached worktree, then runs single-JVM probe sessions
+    (``tools/ab_probe.py`` subprocesses, each with its own warmup) over
+    :data:`AB_PROBES` on a counterbalanced pair-flipped schedule
+    (:func:`_ab_schedule`), recording each session's side, start
+    timestamp, and wall so a contention hump is visible in the artifact.
+    Returns per-tree per-query min walls and the cur/prev ratio. Never
+    raises: on any failure (no git, no snapshot commit, subprocess
+    error) returns ``{"error": ...}`` so the bench artifact still lands.
     """
     repo = os.path.dirname(os.path.abspath(__file__))
-    sessions = int(os.environ.get("SPARK_GRAFT_AB_SESSIONS", "4"))
-    passes = int(os.environ.get("SPARK_GRAFT_AB_PASSES", "3"))
+    sessions = int(os.environ.get("SPARK_GRAFT_AB_SESSIONS", "8"))
+    passes = int(os.environ.get("SPARK_GRAFT_AB_PASSES", "2"))
     wt = None
     try:
         # Anchored to the driver's snapshot-subject format — an
@@ -189,6 +225,28 @@ def _ab_interleaved(sf_dir: str) -> dict:
             return {"error": "no end-of-round snapshot commit found"}
         prev_hash, prev_subject = rev.split(" ", 1)
         wt = os.path.join("/tmp", f"spark_graft_ab_{prev_hash[:12]}")
+        # Reuse the worktree only if it is a COMPLETE checkout of
+        # prev_hash: a bench killed mid-cleanup can leave a partial tree
+        # (removed from git's registry but half-deleted on disk) that
+        # would otherwise be probed silently, producing bogus prev walls.
+        if os.path.isdir(wt):
+            head = subprocess.run(
+                ["git", "-C", wt, "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=30,
+            ).stdout.strip()
+            pkg_ok = os.path.isdir(
+                os.path.join(wt, "spark_hudi_etl_pipeline_spark")
+            )
+            if head != prev_hash or not pkg_ok:
+                subprocess.run(
+                    ["git", "-C", repo, "worktree", "remove", "--force", wt],
+                    capture_output=True, timeout=60,
+                )
+                subprocess.run(
+                    ["git", "-C", repo, "worktree", "prune"],
+                    capture_output=True, timeout=60,
+                )
+                shutil.rmtree(wt, ignore_errors=True)
         if not os.path.isdir(wt):
             subprocess.run(
                 ["git", "-C", repo, "worktree", "add", "--detach", wt, prev_hash],
@@ -205,9 +263,18 @@ def _ab_interleaved(sf_dir: str) -> dict:
             return json.loads(out)["timings"]
 
         mins: dict[str, dict[str, float]] = {"prev": {}, "cur": {}}
-        order = ["prev", "cur"] * ((sessions + 1) // 2)
-        for side in order[:sessions]:
+        session_log: list[dict] = []
+        for side in _ab_schedule(sessions):
+            start = time.time()
             t = run_session(wt if side == "prev" else repo)
+            session_log.append(
+                {
+                    "side": side,
+                    "start_unix": round(start, 1),
+                    "wall_sec": round(time.time() - start, 1),
+                    "timings": t,
+                }
+            )
             for n, v in t.items():
                 cur = mins[side].get(n)
                 mins[side][n] = v if cur is None or v < cur else cur
@@ -226,6 +293,8 @@ def _ab_interleaved(sf_dir: str) -> dict:
             "prev_subject": prev_subject,
             "sessions": sessions,
             "passes_per_session": passes,
+            "schedule": [s["side"] for s in session_log],
+            "session_log": session_log,
             "prev_min_sec": mins["prev"],
             "cur_min_sec": mins["cur"],
             "ratio_cur_over_prev": ratio,
@@ -362,35 +431,52 @@ def main() -> None:
         sf_num: float | str = float(sf)
     except ValueError:
         sf_num = sf
-    core = CORE
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "core19_sec": round(sum(timings[n] for n in core), 3),
-                "lifecycle_sec": round(
-                    sum(timings[n] for n in LIFECYCLE), 3
-                ),
-                "curation_sec": round(
-                    sum(timings[n] for n in CURATION), 3
-                ),
-                "timeseries_sec": round(
-                    sum(timings[n] for n in TIMESERIES), 3
-                ),
-                "modal_sec": round(sum(timings[n] for n in MODAL), 3),
-                "behavior_sec": round(sum(timings[n] for n in BEHAVIOR), 3),
-                "r12_sec": round(sum(timings[n] for n in R12), 3),
-                "cpu_canary_sec": cpu_canary,
-                "spark_canary_sec": spark_canary,
-                "queries": timings,
-                "passes": per_pass,
-                "ab": ab,
-                "sf": sf_num,
-            }
-        )
+
+    # Artifact shape (r12 verdict ask #3): the driver records only the
+    # LAST ~2000 chars of stdout, so the compact headline JSON must be the
+    # FINAL line and stay under that cap; the full per-pass and per-session
+    # A/B detail goes to bench_detail.json in the repo instead of stdout
+    # (BENCH_r12 lost its suite wall to the tail cap when everything was
+    # one giant line).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump({"passes": per_pass, "ab": ab, "sf": sf_num}, fh, indent=1)
+    print(f"full per-pass + A/B detail written to {detail_path}")
+
+    ab_compact = None
+    if isinstance(ab, dict):
+        ab_compact = (
+            {"ratio_geomean": ab.get("ratio_geomean"),
+             "sessions": ab.get("sessions"),
+             "prev_snapshot": (ab.get("prev_snapshot") or "")[:12]}
+            if "error" not in ab
+            else {"error": ab["error"][:120]}
+        )
+    payload = {
+        "metric": "headline_suite_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "core19_sec": round(sum(timings[n] for n in CORE), 3),
+        "lifecycle_sec": round(sum(timings[n] for n in LIFECYCLE), 3),
+        "curation_sec": round(sum(timings[n] for n in CURATION), 3),
+        "timeseries_sec": round(sum(timings[n] for n in TIMESERIES), 3),
+        "modal_sec": round(sum(timings[n] for n in MODAL), 3),
+        "behavior_sec": round(sum(timings[n] for n in BEHAVIOR), 3),
+        "r12_sec": round(sum(timings[n] for n in R12), 3),
+        "cpu_canary_sec": cpu_canary,
+        "spark_canary_sec": spark_canary,
+        "queries": timings,
+        "ab": ab_compact,
+        "detail": "bench_detail.json",
+        "sf": sf_num,
+    }
+    headline = json.dumps(payload)
+    if len(headline) > 1950:  # defensive: never let the tail cap eat it
+        payload.pop("queries")
+        headline = json.dumps(payload)
+    print(headline)
 
 
 if __name__ == "__main__":
