@@ -107,10 +107,22 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scored = (
+        # recency (day ages) and frequency (order counts) are
+        # small-domain by construction — the hint skips their range
+        # probes; monetary_cents is near-unique and wide, so it probes
+        # and takes the two-level path.
         per.crossJoin(
-            F.broadcast(quartile_thresholds(per, -F.col("recency_days"), "r"))
+            F.broadcast(
+                quartile_thresholds(
+                    per, -F.col("recency_days"), "r", small_domain=True
+                )
+            )
         )
-        .crossJoin(F.broadcast(quartile_thresholds(per, F.col("frequency"), "f")))
+        .crossJoin(
+            F.broadcast(
+                quartile_thresholds(per, F.col("frequency"), "f", small_domain=True)
+            )
+        )
         .crossJoin(
             F.broadcast(quartile_thresholds(per, F.col("monetary_cents"), "m"))
         )

@@ -3088,7 +3088,12 @@ def curriculum_difficulty_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         textfns.token_count("text").cast("long").alias("n_tokens"),
     ).localCheckpoint(eager=True)  # consumed by thresholds + output
     scored = m.crossJoin(
-        F.broadcast(quartile_thresholds(m, F.col("n_tokens"), "d"))
+        # per-document token counts are small-domain (bounded by the
+        # longest document, far under the 2^20 bucket width) — the hint
+        # skips the range-probe job.
+        F.broadcast(
+            quartile_thresholds(m, F.col("n_tokens"), "d", small_domain=True)
+        )
     )
     return scored.select(
         "doc_id",

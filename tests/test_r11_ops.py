@@ -466,3 +466,41 @@ def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
         got[(i, i + 10000)]["cont_a_q"] == 1.0 for i in (1, 2, 3) if (i, i + 10000) in got
     )
     assert (1, 3) not in got and (2, 3) not in got
+
+
+# --------------------------------------------------------------------------
+# quartile_thresholds plan-shape parity (r13: single-window fast path,
+# driver-side coarse bounds, broadcast fallback)
+# --------------------------------------------------------------------------
+
+
+def test_quartile_thresholds_three_shapes_bit_identical(spark):
+    """The same data routed through all three plan shapes — forced via
+    bucket_width — must produce bit-identical thresholds: negatives,
+    ties, and a NON-power-of-two width (the r12 advisor's exact-division
+    hazard) included. 997-wide buckets over a ~200k range exercises the
+    driver-bounds path; width 2 pushes past PLANNING_BUCKET_CAP into the
+    broadcast fallback; a huge width takes the single-window route."""
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators.binning import (
+        PLANNING_BUCKET_CAP,
+        quartile_thresholds,
+    )
+
+    vals = [(i * 7 - 100_000,) for i in range(30_000)] + [(-100_000,)] * 500
+    df = spark.createDataFrame(vals, "m long")
+    single = quartile_thresholds(
+        df, F.col("m"), "x", bucket_width=1 << 40
+    ).first()
+    driver_bounds = quartile_thresholds(
+        df, F.col("m"), "x", bucket_width=997
+    ).first()
+    assert (210_000 // 2) > PLANNING_BUCKET_CAP  # width 2 ⇒ fallback
+    broadcast_fb = quartile_thresholds(df, F.col("m"), "x", bucket_width=2).first()
+    assert tuple(single) == tuple(driver_bounds) == tuple(broadcast_fb)
+    # cross-check against exact Python strict-rank thresholds
+    xs = sorted(v for (v,) in vals)
+    n = len(xs)
+    expect = tuple(xs[k - 1] for k in ((n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4))
+    assert tuple(single) == expect
