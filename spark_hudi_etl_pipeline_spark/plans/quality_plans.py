@@ -777,3 +777,57 @@ def dp_noisy_counts_release(
         .alias("noisy_count_q6"),
         F.lit(1000).cast("long").alias("epsilon_x1000"),
     ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# Per-query cost attribution (r13 widening; reference README.md:148-160
+# "Performance/Resource Metrics"): the observed-rows leg of
+# pipeline/costlog.py, gated against the oracle. Each profiled query
+# executes ONCE through the noop sink with a plan-embedded Observation;
+# the registered result is the deterministic slice of the cost row —
+# (query_name, rows_out) — which DuckDB recomputes as plain counts over
+# the same oracle SQL. The nondeterministic legs (wall, tasks, plan
+# counters) are pinned by tests/test_costlog.py instead.
+# --------------------------------------------------------------------------
+
+
+def _cost_attribution_oracle() -> str:
+    from .registry import ORACLES
+
+    legs = [
+        f"SELECT '{name}' AS query_name,"
+        f" (SELECT count(*) FROM ({ORACLES[name]})) AS rows_out"
+        for name in _COST_PROFILED
+    ]
+    return " UNION ALL ".join(legs) + " ORDER BY query_name"
+
+
+#: Three plan shapes on purpose: a partial-agg pipeline, a broadcast
+#: star join, and a window argmax — so the observed-rows plumbing is
+#: exercised under aggregation, join, and window execution.
+_COST_PROFILED = [
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "latest_order_per_customer",
+]
+
+
+@query("cost_attribution_rows_observed", oracle=_cost_attribution_oracle())
+def cost_attribution_rows_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs each profiled query end-to-end (noop sink) with a
+    plan-embedded Observation and returns (query_name, rows_out) from
+    the collected metrics — proving the attribution path reports the
+    same cardinalities the engines compute. The 3-row local result is
+    an S2 collection source; all corpus-scale work happens inside the
+    profiled queries themselves."""
+    from ..pipeline.costlog import profile_run
+    from .registry import QUERIES
+
+    entries = [
+        profile_run(spark, QUERIES[name](spark, sf_dir), name)
+        for name in _COST_PROFILED
+    ]
+    return spark.createDataFrame(
+        [(e["query_name"], e["rows_out"]) for e in entries],
+        "query_name string, rows_out long",
+    ).orderBy("query_name")
