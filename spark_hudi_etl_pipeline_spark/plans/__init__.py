@@ -19,5 +19,6 @@ from . import graph_plans  # noqa: E402,F401
 from . import lifecycle_plans  # noqa: E402,F401
 from . import bpe_plans  # noqa: E402,F401
 from . import behavior_plans  # noqa: E402,F401
+from . import variant_plans  # noqa: E402,F401
 
 __all__ = ["ORACLES", "PRIORITY_WINDOW", "QUERIES", "ordered_queries", "query"]
