@@ -551,11 +551,18 @@ def _verified_pairs(sh: DataFrame, cands: DataFrame) -> DataFrame:
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # No broadcast hint (r12 advisor): on a high-duplication corpus the
-    # involved-id set approaches corpus size, and a forced broadcast
-    # would blow driver/executor memory at exactly the scale the prefix
-    # filter targets. AQE picks broadcast on its own when the set is
-    # actually small (post-checkpoint stats are accurate).
+    # Size-gated broadcast (r12 advisor, refined by the r13 A/B): an
+    # UNCONDITIONAL hint would blow driver/executor memory on a
+    # high-duplication corpus where the involved-id set approaches
+    # corpus size — but dropping the hint entirely makes the semi-join
+    # sort-merge, which shuffles the corpus-size shingle relation (the
+    # r13 bench A/B read the blanket removal at 1.8× on
+    # dedup_containment_pairs). The candidate relation is already
+    # eagerly checkpointed, so its exact count is a planning-scale read;
+    # ≤ 2·cands ids of a long each stays far under executor memory at
+    # the 5M-pair gate.
+    if cands.count() <= 5_000_000:
+        involved = F.broadcast(involved)
     sets = sh.join(involved, on="id", how="left_semi")
     a = sets.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
