@@ -56,6 +56,11 @@ class PipelineConfig:
     #: stamp processing_date / load_timestamp metadata (reference :235-236).
     stamp_metadata: bool = True
     order_by: list[str] = field(default_factory=list)
+    #: opt-in per-run cost attribution (pipeline/costlog.py): when set,
+    #: the run's observed rows, wall, job/task footprint, and plan-shape
+    #: counters are upserted here keyed (pipeline name, run timestamp).
+    #: No extra execution — every number rides the run's own jobs.
+    cost_log_path: str | None = None
 
 
 @dataclass
@@ -106,6 +111,13 @@ def run_pipeline(spark: SparkSession, config: PipelineConfig) -> PipelineResult:
     run_ts = runlog.now_ms()
     watermark: int | None = None  # initialized BEFORE any fallible step
     records = 0
+    cost_group: str | None = None
+    if config.cost_log_path is not None:
+        # Scope the WHOLE run under one job group so the cost row's
+        # job/task footprint covers extract + count + upsert — measured
+        # off the run's own jobs, never a re-execution.
+        cost_group = f"cost:{config.name}:{run_ts}"
+        spark.sparkContext.setJobGroup(cost_group, f"pipeline run {config.name}")
     try:
         watermark = runlog.get_last_run_timestamp(spark, config.log_path, config.name)
         batch = extract_incremental(config, spark, watermark)
@@ -113,6 +125,11 @@ def run_pipeline(spark: SparkSession, config: PipelineConfig) -> PipelineResult:
             batch = stamp_metadata(batch)
         if config.transform is not None:
             batch = config.transform(batch)
+        shape = None
+        if config.cost_log_path is not None:
+            from .costlog import plan_shape
+
+            shape = plan_shape(batch)  # pre-cache: the real extract plan
         # Single materialization: cache once, count from the cache, feed
         # the same cache to the merge (fixes the reference's double scan).
         batch = batch.cache()
@@ -153,6 +170,31 @@ def run_pipeline(spark: SparkSession, config: PipelineConfig) -> PipelineResult:
             records_processed=records,
             processing_time_seconds=duration,
         )
+        if config.cost_log_path is not None and shape is not None:
+            from .costlog import write_cost_entry
+
+            tracker = spark.sparkContext.statusTracker()
+            job_ids = tracker.getJobIdsForGroup(cost_group) or []
+            n_tasks = 0
+            for jid in job_ids:
+                info = tracker.getJobInfo(jid)
+                for sid in info.stageIds if info is not None else []:
+                    sinfo = tracker.getStageInfo(sid)
+                    if sinfo is not None:
+                        n_tasks += int(sinfo.numTasks)
+            write_cost_entry(
+                spark,
+                config.cost_log_path,
+                {
+                    "query_name": config.name,
+                    "rows_out": records,
+                    "wall_sec": round(duration, 3),
+                    "n_jobs": len(job_ids),
+                    "n_tasks": n_tasks,
+                    **shape,
+                    "created_at": run_ts,
+                },
+            )
         return PipelineResult(runlog.STATUS_SUCCESS, records, watermark, duration)
     except Exception as exc:
         # FAILED row + re-raise (reference :318-330) — watermark is
@@ -172,6 +214,9 @@ def run_pipeline(spark: SparkSession, config: PipelineConfig) -> PipelineResult:
         except Exception:
             pass  # logging must never mask the original failure
         raise
+    finally:
+        if cost_group is not None:
+            spark.sparkContext.setJobGroup(None, None)
 
 
 def scheduled_run(spark: SparkSession, config: PipelineConfig) -> bool:

@@ -66,3 +66,26 @@ def test_cost_table_upsert_and_report(spark, tmp_path):
     assert r["rows_out"] == 7
     assert r["min_wall_sec"] <= r["avg_wall_sec"]
     assert r["latest_shuffle_exchanges"] == e2["shuffle_exchanges"]
+
+
+def test_run_pipeline_cost_attribution_opt_in(spark, tmp_path):
+    """cost_log_path on PipelineConfig records one attribution row per
+    data-moving run — rows_out == records_processed, footprint measured
+    off the run's own jobs (no re-execution)."""
+    from tests.test_pipeline import make_config
+    from spark_hudi_etl_pipeline_spark.pipeline.runner import run_pipeline
+    from spark_hudi_etl_pipeline_spark.pipeline.runlog import now_ms
+
+    t0 = now_ms()
+    rows = [(1, "u1", t0 - 1000, "a"), (2, "u2", t0 - 500, "b")]
+    cost_path = str(tmp_path / "cost")
+    cfg = make_config(spark, tmp_path, rows, cost_log_path=cost_path)
+    r = run_pipeline(spark, cfg)
+    assert r.status == "SUCCESS" and r.records_processed == 2
+    log = spark.read.parquet(cost_path).collect()
+    assert len(log) == 1
+    row = log[0]
+    assert row["query_name"] == "test_pipeline"
+    assert row["rows_out"] == 2
+    assert row["n_jobs"] >= 1 and row["n_tasks"] >= 1
+    assert row["wall_sec"] > 0
