@@ -144,7 +144,17 @@ R12 = [
     "decontaminate_bloom_gate",
 ]
 
-HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL + BEHAVIOR + R12
+#: Round-13 tier (timed separately as r13_sec): the Bloom gate composed
+#: with incremental aggregate refresh (batched corpus decontamination
+#: folding into materialized stats), two-stage SQ8 scan→exact rerank
+#: retrieval, and the deterministic per-epoch shard shuffle.
+R13 = [
+    "decontaminated_stats_refresh",
+    "knn_sq8_rerank",
+    "epoch_shuffle_shards",
+]
+
+HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL + BEHAVIOR + R12 + R13
 
 #: A/B probe set: one representative per tier, restricted to queries old
 #: enough to exist in the previous snapshot's registry, including the four
@@ -465,6 +475,7 @@ def main() -> None:
         "modal_sec": round(sum(timings[n] for n in MODAL), 3),
         "behavior_sec": round(sum(timings[n] for n in BEHAVIOR), 3),
         "r12_sec": round(sum(timings[n] for n in R12), 3),
+        "r13_sec": round(sum(timings[n] for n in R13), 3),
         "cpu_canary_sec": cpu_canary,
         "spark_canary_sec": spark_canary,
         "queries": timings,

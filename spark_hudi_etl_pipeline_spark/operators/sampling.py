@@ -21,7 +21,7 @@ whole-stage codegen, no UDFs, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,6 +125,100 @@ def weighted_pps_sample(
         ipw_col,
         F.when(w >= divisor, F.lit(1_000_000))
         .otherwise(F.floor(F.lit(divisor * 1_000_000) / w))
+        .cast("long"),
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    *,
+    epoch: int,
+    shards: int,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle into training shards — the
+    "shuffle the corpus before each epoch" primitive, as a pure function
+    of (key, epoch) instead of an RNG: h = 32-bit md5 of
+    ``epoch:<epoch>:<key>``; shard = h mod ``shards``; position within
+    shard = rank of (h, key). Every epoch re-derives a fresh
+    near-uniform permutation (the salt changes the hash), any worker can
+    recompute its shard independently, and re-runs are bit-identical on
+    any engine or partitioning.
+
+    Scale: the hash is map-side; the only exchange is the partition-by-
+    shard for the per-shard rank — each shard sorts independently, so at
+    100 TB you raise ``shards`` until a shard fits an executor's sort
+    budget (shard files are what the trainer consumes anyway). No global
+    sort, no driver state.
+    """
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"epoch:{int(epoch)}:"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("_h", u32).withColumn(
+        shard_col, F.pmod(F.col("_h"), F.lit(int(shards))).cast("long")
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("_h"), F.col(key_col))
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("_h")
+
+
+def stratum_equalized_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    *,
+    target: int,
+    salt: str = "",
+    ipw_col: str = "ipw_q",
+) -> DataFrame:
+    """Density-equalizing Poisson sample: every stratum contributes
+    ~``target`` rows in expectation, p = min(1, target/|stratum|) — the
+    cluster-pruning step of SemDeDup/DataComp-style curation (dense
+    regions of a corpus are down-weighted so the sample covers the
+    embedding space instead of its modes).
+
+    The inclusion rule is PURE INTEGER — u16 · |stratum| < target ·
+    65536, u16 = the row's salted 16-bit md5 bucket — so membership is
+    bit-identical on any engine, partitioning, or run, and re-running on
+    appended data never flips an already-sampled row (its stratum size
+    changes p for NEW draws only if the caller recomputes sizes — the
+    audit trail is the ``ipw_col`` carried on each kept row:
+    ``(|stratum| · 1e6) div target`` for sampled strata, 1e6 where the
+    stratum was kept whole — the exact-integer Horvitz-Thompson weight).
+
+    Scale: one |strata|-row aggregate broadcast back onto the relation;
+    the rule itself is a map-side filter. No shuffle of ``df`` beyond
+    the size aggregate at any corpus size.
+    """
+    if target < 1:
+        raise ValueError("target must be >= 1")
+    sizes = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_csize"))
+    u16 = F.conv(
+        hash_bucket(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        16,
+        10,
+    ).cast("long")
+    kept = df.join(F.broadcast(sizes), stratum_col).filter(
+        u16 * F.col("_csize") < F.lit(int(target) * 65536)
+    )
+    return kept.withColumn(
+        ipw_col,
+        F.when(F.col("_csize") <= target, F.lit(1_000_000))
+        .otherwise(F.expr(f"(_csize * 1000000) div {int(target)}"))
         .cast("long"),
     )
 

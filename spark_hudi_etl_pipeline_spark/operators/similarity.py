@@ -1224,6 +1224,192 @@ def hard_negative_pairs(
     )
 
 
+def label_centroid_assign(
+    emb: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """k-means E-step against the per-label mean centroids: every vector
+    to its highest-cosine label centroid (ties → lowest label).
+
+    The centroids are quantized to integers via EXACT accumulation
+    (per-element BIGINT codes summed exactly, then integer floor-
+    division — no order-dependent double sum anywhere), and every
+    downstream product/sum runs the same left-to-right double
+    arithmetic in both engines, so the argmax is bit-deterministic.
+    Scale shape: centroids are |labels|×dim (tiny, broadcast); the
+    corpus is scanned once, map-side — no shuffle of the vectors at any
+    corpus size.
+
+    Output: (vec_id, orig_label, assigned_label, cos) with ``cos``
+    unquantized (callers quantize at their output grid).
+    """
+    sv = F.floor(F.col("v").cast("double") * 1000000).cast("long")
+    cent = (
+        emb.select("label", F.posexplode(vec_col).alias("dim_idx", "v"))
+        .groupBy("label", "dim_idx")
+        .agg(F.sum(sv).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim_idx",
+            F.expr(
+                "(s - ((s % (n * 100) + n * 100) % (n * 100))) div (n * 100)"
+            )
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "cq"))).alias("s"))
+        .select(
+            F.col("label").alias("cand_label"),
+            F.transform("s", lambda x: x["cq"]).alias("c"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(vec_col, "c", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # Integer sum of squares (exact, fits BIGINT: |cq| ≤ ~2×10⁴ squared
+    # × 64 dims), then one double sqrt — bit-identical across engines.
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform("c", lambda x: x * x), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    scored = (
+        emb.select("vec_id", F.col("label").alias("orig_label"), vec_col)
+        .crossJoin(F.broadcast(carr))
+        .select(
+            "vec_id",
+            "orig_label",
+            "cand_label",
+            (dot / (vnorm * cnorm)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cand_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "orig_label",
+            F.col("cand_label").alias("assigned_label"),
+            "cos",
+        )
+    )
+
+
+def sq8_stats(
+    df: DataFrame, *, vec_col: str = "embedding", dim: int = 64
+) -> tuple[list[float], list[float]]:
+    """Per-dimension corpus [min, max] for SQ8 affine quantization,
+    collected driver-side as 2·dim doubles (planning-scale state, the
+    centroid-broadcast convention). min/max of doubles is exact — no
+    accumulation-order hazard — so the stats are engine-invariant."""
+    stats = (
+        df.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    mn = [0.0] * dim
+    mx = [0.0] * dim
+    for r in stats:
+        if r["i"] >= dim:
+            raise ValueError(
+                f"vector component {r['i']} out of range: pass dim >= "
+                f"the actual vector length (got dim={dim})"
+            )
+        mn[r["i"]], mx[r["i"]] = r["mn"], r["mx"]
+    return mn, mx
+
+
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    shortlist: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage retrieval: SQ8 approximate scan → exact re-rank (the
+    FAISS "SQ8 with refine" production shape).
+
+    Stage 1 scores every corpus vector against the broadcast query panel
+    using its int8 RECONSTRUCTION — at rest the codes column is 1
+    byte/dim (4× less scan I/O than fp32), and the reconstruction is a
+    map-side expression over the codes, so the approximate pass never
+    touches the full-precision column. Only (qid, cid, approx_cos)
+    triples — 20 bytes/pair — flow through the per-query shortlist
+    window. Stage 2 fetches the full-precision vectors for the
+    |Q|·shortlist survivors via a BROADCAST of the shortlist against the
+    corpus (the corpus never shuffles, at any size) and re-ranks them
+    exactly. The expensive fp32 column is therefore read for
+    |Q|·shortlist rows regardless of corpus size.
+
+    Output: (qid, cid, cosine, rank, arnk) — exact-rerank rank 1..k with
+    the stage-1 shortlist rank kept for recall auditing; ties break on
+    corpus id in both stages.
+    """
+    mn, mx = sq8_stats(corpus, vec_col=vec_col, dim=dim)
+    mns = F.array(*[F.lit(v) for v in mn])
+    mxs = F.array(*[F.lit(v) for v in mx])
+
+    def _code(x, i):
+        lo, hi = F.element_at(mns, i + 1), F.element_at(mxs, i + 1)
+        raw = F.floor(
+            (x.cast("double") - lo) * 255.0 / (hi - lo) + F.lit(0.5)
+        ).cast("long") - 128
+        return F.when(hi == lo, F.lit(0).cast("long")).otherwise(raw)
+
+    def _recon(c, i):
+        lo, hi = F.element_at(mns, i + 1), F.element_at(mxs, i + 1)
+        return lo + (c + 128).cast("double") * (hi - lo) / 255.0
+
+    recon = F.transform(F.transform(F.col(vec_col), _code), _recon)
+    c_sq8 = corpus.select(F.col(corpus_id).alias("cid"), recon.alias("rv"))
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+    )
+    approx = c_sq8.crossJoin(q).select(
+        "qid", "cid", F.round(vectors.cosine("rv", "qv"), 4).alias("approx_cos")
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("cid"))
+    cand = (
+        approx.withColumn("arnk", F.row_number().over(w1))
+        .filter(F.col("arnk") <= shortlist)
+        .select("qid", "cid", "arnk")
+    )
+    fetched = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv")
+    ).join(F.broadcast(cand), "cid")
+    rer = fetched.join(q, "qid").select(
+        "qid", "cid", "arnk", F.round(vectors.cosine("cv", "qv"), 4).alias("cosine")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank", "arnk")
+        .orderBy("qid", "rank")
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame,
     *,
@@ -1245,24 +1431,7 @@ def quantize_embeddings_int8(
     reconstruction and per-vector max |error|: the quantization-error
     audit a release gate checks before swapping the fp32 column out.
     """
-    stats = (
-        df.select(F.posexplode(vec_col).alias("i", "x"))
-        .groupBy("i")
-        .agg(
-            F.min(F.col("x").cast("double")).alias("mn"),
-            F.max(F.col("x").cast("double")).alias("mx"),
-        )
-        .collect()
-    )
-    mn = [0.0] * dim
-    mx = [0.0] * dim
-    for r in stats:
-        if r["i"] >= dim:
-            raise ValueError(
-                f"vector component {r['i']} out of range: pass dim >= "
-                f"the actual vector length (got dim={dim})"
-            )
-        mn[r["i"]], mx[r["i"]] = r["mn"], r["mx"]
+    mn, mx = sq8_stats(df, vec_col=vec_col, dim=dim)
     mns = F.array(*[F.lit(v) for v in mn])
     mxs = F.array(*[F.lit(v) for v in mx])
 

@@ -423,6 +423,106 @@ def dedup_resolve_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup impact report: the cluster-SIZE histogram a curation run reads
+# after resolution — how much of the corpus sits in duplicate clusters
+# of each multiplicity, and what fraction dedup will remove. Built on
+# the same pair graph + connected components as dedup_resolve_canonical
+# (oracle replays the closure), then two metadata-scale folds: clusters
+# = |distinct canonicals| rows, histogram = |distinct sizes| rows. The
+# corpus-scale cost is the resolution itself; the report adds only
+# bounded aggregations, and the final pct window runs over the size
+# DOMAIN (≤ max multiplicity rows), never the data.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle="WITH RECURSIVE "
+    + _NEAR_CORPUS_SQL.strip().rstrip()
+    + f""",
+sh AS (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM corpus),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.3
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT s.src, r.label FROM sym s JOIN reach r ON s.dst = r.node
+),
+comp AS (SELECT node, min(label) AS canonical_id FROM reach GROUP BY node),
+csz AS (SELECT canonical_id, count(*) AS csize FROM comp GROUP BY canonical_id),
+hist AS (
+  SELECT csize, count(*) AS n_clusters,
+         CAST(csize * count(*) AS BIGINT) AS n_docs
+  FROM csz GROUP BY csize
+)
+SELECT csize, n_clusters, n_docs,
+       CAST((n_docs * 10000) // sum(n_docs) OVER () AS BIGINT) AS pct_docs_q,
+       CAST(sum(n_docs) OVER () - sum(n_clusters) OVER () AS BIGINT)
+         AS total_removable
+FROM hist ORDER BY csize
+""",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram + removable-doc count over the resolved
+    near-dup components (exact 5-gram Jaccard >= 0.3 pair graph, same
+    construction as dedup_resolve_canonical)."""
+    from pyspark.sql import Window
+
+    corpus = _with_near_dups(spark, sf_dir)
+    edges = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.3, k=5)
+    comp = dedup.connected_components(
+        corpus.select("doc_id"), edges.select("id_a", "id_b"), id_col="doc_id"
+    )
+    csz = comp.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("csize"))
+    hist = csz.groupBy("csize").agg(F.count(F.lit(1)).alias("n_clusters"))
+    # The window relation is the size DOMAIN (distinct multiplicities) —
+    # bounded at any corpus scale, so the global frame is safe.
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        hist.select(
+            "csize",
+            "n_clusters",
+            (F.col("csize") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .select(
+            "csize",
+            "n_clusters",
+            "n_docs",
+            F.expr("n_docs * 10000").alias("_nd4"),
+            F.sum("n_docs").over(wall).alias("_td"),
+            (F.sum("n_docs").over(wall) - F.sum("n_clusters").over(wall)).alias(
+                "total_removable"
+            ),
+        )
+        .select(
+            "csize",
+            "n_clusters",
+            "n_docs",
+            F.expr("_nd4 div _td").alias("pct_docs_q"),
+            "total_removable",
+        )
+        .orderBy("csize")
+    )
+
+
+# --------------------------------------------------------------------------
 # Leakage-safe train/test split: the contamination-aware version of the
 # hash split — near-duplicate CLUSTERS (connected components of the
 # Jaccard pair graph) are assigned to a split atomically, by hashing the

@@ -214,3 +214,38 @@ def kfold_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle (operators/sampling.py::epoch_shuffle):
+# the "reshuffle the corpus every epoch" training primitive as a pure
+# function of (doc_id, epoch) — 32-bit salted md5 orders the docs,
+# mod-8 buckets them into shards, rank-within-shard is the read
+# position. The oracle replays the identical hash/mod/rank chain, so
+# every assignment row is value-checked. Scale shape: map-side hash +
+# ONE exchange on shard; each shard sorts independently (raise the
+# shard count until a shard fits an executor — the shard files are what
+# the trainer consumes), no global sort anywhere.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "epoch_shuffle_shards",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST('0x' || substring(md5('epoch:1:' || CAST(doc_id AS VARCHAR)),
+                                1, 8) AS BIGINT) AS u32
+  FROM documents
+)
+SELECT doc_id, source, u32 % 8 AS shard,
+       row_number() OVER (PARTITION BY u32 % 8 ORDER BY u32, doc_id) AS pos
+FROM h
+ORDER BY doc_id
+""",
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_shuffle(docs, "doc_id", epoch=1, shards=8).orderBy("doc_id")

@@ -489,77 +489,97 @@ FROM r WHERE rn = 1 ORDER BY vec_id
 """,
 )
 def embedding_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
-    # Exact integer-scaled centroid accumulation (same construction and
-    # rationale as embedding_centroids): no double accumulation, so the
-    # quantized centroid can't flip on engine summation order.
-    sv = F.floor(F.col("v").cast("double") * 1000000).cast("long")
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
-        .groupBy("label", "dim_idx")
-        .agg(F.sum(sv).alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "label",
-            "dim_idx",
-            F.expr(
-                "(s - ((s % (n * 100) + n * 100) % (n * 100))) div (n * 100)"
-            )
-            .cast("long")
-            .alias("cq"),
-        )
-    )
-    carr = (
-        cent.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "cq"))).alias("s"))
-        .select(
-            F.col("label").alias("cand_label"),
-            F.transform("s", lambda x: x["cq"]).alias("c"),
-        )
-    )
-    dot = F.aggregate(
-        F.zip_with("embedding", "c", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    vnorm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    # Integer sum of squares (exact, fits BIGINT: |cq| ≤ ~2×10⁴ squared
-    # × 64 dims), then one double sqrt — bit-identical across engines.
-    cnorm = F.sqrt(
-        F.aggregate(
-            F.transform("c", lambda x: x * x), F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-    )
-    scored = (
-        emb.select("vec_id", F.col("label").alias("orig_label"), "embedding")
-        .crossJoin(F.broadcast(carr))
-        .select(
-            "vec_id",
-            "orig_label",
-            "cand_label",
-            (dot / (vnorm * cnorm)).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cand_label"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        similarity.label_centroid_assign(emb)
         .select(
             "vec_id",
             "orig_label",
-            F.col("cand_label").alias("assigned_label"),
+            "assigned_label",
             F.floor(F.col("cos") * 10000).cast("long").alias("cos_q"),
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster-density-equalized sampling (operators/similarity.py::
+# label_centroid_assign + operators/sampling.py::
+# stratum_equalized_sample): assign every vector to its nearest label
+# centroid, then keep ~30 vectors per cluster in expectation with
+# p = min(1, 30/|cluster|) decided by a salted integer hash rule — the
+# SemDeDup/DataComp "prune the dense modes" curation step, with exact
+# Horvitz-Thompson weights on every kept row. Scale shape: centroids
+# are broadcast (|labels|×dim), cluster sizes are a |labels|-row
+# aggregate broadcast back, and the inclusion rule is a map-side
+# filter — the corpus shuffles zero times.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle="""
+WITH pts AS (
+  SELECT label, i - 1 AS dim_idx,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS sv
+  FROM embeddings, generate_series(1, 64) AS s(i)
+),
+cent AS (
+  SELECT label, dim_idx,
+         CAST((sum(sv) - ((sum(sv) % (count(*) * 100) + count(*) * 100)
+                          % (count(*) * 100))) // (count(*) * 100)
+              AS BIGINT) AS cq
+  FROM pts GROUP BY label, dim_idx
+),
+carr AS (SELECT label, list(cq ORDER BY dim_idx) AS c FROM cent GROUP BY label),
+scored AS (
+  SELECT e.vec_id, c.label AS cand_label,
+         list_sum(list_transform(list_zip(e.embedding, c.c),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(CAST(list_sum(list_transform(c.c, x -> x * x)) AS DOUBLE)))
+           AS cos
+  FROM embeddings e, carr c
+),
+asg AS (
+  SELECT vec_id, cand_label AS assigned_label FROM (
+    SELECT vec_id, cand_label, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cand_label) AS rn
+    FROM scored)
+  WHERE rn = 1
+),
+sz AS (SELECT assigned_label, count(*) AS csize FROM asg GROUP BY assigned_label),
+j AS (
+  SELECT a.vec_id, a.assigned_label, s.csize,
+         CAST(CAST(concat('0x',
+                substring(md5('cbs:' || CAST(a.vec_id AS VARCHAR)), 1, 4))
+              AS INT) AS BIGINT) AS u16
+  FROM asg a JOIN sz s USING (assigned_label)
+)
+SELECT vec_id, assigned_label, csize,
+       CASE WHEN csize <= 30 THEN 1000000
+            ELSE (csize * 1000000) // 30 END AS ipw_q
+FROM j
+WHERE u16 * csize < 30 * 65536
+ORDER BY vec_id
+""",
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratum_equalized_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = similarity.label_centroid_assign(emb).select("vec_id", "assigned_label")
+    kept = stratum_equalized_sample(
+        asg, "vec_id", "assigned_label", target=30, salt="cbs:"
+    )
+    return kept.select(
+        "vec_id",
+        "assigned_label",
+        F.col("_csize").alias("csize"),
+        "ipw_q",
+    ).orderBy("vec_id")
 
 
 # --------------------------------------------------------------------------
@@ -1203,6 +1223,78 @@ def embedding_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.floor(F.col("max_abs_err") * 1000000).cast("long").alias("err_q"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Two-stage SQ8 retrieval (operators/similarity.py::sq8_rerank_topk —
+# the FAISS "SQ8 with refine" shape): stage 1 scans the int8
+# RECONSTRUCTION (1 byte/dim at rest, map-side recon expression) for a
+# per-query shortlist of 20; stage 2 broadcast-fetches only those
+# |Q|·20 rows' fp32 vectors and re-ranks exactly. The oracle replays
+# the affine code/recon chain (same association as the SQ8 codes
+# oracle) and both ranking stages. Both stages' cosines are computed on
+# the round-4 grid with cid tie-breaks, so the shortlist membership and
+# the final ranks are engine-deterministic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_sq8_rerank",
+    oracle=f"""
+WITH dims AS (
+  SELECT t.i AS i,
+         min(CAST(e.embedding[t.i] AS DOUBLE)) AS mn,
+         max(CAST(e.embedding[t.i] AS DOUBLE)) AS mx
+  FROM embeddings e CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY t.i
+),
+arrs AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+),
+recon AS (
+  SELECT e.vec_id AS cid,
+         list_transform(generate_series(1, 64), i ->
+           a.mns[i]
+           + ((CASE WHEN a.mxs[i] = a.mns[i] THEN 0
+               ELSE CAST(floor((CAST(e.embedding[i] AS DOUBLE) - a.mns[i])
+                         * 255.0 / (a.mxs[i] - a.mns[i]) + 0.5) AS BIGINT)
+                    - 128 END) + 128)
+             * (a.mxs[i] - a.mns[i]) / 255.0) AS rv
+  FROM embeddings e CROSS JOIN arrs a
+),
+qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+approx AS (
+  SELECT qid, cid, arnk FROM (
+    SELECT q.qid, r.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round({_cos_u('r.rv', 'q.qv')}, 4) DESC, r.cid ASC
+           ) AS arnk
+    FROM recon r CROSS JOIN qs q)
+  WHERE arnk <= 20
+),
+rer AS (
+  SELECT a.qid, a.cid, a.arnk,
+         round({_cos_u('c.embedding', 'q.qv')}, 4) AS cosine
+  FROM approx a
+  JOIN embeddings c ON c.vec_id = a.cid
+  JOIN qs q ON q.qid = a.qid
+)
+SELECT qid, cid, cosine, rank, arnk FROM (
+  SELECT qid, cid, cosine, arnk,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+  FROM rer)
+WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.sq8_rerank_topk(
+        emb, queries, shortlist=20, k=5
+    )
 
 
 # --------------------------------------------------------------------------

@@ -88,6 +88,203 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# Quality-threshold sweep: the filter-calibration table a curation run
+# reads BEFORE committing to a cutoff — for every threshold on the 0.05
+# grid, how many documents (and how many characters of training data)
+# survive. One corpus scan folds each doc into its score bucket
+# (round(quality·1e6) div 50000 — all-integer, engine-exact), then a
+# 21-row dense grid takes a suffix-cumulative window. The sweep costs
+# one groupBy to 21 rows at any corpus size; the window runs over the
+# threshold DOMAIN, not the data.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quality_threshold_sweep",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+           / greatest(length(text), 1) AS punct_ratio,
+         {_STOP_HITS['en']} / greatest(len({_LOWER_TOKS}), 1) AS stop_ratio,
+         list_sum(list_transform({_TOKS}, t -> length(t)))
+           / greatest(len({_TOKS}), 1) AS mtl
+  FROM documents
+),
+q AS (
+  SELECT n,
+         CAST(round(round(
+           (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0
+                 WHEN n < 50 THEN n / 50.0 ELSE 20000.0 / n END) * 0.3
+         + (1.0 - least(punct_ratio * 4, 1.0)) * 0.2
+         + (CASE WHEN stop_ratio >= 0.05 THEN 1.0
+                 ELSE stop_ratio / 0.05 END) * 0.3
+         + (CASE WHEN mtl BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+         , 6) * 1000000) AS BIGINT) AS qi
+  FROM m
+),
+b AS (SELECT qi // 50000 AS b, count(*) AS nd, sum(n) AS nc FROM q GROUP BY 1),
+grid AS (SELECT i AS j FROM generate_series(0, 20) AS g(i)),
+jn AS (
+  SELECT j, coalesce(nd, 0) AS nd, coalesce(nc, 0) AS nc
+  FROM grid LEFT JOIN b ON b.b = grid.j
+),
+cum AS (
+  SELECT j,
+         sum(nd) OVER (ORDER BY j
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS kept_docs,
+         sum(nc) OVER (ORDER BY j
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS kept_chars,
+         sum(nd) OVER () AS total_docs
+  FROM jn
+)
+SELECT j * 5 AS threshold_pct,
+       CAST(kept_docs AS BIGINT) AS kept_docs,
+       CAST(kept_chars AS BIGINT) AS kept_chars,
+       CAST((kept_docs * 10000) // total_docs AS BIGINT) AS keep_rate_q
+FROM cum ORDER BY threshold_pct
+""",
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    qi = F.round(text.quality_score("text") * 1000000).cast("long")
+    agg = (
+        d.select(qi.alias("qi"), F.length("text").cast("long").alias("n"))
+        .select(F.expr("qi div 50000").alias("b"), "n")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("n").alias("nc"))
+    )
+    grid = spark.range(0, 21).select(F.col("id").alias("j"))
+    jn = grid.join(agg, grid["j"] == agg["b"], "left").select(
+        "j",
+        F.coalesce("nd", F.lit(0)).alias("nd"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    # Suffix-cumulative over the 21-row threshold DOMAIN (bounded
+    # relation — the global window never sees data-scale rows).
+    wcum = Window.orderBy("j").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wall = Window.orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        jn.select(
+            (F.col("j") * 5).alias("threshold_pct"),
+            F.sum("nd").over(wcum).alias("kept_docs"),
+            F.sum("nc").over(wcum).alias("kept_chars"),
+            F.sum("nd").over(wall).alias("total_docs"),
+        )
+        .select(
+            "threshold_pct",
+            "kept_docs",
+            "kept_chars",
+            F.expr("(kept_docs * 10000) div total_docs").alias("keep_rate_q"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+def _gopher_gate_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(text.tokens("text"))
+    mtl = text.mean_token_length("text")
+    pr = text.punct_ratio("text")
+    sr = text.stopword_ratio("text")
+    flags = d.select(
+        "source",
+        ((ntok < 30) | (ntok > 10000)).cast("long").alias("f_words"),
+        ((mtl < 2.5) | (mtl > 12.0)).cast("long").alias("f_mwl"),
+        (pr > 0.1).cast("long").alias("f_punct"),
+        (sr < 0.05).cast("long").alias("f_stop"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_words").alias("fail_words"),
+            F.sum("f_mwl").alias("fail_mwl"),
+            F.sum("f_punct").alias("fail_punct"),
+            F.sum("f_stop").alias("fail_stop"),
+            F.sum(
+                (
+                    F.col("f_words")
+                    + F.col("f_mwl")
+                    + F.col("f_punct")
+                    + F.col("f_stop")
+                    == 0
+                ).cast("long")
+            ).alias("n_keep"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "fail_words",
+            "fail_mwl",
+            "fail_punct",
+            "fail_stop",
+            "n_keep",
+            F.expr("(n_keep * 10000) div n_docs").alias("keep_rate_q"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style HARD rule census (Rae et al. 2021 §A1.1 adapted to this
+# corpus' grain): where text_quality_scores folds the heuristics into
+# one soft score, this reports each rule's bite separately per source —
+# word-count band, mean-word-length band, punctuation ratio, stopword
+# floor — plus the all-rules keep rate. That per-rule breakdown is what
+# a curation run reads to decide WHICH rule to relax; the soft score
+# can't tell. One map-only pass (all four metrics from one tokenize /
+# regex set, no UDFs) + a |sources|-row aggregate — a linear scan at
+# any corpus size.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_gopher_gate",
+    oracle=f"""
+WITH m AS (
+  SELECT source,
+         len({_TOKS}) AS ntok,
+         list_sum(list_transform({_TOKS}, t -> length(t)))
+           / greatest(len({_TOKS}), 1) AS mtl,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+           / greatest(length(text), 1) AS pr,
+         {_STOP_HITS['en']} / greatest(len({_LOWER_TOKS}), 1) AS sr
+  FROM documents
+),
+f AS (
+  SELECT source,
+         CASE WHEN ntok < 30 OR ntok > 10000 THEN 1 ELSE 0 END AS f_words,
+         CASE WHEN mtl < 2.5 OR mtl > 12.0 THEN 1 ELSE 0 END AS f_mwl,
+         CASE WHEN pr > 0.1 THEN 1 ELSE 0 END AS f_punct,
+         CASE WHEN sr < 0.05 THEN 1 ELSE 0 END AS f_stop
+  FROM m
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(f_words) AS BIGINT) AS fail_words,
+       CAST(sum(f_mwl) AS BIGINT) AS fail_mwl,
+       CAST(sum(f_punct) AS BIGINT) AS fail_punct,
+       CAST(sum(f_stop) AS BIGINT) AS fail_stop,
+       CAST(sum(CASE WHEN f_words + f_mwl + f_punct + f_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST((sum(CASE WHEN f_words + f_mwl + f_punct + f_stop = 0
+                      THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT)
+         AS keep_rate_q
+FROM f GROUP BY source ORDER BY source
+""",
+)
+def text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gopher_gate_impl(spark, sf_dir)
+
+
+
 @query(
     "text_language_id",
     oracle=f"""
