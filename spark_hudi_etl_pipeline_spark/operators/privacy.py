@@ -91,6 +91,102 @@ def k_anonymize_two_level(
     return d.drop("_n0", "_n1", *[f"_g_{c}" for c in quasi])
 
 
+def t_closeness_gate(
+    df: DataFrame,
+    quasi: list[str],
+    sensitive_bin: str,
+    *,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """Ordinal t-closeness (Li, Li, Venkatasubramanian 2007) — the
+    skewness-attack check on top of l-diversity: a class can hold many
+    DISTINCT sensitive values yet still leak if its distribution differs
+    sharply from the table's (e.g. a class where 90% sit in the top
+    balance bin). Each equivalence class releases only if the Earth
+    Mover's Distance between its sensitive-bin distribution and the
+    GLOBAL one is <= t = ``t_num/t_den``.
+
+    For an ordered attribute, EMD = (1/(m-1)) Σᵢ |cum_p(i) − cum_q(i)|.
+    With counts instead of probabilities, cum_p(i) − cum_q(i) =
+    (N·cumcᵢ − n·cumgᵢ)/(n·N), so the gate is the PURE INTEGER rule
+
+        t_den · Σᵢ |N·cumcᵢ − n·cumgᵢ|  <=  t_num · n · N · (m−1)
+
+    — no floats anywhere, bit-identical on any engine (requires
+    t_den·N·n·m < 2^63; the 1e6 fixed-point ``emd_q`` diagnostic
+    tightens that to 1e6·N·n·(m−1) < 2^63, ample for release-table
+    sizes).
+
+    Returns one row per equivalence class: the quasi columns,
+    ``class_n``, ``emd_num`` (the integer numerator), ``emd_q``
+    (floor(EMD·1e6)), and ``released``.
+
+    Scale shape: the data-scale cost is ONE groupBy to |classes|·m rows
+    (plus the m-row global histogram); the cumulative windows run over
+    the bin DOMAIN (m rows per class), and the global histogram is
+    broadcast — nothing data-scale shuffles twice.
+    """
+    if t_num < 0 or t_den < 1:
+        raise ValueError(f"need t_num >= 0 and t_den >= 1, got {t_num}/{t_den}")
+    g = df.groupBy(sensitive_bin).agg(F.count(F.lit(1)).alias("_g"))
+    wb = Window.orderBy(sensitive_bin).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # m-row relation: per-bin global cumulative count + table totals.
+    bins = g.select(
+        F.col(sensitive_bin).alias("_bin"),
+        F.sum("_g").over(wb).alias("_cumg"),
+        F.sum("_g").over(wall).alias("_N"),
+        F.count(F.lit(1)).over(wall).alias("_m"),
+    )
+    cls = df.groupBy(*quasi, sensitive_bin).agg(F.count(F.lit(1)).alias("_c"))
+    # Class sizes fold from the already-aggregated |classes|·m relation —
+    # the raw table is scanned for exactly one groupBy (cls) plus the
+    # m-row global histogram.
+    classes = cls.groupBy(*quasi).agg(F.sum("_c").alias("class_n"))
+    grid = classes.crossJoin(F.broadcast(bins))
+    joined = grid.join(
+        cls.withColumnRenamed(sensitive_bin, "_bin"), [*quasi, "_bin"], "left"
+    ).withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+    wc = (
+        Window.partitionBy(*[F.col(c) for c in quasi])
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    diffs = joined.withColumn("_cumc", F.sum("_c").over(wc)).withColumn(
+        "_diff",
+        F.abs(F.col("_N") * F.col("_cumc") - F.col("class_n") * F.col("_cumg")),
+    )
+    per_class = diffs.groupBy(*quasi, "class_n").agg(
+        F.sum("_diff").alias("emd_num"),
+        F.max("_N").alias("_N"),
+        F.max("_m").alias("_m"),
+    )
+    denom = F.col("class_n") * F.col("_N") * (F.col("_m") - 1)
+    return per_class.select(
+        *quasi,
+        "class_n",
+        "emd_num",
+        F.expr("emd_num * 1000000").alias("_num6"),
+        denom.alias("_den"),
+    ).select(
+        *quasi,
+        "class_n",
+        "emd_num",
+        F.expr("_num6 div _den").alias("emd_q"),
+        (
+            F.col("emd_num") * F.lit(int(t_den))
+            <= F.lit(int(t_num)) * F.col("_den")
+        )
+        .cast("int")
+        .alias("released"),
+    )
+
+
 def l_diversity_gate(
     df: DataFrame, quasi: list[str], sensitive: str, l: int
 ) -> DataFrame:

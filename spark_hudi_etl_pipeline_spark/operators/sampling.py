@@ -212,8 +212,17 @@ def stratum_equalized_sample(
         16,
         10,
     ).cast("long")
-    kept = df.join(F.broadcast(sizes), stratum_col).filter(
-        u16 * F.col("_csize") < F.lit(int(target) * 65536)
+    # Null-safe stratum match: a NULL-keyed stratum is a real stratum
+    # (groupBy counts it) and must not silently vanish from the sample
+    # through an equi-join.
+    szs = sizes.withColumnRenamed(stratum_col, "_stratum")
+    kept = (
+        df.join(
+            F.broadcast(szs),
+            F.col(stratum_col).eqNullSafe(F.col("_stratum")),
+        )
+        .drop("_stratum")
+        .filter(u16 * F.col("_csize") < F.lit(int(target) * 65536))
     )
     return kept.withColumn(
         ipw_col,

@@ -579,6 +579,87 @@ def l_diversity_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t-closeness gate (operators/privacy.py::t_closeness_gate): the
+# skewness-attack check on top of k-anonymity + l-diversity — a class
+# can hold many distinct sensitive values yet leak if its distribution
+# differs sharply from the table's. EMD over the ordered balance bins
+# vs the global distribution, as a PURE INTEGER rule (no floats in the
+# gate), t = 1/5. One data-scale groupBy to |classes|·m rows; all
+# windows run over the bin DOMAIN.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t_closeness_customer_release",
+    oracle="""
+WITH base AS (
+  SELECT c_mktsegment,
+         CAST(floor((floor(c_acctbal * 100 + 0.5) + 100000) / 110000)
+              AS BIGINT) AS bal_bin
+  FROM customer
+),
+g AS (SELECT bal_bin, count(*) AS gn FROM base GROUP BY bal_bin),
+bins AS (
+  SELECT bal_bin AS bin,
+         sum(gn) OVER (ORDER BY bal_bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg,
+         sum(gn) OVER () AS N,
+         count(*) OVER () AS m
+  FROM g
+),
+cls AS (
+  SELECT c_mktsegment, bal_bin, count(*) AS cn
+  FROM base GROUP BY c_mktsegment, bal_bin
+),
+classes AS (
+  SELECT c_mktsegment, count(*) AS class_n FROM base GROUP BY c_mktsegment
+),
+grid AS (
+  SELECT cl.c_mktsegment, cl.class_n, b.bin, b.cumg, b.N, b.m,
+         coalesce(cs.cn, 0) AS cn
+  FROM classes cl CROSS JOIN bins b
+  LEFT JOIN cls cs
+    ON cs.c_mktsegment = cl.c_mktsegment AND cs.bal_bin = b.bin
+),
+diffs AS (
+  SELECT c_mktsegment, class_n, N, m,
+         abs(N * sum(cn) OVER (PARTITION BY c_mktsegment ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - class_n * cumg) AS d
+  FROM grid
+),
+per_class AS (
+  SELECT c_mktsegment, class_n,
+         CAST(sum(d) AS BIGINT) AS emd_num,
+         max(N) AS N, max(m) AS m
+  FROM diffs GROUP BY c_mktsegment, class_n
+)
+SELECT c_mktsegment, class_n, emd_num,
+       CAST((emd_num * 1000000) // (class_n * N * (m - 1)) AS BIGINT)
+         AS emd_q,
+       CASE WHEN emd_num * 5 <= 1 * class_n * N * (m - 1)
+            THEN 1 ELSE 0 END AS released
+FROM per_class ORDER BY c_mktsegment
+""",
+)
+def t_closeness_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import t_closeness_gate
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(
+            (F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)) + 100000) / 110000
+        )
+        .cast("long")
+        .alias("bal_bin"),
+    )
+    out = t_closeness_gate(
+        cust, quasi=["c_mktsegment"], sensitive_bin="bal_bin", t_num=1, t_den=5
+    )
+    return out.orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
 # Skew diagnostic (observability for the salting/AQE tier): the report a
 # pipeline owner reads BEFORE deciding a join needs salting — per-key
 # group sizes summarized as exact disc percentiles + the top-5 hot keys

@@ -1298,6 +1298,102 @@ def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SQ8-rerank recall evaluation: recall@5 of the two-stage retrieval
+# against the exact brute-force top-5, per query — the index-trust
+# check before swapping the fp32 scan out for the SQ8 store (recall <1
+# means the true top-5 fell outside the stage-1 shortlist). Both sides
+# are deterministic, so even the EVALUATION is value-checked. Scale
+# shape: the exact side runs over a sampled query panel only, never the
+# full query log (same convention as ann_recall_lsh_vs_exact).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_recall_sq8_vs_exact",
+    oracle=f"""
+WITH dims AS (
+  SELECT t.i AS i,
+         min(CAST(e.embedding[t.i] AS DOUBLE)) AS mn,
+         max(CAST(e.embedding[t.i] AS DOUBLE)) AS mx
+  FROM embeddings e CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY t.i
+),
+arrs AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+),
+recon AS (
+  SELECT e.vec_id AS cid,
+         list_transform(generate_series(1, 64), i ->
+           a.mns[i]
+           + ((CASE WHEN a.mxs[i] = a.mns[i] THEN 0
+               ELSE CAST(floor((CAST(e.embedding[i] AS DOUBLE) - a.mns[i])
+                         * 255.0 / (a.mxs[i] - a.mns[i]) + 0.5) AS BIGINT)
+                    - 128 END) + 128)
+             * (a.mxs[i] - a.mns[i]) / 255.0) AS rv
+  FROM embeddings e CROSS JOIN arrs a
+),
+qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+approx AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, r.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round({_cos_u('r.rv', 'q.qv')}, 4) DESC, r.cid ASC
+           ) AS arnk
+    FROM recon r CROSS JOIN qs q)
+  WHERE arnk <= 20
+),
+sq8 AS (
+  SELECT qid, cid FROM (
+    SELECT a.qid, a.cid,
+           row_number() OVER (
+             PARTITION BY a.qid
+             ORDER BY round({_cos_u('c.embedding', 'q.qv')}, 4) DESC,
+                      a.cid ASC) AS rank
+    FROM approx a
+    JOIN embeddings c ON c.vec_id = a.cid
+    JOIN qs q ON q.qid = a.qid)
+  WHERE rank <= 5
+),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round({_cos_u('b.embedding', 'a.embedding')}, 4) DESC,
+                      b.vec_id ASC) AS rank
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 10
+  ) WHERE rank <= 5
+)
+SELECT e.qid, CAST(count(s.cid) AS BIGINT) AS hits,
+       round(count(s.cid) / 5.0, 2) AS recall_at_5
+FROM exact e
+LEFT JOIN sq8 s ON e.qid = s.qid AND e.cid = s.cid
+GROUP BY e.qid ORDER BY e.qid
+""",
+)
+def knn_recall_sq8_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    sq8 = similarity.sq8_rerank_topk(emb, queries, shortlist=20, k=5).select(
+        "qid", "cid", F.lit(1).alias("hit")
+    )
+    exact = similarity.topk_cosine(
+        emb, queries, corpus_id="vec_id", query_id="vec_id", k=5
+    ).select("qid", "cid")
+    return (
+        exact.join(sq8, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit") / 5.0, 2).alias("recall_at_5"),
+        )
+        .orderBy("qid")
+    )
+
+
+# --------------------------------------------------------------------------
 # Matryoshka (MRL) truncated retrieval: top-k cosine over only the
 # FIRST 16 of 64 dims — the speed/recall dial MRL-trained embeddings
 # expose (prefix dims carry the coarse signal). Cosine renormalizes per

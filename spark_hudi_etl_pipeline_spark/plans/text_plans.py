@@ -325,6 +325,58 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Language confusion matrix: declared `lang` metadata × predicted
+# language ID — the metadata-trust check a multilingual curation run
+# reads before routing documents by their DECLARED language (mislabeled
+# docs poison per-language tokenizers and mixture weights). Off-diagonal
+# rows are the mislabel census. Same map-only classifier as
+# text_language_id, one |langs|²-bounded aggregate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_lang_mismatch",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_STOP_HITS['de']} AS h_de,
+         {_STOP_HITS['en']} AS h_en,
+         {_STOP_HITS['es']} AS h_es,
+         {_STOP_HITS['fr']} AS h_fr
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM h
+)
+SELECT lang, lang_pred, count(*) AS n_docs,
+       CASE WHEN lang = lang_pred THEN 0 ELSE 1 END AS mismatch
+FROM pred
+GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+""",
+)
+def text_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.language_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(
+                F.when(F.col("lang") == F.col("lang_pred"), 0).otherwise(1)
+            ).alias("mismatch"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# --------------------------------------------------------------------------
 # TF-IDF top terms per document — the keyword-extraction primitive of a
 # training-data pipeline (doc fingerprinting / topic tagging at corpus
 # scale). Three shuffles total, each on a natural key: (doc, term) for

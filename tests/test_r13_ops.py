@@ -20,6 +20,8 @@ from spark_hudi_etl_pipeline_spark.operators.similarity import (
     sq8_stats,
 )
 
+from spark_hudi_etl_pipeline_spark.operators.privacy import t_closeness_gate
+
 EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 
@@ -164,6 +166,16 @@ def test_stratum_equalized_sample_is_append_stable(spark):
     assert a == b and len(a) > 0
 
 
+def test_stratum_equalized_sample_null_stratum_survives(spark):
+    """A NULL-keyed stratum is a real stratum: its rows must flow
+    through the (null-safe) size join instead of silently vanishing."""
+    rows = [(i, None) for i in range(5)] + [(i + 10, "s") for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    kept = stratum_equalized_sample(df, "k", "s", target=50).collect()
+    assert len(kept) == 10  # both strata below target: kept whole
+    assert {r["k"] for r in kept if r["s"] is None} == {0, 1, 2, 3, 4}
+
+
 def test_cluster_balanced_sample_equalizes_label_mix(spark):
     """Assignment + equalized sampling end-to-end on a skewed corpus:
     a 10-vector cluster and a 300-vector cluster both land ~target rows,
@@ -249,6 +261,97 @@ def test_dedup_cluster_stats_histogram(spark, tmp_path):
     assert out[2]["n_clusters"] == 3 and out[2]["n_docs"] == 6
     assert out[2]["pct_docs_q"] == 10000
     assert out[2]["total_removable"] == 3
+
+
+# --------------------------------------------------------------------------
+# t_closeness_gate
+# --------------------------------------------------------------------------
+
+
+def test_t_closeness_skewed_class_fails(spark):
+    """'bal' and 'big' are uniform over {0,1,2}; 'skew' piles every row
+    onto bin 2 — many rows, fully l-diverse-able by count, but its
+    distribution leaks. Exact integers: N=120, cumg=(30,60,120);
+    skew emd = (900+1800+0)/7200 = 0.375 > 1/5 → suppressed;
+    bal emd = (300+600+0)/7200 = 0.125 <= 1/5 → released."""
+    rows = [("bal", b) for b in (0, 1, 2) * 10]
+    rows += [("big", b) for b in (0, 1, 2) * 20]
+    rows += [("skew", 2)] * 30
+    df = spark.createDataFrame(rows, "seg string, bin long")
+    out = {
+        r["seg"]: r
+        for r in t_closeness_gate(
+            df, quasi=["seg"], sensitive_bin="bin", t_num=1, t_den=5
+        ).collect()
+    }
+    assert out["skew"]["released"] == 0 and out["skew"]["emd_q"] == 375000
+    assert out["bal"]["released"] == 1 and out["bal"]["emd_q"] == 125000
+    assert out["bal"]["emd_q"] < out["skew"]["emd_q"]
+
+
+def test_t_closeness_identical_distribution_releases(spark):
+    """One class == the whole table ⇒ class distribution IS the global
+    distribution ⇒ integer EMD numerator exactly 0, released at any t."""
+    rows = [("only", b % 4) for b in range(40)]
+    df = spark.createDataFrame(rows, "seg string, bin long")
+    out = t_closeness_gate(
+        df, quasi=["seg"], sensitive_bin="bin", t_num=0, t_den=1
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["emd_num"] == 0 and out[0]["released"] == 1
+
+
+# --------------------------------------------------------------------------
+# text_lang_mismatch
+# --------------------------------------------------------------------------
+
+
+def test_lang_mismatch_flags_off_diagonal(spark, tmp_path):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and the cat",
+         "en", "s0", 50),
+        (2, "the quick brown fox jumps over the lazy dog and the cat",
+         "fr", "s0", 50),  # English text, declared French
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from spark_hudi_etl_pipeline_spark.plans.registry import QUERIES
+
+    out = {(r["lang"], r["lang_pred"]): r for r in QUERIES["text_lang_mismatch"](
+        spark, str(tmp_path)).collect()}
+    assert out[("en", "en")]["mismatch"] == 0
+    assert out[("fr", "en")]["mismatch"] == 1
+    assert out[("fr", "en")]["n_docs"] == 1
+
+
+# --------------------------------------------------------------------------
+# knn_recall_sq8_vs_exact (harness property via the operator)
+# --------------------------------------------------------------------------
+
+
+def test_sq8_recall_full_when_shortlist_covers(spark, tmp_path):
+    """With shortlist >= corpus the stage-1 filter cannot lose anything,
+    so the two-stage result equals exact top-k and recall@5 is 1.0 for
+    every query."""
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.37 + d) for d in range(8)], 0) for i in range(12)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows], EMB_SCHEMA
+    )
+    from spark_hudi_etl_pipeline_spark.operators.similarity import topk_cosine
+
+    q = emb.filter(F.col("vec_id") < 3)
+    two_stage = sq8_rerank_topk(emb, q, dim=8, shortlist=12, k=5).select(
+        "qid", "cid", "rank"
+    )
+    exact = topk_cosine(emb, q, corpus_id="vec_id", query_id="vec_id", k=5)
+    a = {(r["qid"], r["rank"]): r["cid"] for r in two_stage.collect()}
+    b = {(r["qid"], r["rank"]): r["cid"] for r in exact.collect()}
+    assert a == b
 
 
 # --------------------------------------------------------------------------

@@ -2198,6 +2198,133 @@ def probe_r12(base: str, stages: set[str] | None = None) -> None:
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def probe_r13(base: str, stages: set[str] | None = None) -> None:
+    """Round-13 probes (1x/16x/64x, min-of-3 warm walls):
+
+    - ``sq8``: sq8_rerank_topk over a linearly-growing embedding corpus
+      with a FIXED 10-query panel. Claim: the stage-1 reconstructed scan
+      is the only corpus-scale term (map-side, |corpus|·|Q| cosines);
+      stage 2 touches |Q|·shortlist rows regardless of corpus size, so
+      wall grows ≈linearly with the corpus.
+    - ``shuffle``: epoch_shuffle + stratum_equalized_sample over a
+      linearly-growing documents relation. Claim: both are map-side
+      hash rules (plus one shard exchange / one |strata|-row broadcast),
+      so wall grows ≈linearly with rows.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.operators import similarity
+    from spark_hudi_etl_pipeline_spark.operators.sampling import (
+        epoch_shuffle,
+        stratum_equalized_sample,
+    )
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session("scale-probe-r13")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1 << 20).select(F.sum("id")).collect()
+
+    factors = (1, 16, 64)
+
+    def min3(thunk) -> float:
+        thunk()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.time()
+            thunk()
+            best = min(best, _time.time() - t0)
+        return best
+
+    lines = ["", "## round-13 probes (1x/16x/64x, min-of-3 warm walls)", ""]
+
+    if stages is None or "sq8" in stages:
+        walls, vec_counts = {}, {}
+        for factor in factors:
+            path = replicate(spark, base, "embeddings", factor, ["vec_id"])
+            emb = spark.read.parquet(path)
+            vec_counts[factor] = emb.count()
+            queries = emb.filter(F.col("vec_id") < 10)
+            walls[factor] = min3(
+                lambda: similarity.sq8_rerank_topk(
+                    emb, queries, shortlist=20, k=5
+                )
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+            print(
+                f"sq8 {factor}x: vecs={vec_counts[factor]} "
+                f"wall={walls[factor]:.2f}s (min of 3 warm)"
+            )
+        lines += [
+            "### two-stage SQ8 rerank on a growing corpus, fixed query panel",
+            "",
+            "Stage 1 (reconstructed-scan shortlist) is the only corpus-scale",
+            "term; stage 2 fetches |Q|*shortlist fp32 rows whatever the corpus",
+            "size. Wall must track the corpus linearly.",
+            "",
+            "| factor | vectors | wall (s) | w/w(1x) |",
+            "|---|---|---|---|",
+        ]
+        for factor in factors:
+            lines.append(
+                f"| {factor}x | {vec_counts[factor]:,} | "
+                f"{walls[factor]:.2f} | {walls[factor] / walls[1]:.1f}x |"
+            )
+        lines.append("")
+
+    if stages is None or "shuffle" in stages:
+        walls = {}
+        doc_counts = {}
+        for factor in factors:
+            path = replicate(spark, base, "documents", factor, ["doc_id"])
+            docs = spark.read.parquet(path).select("doc_id", "source")
+            doc_counts[factor] = docs.count()
+            walls[("epoch_shuffle", factor)] = min3(
+                lambda: epoch_shuffle(docs, "doc_id", epoch=1, shards=64)
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+            walls[("equalized_sample", factor)] = min3(
+                lambda: stratum_equalized_sample(
+                    docs, "doc_id", "source", target=50
+                )
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+            for op in ("epoch_shuffle", "equalized_sample"):
+                print(
+                    f"shuffle {op} {factor}x: docs={doc_counts[factor]} "
+                    f"wall={walls[(op, factor)]:.2f}s (min of 3 warm)"
+                )
+        lines += [
+            "### epoch shuffle + stratum-equalized sample on a growing corpus",
+            "",
+            "Both ops are map-side hash rules (the shuffle adds one shard",
+            "exchange; the sampler one |strata|-row size broadcast), so walls",
+            "must track rows linearly.",
+            "",
+            "| operator | 1x wall (s) | 16x wall (s) | 64x wall (s) | w(64x)/w(1x) | docs 64x |",
+            "|---|---|---|---|---|---|",
+        ]
+        for op in ("epoch_shuffle", "equalized_sample"):
+            w1, w16, w64 = (walls[(op, f)] for f in factors)
+            lines.append(
+                f"| {op} | {w1:.2f} | {w16:.2f} | {w64:.2f} "
+                f"| {w64 / w1:.1f}x | {doc_counts[64]:,} |"
+            )
+        lines.append("")
+
+    with open("/root/repo/SCALE.md", "a") as f:
+        f.write("\n".join(lines))
+    print("appended round-13 section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def probe_behavior(base: str) -> None:
     """Round-11 behavior-tier probe: measured evidence for the
     histogram-binning scale claim (operators/binning.py) — the quartile
@@ -2303,6 +2430,18 @@ if __name__ == "__main__":
             "/root/testdata/sf0.1",
         )
         probe_harvest(base_dir)
+    elif "--r13ops" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        stage_arg = next(
+            (a for a in sys.argv[1:] if a.startswith("--stages=")), None
+        )
+        probe_r13(
+            base_dir,
+            stages=set(stage_arg.split("=", 1)[1].split(",")) if stage_arg else None,
+        )
     elif "--r12ops" in sys.argv:
         base_dir = next(
             (a for a in sys.argv[1:] if not a.startswith("--")),
