@@ -208,6 +208,106 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# LSH recall evaluation: banding loss of the MinHash candidate
+# generator against the EXACT Jaccard pair set at the same threshold —
+# the index-trust check a dedup deployment runs before relying on the
+# banded path (a pair can only be missed when none of its 8 bands
+# collide; verification is exact, so precision is 1 by construction and
+# recall is the whole story). Both sides are bit-reproducible, so the
+# EVALUATION itself is value-checked end-to-end. One summary row:
+# exact pairs, LSH-verified pairs, missed pairs, fixed-point recall.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_recall_lsh_vs_exact",
+    oracle="WITH "
+    + _NEAR_CORPUS_SQL
+    + f""",
+sh AS (SELECT doc_id, list_distinct({SHINGLES_SQL}) AS sh FROM corpus),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+ecommon AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b
+  FROM ecommon
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.3
+),
+hs AS (
+  SELECT doc_id, sh,
+         list_transform(
+           sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                    % {dedup.MERSENNE_PRIME_31}) AS hashes
+  FROM sh
+),
+sig AS (SELECT doc_id, sh, {_SIG_SQL} AS sig FROM hs),
+banded AS (
+  SELECT doc_id, j.j AS band,
+         list_slice(sig, 4 * j.j + 1, 4 * j.j + 4) AS bkey
+  FROM sig, range(8) j(j)
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded
+  ) WHERE bsz <= 1000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a
+  JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+lsh AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(ha.sh, hb.sh)) AS common,
+           len(ha.sh) AS sa, len(hb.sh) AS sb
+    FROM cands
+    JOIN sig ha ON ha.doc_id = id_a
+    JOIN sig hb ON hb.doc_id = id_b
+  )
+  WHERE round(common * 1.0 / (sa + sb - common), 4) >= 0.3
+),
+hit AS (
+  SELECT count(*) AS n_hit
+  FROM exact e JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+       CAST((SELECT count(*) FROM exact) - n_hit AS BIGINT) AS n_missed,
+       CAST((n_hit * 10000) // greatest((SELECT count(*) FROM exact), 1)
+            AS BIGINT) AS recall_q
+FROM hit
+""",
+)
+def dedup_recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_dups(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.3, k=5
+    ).select("id_a", "id_b")
+    lsh = dedup.minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.3, num_hashes=32, bands=8, k=5
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    joined = exact.join(lsh, ["id_a", "id_b"], "left")
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("_n_hit"),
+    )
+    return stats.crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh"))).select(
+        "n_exact",
+        "n_lsh",
+        (F.col("n_exact") - F.col("_n_hit")).alias("n_missed"),
+        F.expr("(_n_hit * 10000) div greatest(n_exact, 1)").alias("recall_q"),
+    )
+
+
 @query(
     "dedup_simhash",
     oracle="WITH "

@@ -249,3 +249,70 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return epoch_shuffle(docs, "doc_id", epoch=1, shards=8).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Embargoed temporal split (the purged time split of de Prado's purged
+# k-fold, in its simplest two-way form): when the label horizon spans
+# time, events inside an embargo gap before the test boundary leak
+# future information into training — so the split is THREE-way: train
+# strictly before (boundary − embargo), an excluded embargo band, test
+# from the boundary on. The boundary is the last event day minus 2
+# days, derived in-query (one tiny agg broadcast back); embargo = 1
+# day. Census per split proves the bands are disjoint and exhaustive.
+# Map-only assignment at any scale — no shuffle beyond the final
+# |splits|-row census.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embargo_time_split",
+    oracle="""
+WITH b AS (
+  SELECT CAST(max(ts) AS DATE) - 2 AS test_start FROM events
+),
+tagged AS (
+  SELECT CASE
+           WHEN CAST(e.ts AS DATE) >= b.test_start THEN 'test'
+           WHEN CAST(e.ts AS DATE) >= b.test_start - 1 THEN 'embargo'
+           ELSE 'train'
+         END AS split,
+         e.user_id, CAST(e.ts AS DATE) AS d
+  FROM events e CROSS JOIN b
+)
+SELECT split,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(min(d) AS VARCHAR) AS min_day,
+       CAST(max(d) AS VARCHAR) AS max_day
+FROM tagged GROUP BY split ORDER BY split
+""",
+)
+def embargo_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bound = ev.agg(
+        F.date_sub(F.max(F.col("ts").cast("date")), 2).alias("test_start")
+    )
+    tagged = ev.crossJoin(F.broadcast(bound)).select(
+        F.when(
+            F.col("ts").cast("date") >= F.col("test_start"), "test"
+        )
+        .when(
+            F.col("ts").cast("date") >= F.date_sub(F.col("test_start"), 1),
+            "embargo",
+        )
+        .otherwise("train")
+        .alias("split"),
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("d").cast("string").alias("min_day"),
+            F.max("d").cast("string").alias("max_day"),
+        )
+        .orderBy("split")
+    )

@@ -264,6 +264,63 @@ def test_dedup_cluster_stats_histogram(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# embargo_time_split
+# --------------------------------------------------------------------------
+
+
+def test_embargo_split_bands_are_disjoint_and_exact(spark, tmp_path):
+    """Events on days 1..5: boundary = day 5 − 2 = day 3, embargo band =
+    day 2, train < day 2. Every band lands exactly where the purge rule
+    says; nothing is double-counted or dropped."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, d, 12), 100 + d, "view", 1.0, "{}")
+        for i, d in enumerate([1, 1, 2, 3, 4, 5])
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from spark_hudi_etl_pipeline_spark.plans.registry import QUERIES
+
+    out = {r["split"]: r for r in QUERIES["embargo_time_split"](
+        spark, str(tmp_path)).collect()}
+    assert out["train"]["n_events"] == 2  # both day-1 events
+    assert out["embargo"]["n_events"] == 1  # day 2
+    assert out["test"]["n_events"] == 3  # days 3,4,5
+    assert out["train"]["max_day"] < out["embargo"]["min_day"]
+    assert out["embargo"]["max_day"] < out["test"]["min_day"]
+    assert sum(r["n_events"] for r in out.values()) == 6
+
+
+# --------------------------------------------------------------------------
+# dedup_recall_lsh_vs_exact
+# --------------------------------------------------------------------------
+
+
+def test_lsh_recall_total_on_clear_twins(spark, tmp_path):
+    """Near-identical twins share nearly all shingles, so every band
+    collides: the LSH candidate set covers the exact pair set and the
+    summary reads recall 1.0 with zero missed pairs."""
+    words = ["alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+             "one two three four five six seven eight nine ten eleven twelve"]
+    rows = [(i, (w + " ") * 8, "en", "s", 100) for i, w in enumerate(words)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from spark_hudi_etl_pipeline_spark.plans.registry import QUERIES
+
+    out = QUERIES["dedup_recall_lsh_vs_exact"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_exact"] >= 2  # both planted twins pair up
+    assert r["n_missed"] == 0 and r["recall_q"] == 10000
+    assert r["n_lsh"] == r["n_exact"]
+
+
+# --------------------------------------------------------------------------
 # t_closeness_gate
 # --------------------------------------------------------------------------
 
