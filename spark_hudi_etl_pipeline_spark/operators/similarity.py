@@ -189,6 +189,39 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
 
 
+# -- SQL-string literal renderers ------------------------------------------
+# Building literal arrays as F.array(*[F.lit(v), ...]) costs one py4j
+# round-trip PER ELEMENT (~2.5 ms each): the 8×16×8 PQ codebook alone was
+# ~2.5 s of driver-side plan construction per query — the dominant cost of
+# every PQ-bearing bench query (measured r13: knn_ivfpq_adc build 5-6 s vs
+# 0.8 s execution). Rendering the same literals into ONE SQL string parsed
+# JVM-side by F.expr() is ~0 ms and produces the identical expression tree:
+# repr() emits the shortest round-trip decimal and the SQL parser's
+# string→double conversion is correctly rounded, so every literal is
+# bit-identical to the F.lit form (verified: 56-value random probe,
+# struct-packed comparison).
+
+
+def _dstr(v: float) -> str:
+    """Shortest-round-trip SQL double literal (bit-exact vs F.lit)."""
+    return f"{float(v)!r}D"
+
+
+def _sql_arr_d(vals) -> str:
+    """array<double> literal."""
+    return "array(" + ",".join(_dstr(v) for v in vals) + ")"
+
+
+def _sql_arr_arr_d(rows) -> str:
+    """array<array<double>> literal."""
+    return "array(" + ",".join(_sql_arr_d(r) for r in rows) + ")"
+
+
+def _sql_arr_l(vals) -> str:
+    """array<bigint> literal."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
 #: Fixed-point quantization scale for the PORTABLE sign-LSH sketch:
 #: embeddings quantize to integers via half-up rounding before the dot
 #: product, so sign decisions are integer-exact — identical in Catalyst,
@@ -228,7 +261,8 @@ def rp_sketch_portable(vec_col, dim: int, n_bits: int = 8, seed: int = 101):
     q = quantize_embedding(vec_col)
     sketch = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        signs = F.array(*[F.lit(s).cast("long") for s in plane])
+        # one JVM-parsed literal array per plane, not dim py4j lit calls
+        signs = F.expr(_sql_arr_l(plane))
         d = F.aggregate(
             F.zip_with(q, signs, lambda e, s: e * s),
             F.lit(0).cast("long"),
@@ -264,7 +298,7 @@ def rp_sketch(vec_col, dim: int, n_bits: int = 8, seed: int = 42):
     planes = _hyperplanes(dim, n_bits, seed)
     sketch = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
+        lit_plane = F.expr(_sql_arr_d(plane))
         d = vectors.dot(vec_col, lit_plane)
         sketch = sketch + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return sketch
@@ -794,33 +828,48 @@ def pq_encode(
     cols = []
     for s, codewords in enumerate(codebook):
         sub_dim = len(codewords[0])
-        cb_lit = F.array(
-            *[
-                F.array(*[F.lit(float(c)) for c in cw])
-                for cw in codewords
-            ]
-        )
-        sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
-        cands = F.transform(
-            cb_lit,
-            lambda cw, k: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        cw,
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                k.alias("k"),
-            ),
+        # Whole per-subspace argmin as ONE JVM-parsed expression — the
+        # n_codes × sub_dim literal codebook plus the HOF lambdas cost
+        # ~2.5 s of py4j round-trips per plan when composed Column-wise
+        # (measured; see _dstr). Identical expression tree, same fixed
+        # left-to-right accumulation, bit-identical codes.
+        cands = (
+            f"transform({_sql_arr_arr_d(codewords)}, (cw, k) -> struct("
+            f"aggregate(zip_with(slice(`{vec_col}`, {s * sub_dim + 1}, {sub_dim}), cw, "
+            f"(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+            f"0.0D, (acc, x) -> acc + x) as d, k as k))"
         )
         cols.append(
-            F.array_min(cands).getField("k").alias(f"{out_prefix}_{s}")
+            F.expr(f"array_min({cands}).k").alias(f"{out_prefix}_{s}")
         )
     return df.select("*", *cols)
+
+
+def _sql_adc_struct(
+    qid: int,
+    tbl: list[list[float]],
+    code_prefix: str,
+    probe_list: list[int] | None,
+) -> str:
+    """One per-query ADC struct as a SQL fragment: the fixed
+    left-to-right 8-lookup sum chain over the literal distance tables
+    (bit-identical to the old Column-composed form — see _dstr), plus
+    the optional probe-list array. The qid literal mirrors F.lit(int):
+    int32 when it fits, else bigint — so output schemas are unchanged."""
+    terms = [
+        f"element_at({_sql_arr_d(row)}, `{code_prefix}_{s}` + 1)"
+        for s, row in enumerate(tbl)
+    ]
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = f"({chain} + {t})"
+    q = str(qid) if -(1 << 31) <= qid < (1 << 31) else f"{qid}L"
+    pl = (
+        ""
+        if probe_list is None
+        else ", array(" + ",".join(str(int(c)) for c in probe_list) + ") as pl"
+    )
+    return f"struct({q} as qid, {chain} as ad{pl})"
 
 
 def _adc_table(
@@ -869,17 +918,12 @@ def pq_adc_topk(
     per_query = []
     for qid, qvec in queries:
         tbl = _adc_table(qvec, codebook)
-        total = None
-        for s in range(n_sub):
-            lut = F.array(*[F.lit(v) for v in tbl[s]])
-            term = F.element_at(lut, F.col(f"{code_prefix}_{s}") + 1)
-            total = term if total is None else total + term
         per_query.append(
-            F.struct(F.lit(int(qid)).alias("qid"), total.alias("ad"))
+            _sql_adc_struct(int(qid), tbl, code_prefix, probe_list=None)
         )
     scored = coded.select(
         F.col(id_col).alias("cid"),
-        F.explode(F.array(*per_query)).alias("q"),
+        F.explode(F.expr("array(" + ",".join(per_query) + ")")).alias("q"),
     ).select("q.qid", "cid", "q.ad")
     w = Window.partitionBy("qid").orderBy(F.asc("ad"), F.asc("cid"))
     return (
@@ -958,23 +1002,14 @@ def ivfpq_adc_topk(
     per_query = []
     for qid in sorted(qvecs):
         tbl = _adc_table(qvecs[qid], cb)
-        total = None
-        for s in range(len(cb)):
-            lut = F.array(*[F.lit(v) for v in tbl[s]])
-            term = F.element_at(lut, F.col(f"pq_{s}") + 1)
-            total = term if total is None else total + term
         per_query.append(
-            F.struct(
-                F.lit(int(qid)).alias("qid"),
-                total.alias("ad"),
-                F.array(
-                    *[F.lit(int(c)) for c in sorted(probes[qid])]
-                ).alias("pl"),
-            )
+            _sql_adc_struct(int(qid), tbl, "pq", probe_list=sorted(probes[qid]))
         )
     scored = (
         coded.select(
-            "cid", "centroid_id", F.explode(F.array(*per_query)).alias("q")
+            "cid",
+            "centroid_id",
+            F.explode(F.expr("array(" + ",".join(per_query) + ")")).alias("q"),
         )
         # The probe filter: at the partitioned layout this predicate is
         # what prunes list partitions before any code byte is read.
@@ -1092,22 +1127,18 @@ def kmeans_lloyd_quantized(
     }
 
     def assign(frame: DataFrame) -> DataFrame:
-        choices = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("xq"),
-                            F.array(*[F.lit(c) for c in cq]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
+        # One JVM-parsed expression for the k-way argmin (see _dstr:
+        # Column-composed literal arrays cost a py4j round-trip per
+        # element, k·d of them per iteration).
+        choices = F.expr(
+            "array("
+            + ",".join(
+                f"struct(aggregate(zip_with(xq, {_sql_arr_l(cq)}, "
+                "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) as d, "
+                f"{int(cid)} as cid)"
                 for cid, cq in sorted(centroids.items())
-            ]
+            )
+            + ")"
         )
         best = F.array_min(choices)  # struct order: min dist, then min cid
         return frame.select(
@@ -1367,8 +1398,8 @@ def sq8_rerank_topk(
     corpus id in both stages.
     """
     mn, mx = sq8_stats(corpus, vec_col=vec_col, dim=dim)
-    mns = F.array(*[F.lit(v) for v in mn])
-    mxs = F.array(*[F.lit(v) for v in mx])
+    mns = F.expr(_sql_arr_d(mn))
+    mxs = F.expr(_sql_arr_d(mx))
 
     def _code(x, i):
         lo, hi = F.element_at(mns, i + 1), F.element_at(mxs, i + 1)
@@ -1432,8 +1463,8 @@ def quantize_embeddings_int8(
     audit a release gate checks before swapping the fp32 column out.
     """
     mn, mx = sq8_stats(df, vec_col=vec_col, dim=dim)
-    mns = F.array(*[F.lit(v) for v in mn])
-    mxs = F.array(*[F.lit(v) for v in mx])
+    mns = F.expr(_sql_arr_d(mn))
+    mxs = F.expr(_sql_arr_d(mx))
 
     def _code(x, i):
         lo, hi = F.element_at(mns, i + 1), F.element_at(mxs, i + 1)

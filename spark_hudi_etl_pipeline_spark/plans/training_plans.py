@@ -3449,22 +3449,69 @@ def _bloom_positions(bench):
     )
 
 
-def _bloom_gate_verdicts(corpus_grams, bench, bloom):
-    """Per-doc gate verdicts ``(doc_id, source, fast_clean, dropped)``:
-    Bloom position prefilter (both hash positions must hit the broadcast
-    set) then exact verification of ONLY the suspected grams. Stateless
+def _bloom_gate_verdicts(docs, bench, bloom):
+    """Per-doc gate verdicts ``(doc_id, source, n_toks, fast_clean,
+    dropped)`` from a ``(doc_id, source, t=tokens)`` relation: Bloom
+    position prefilter (both hash positions must hit the broadcast set)
+    then exact verification of ONLY the suspected grams. Stateless
     across documents — every gram of a doc rides in its row — so the
-    same function serves the batch query and each streaming micro-batch
-    (plans parity, not reimplementation)."""
-    from ..functions.text import portable_hash60
+    same function serves the batch query and each streaming micro-batch.
 
+    r13 shape (guide §2.3/§2.4): a document's grams all come from its
+    own row, so the per-doc DISTINCT gram set is ``array_distinct`` over
+    a map-side transform — the old explode → corpus-wide 3-key DISTINCT
+    EXCHANGE shuffled every gram string of every document for a purely
+    per-document computation; now the explode feeding the broadcast
+    joins is map-side and the only exchange left is the per-doc count
+    aggregate, which partial-aggregates to ≤ one row per document before
+    it ships (a doc's exploded grams never span input partitions). The
+    relation also carries ``n_toks`` so downstream consumers do not
+    re-tokenize. Verdict values are identical: same distinct-gram
+    counts, same exact verify, same fixed-point drop rule.
+
+    (A per-gram packed-bitmap HOF probe was tried first and reverted:
+    inlining the 2^20-slot bitmap as a 16384-long literal array costs
+    seconds of analysis/constant-folding PER ACTION, and attaching it as
+    a cross-joined column memcpys 128 KB into every document row —
+    both ~6× slower than the broadcast hash joins they replaced.)"""
+    from ..functions.text import portable_hash60
+    from ..operators.dedup import barrier_col
+
+    n = F.size("t")
+    garr = F.array_distinct(
+        F.transform(
+            _gram_starts(n, 8),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
+        )
+    )
     h = portable_hash60("g")
-    corpus = corpus_grams.distinct().select(
-        "doc_id",
-        "source",
-        "g",
-        (h % _BLOOM_M).alias("p1"),
-        (F.shiftright(h, 20) % _BLOOM_M).alias("p2"),
+    # barrier: ga is referenced by the size filter, n_grams, AND the
+    # explode — without a Generate boundary CollapseProject inlines the
+    # whole gram build once per reference (measured 6×: 3.2 s vs 0.55 s)
+    corpus = (
+        barrier_col(
+            docs.select("doc_id", "source", n.alias("n_toks"), "t"),
+            "ga",
+            garr,
+        )
+        .drop("t")
+        .filter(F.size("ga") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.size("ga").alias("n_grams"),
+            F.explode("ga").alias("g"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            "n_grams",
+            "g",
+            (h % _BLOOM_M).alias("p1"),
+            (F.shiftright(h, 20) % _BLOOM_M).alias("p2"),
+        )
     )
     gated = (
         corpus.join(
@@ -3480,6 +3527,8 @@ def _bloom_gate_verdicts(corpus_grams, bench, bloom):
         .select(
             "doc_id",
             "source",
+            "n_toks",
+            "n_grams",
             "g",
             F.when(F.col("h1").isNotNull() & F.col("h2").isNotNull(), 1)
             .otherwise(0)
@@ -3495,9 +3544,8 @@ def _bloom_gate_verdicts(corpus_grams, bench, bloom):
             (F.col("suspected") == 1) & (F.col("g") == F.col("bg")),
             "left",
         )
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id", "source", "n_toks", "n_grams")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
             F.sum("suspected").alias("n_suspected"),
             F.sum(
                 F.when((F.col("suspected") == 1) & F.col("hit").isNotNull(), 1)
@@ -3508,6 +3556,7 @@ def _bloom_gate_verdicts(corpus_grams, bench, bloom):
     return per_doc.select(
         "doc_id",
         "source",
+        "n_toks",
         F.when(F.col("n_suspected") == 0, 1).otherwise(0).alias("fast_clean"),
         F.when(
             F.floor(
@@ -3602,15 +3651,15 @@ def decontaminate_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", _tokens().alias("t")
     )
-    sh = _doc_grams(d)
     bench = (
-        sh.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
+        _doc_grams(d)
+        .filter(F.col("doc_id") % 29 == 0).select("g").distinct()
         # consumed twice (bloom positions + exact verify) — tiny
         .localCheckpoint(eager=True)
     )
     bloom = _bloom_positions(bench)
     verdicts = _bloom_gate_verdicts(
-        sh.filter(F.col("doc_id") % 29 != 0), bench, bloom
+        d.filter(F.col("doc_id") % 29 != 0), bench, bloom
     )
     return _gate_rollup(verdicts)
 
@@ -3774,10 +3823,8 @@ def streaming_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_docs.repartition(4).write.mode("overwrite").parquet(stage)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        grams = _doc_grams(
-            batch_df.select("doc_id", "source", _tokens().alias("t"))
-        )
-        _bloom_gate_verdicts(grams, bench, bloom).write.mode(
+        toks = batch_df.select("doc_id", "source", _tokens().alias("t"))
+        _bloom_gate_verdicts(toks, bench, bloom).write.mode(
             "overwrite"
         ).parquet(f"{vpath}/b{batch_id}")
 
@@ -3878,9 +3925,9 @@ def decontaminated_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", _tokens().alias("t")
     )
-    sh = _doc_grams(d)
     bench = (
-        sh.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
+        _doc_grams(d)
+        .filter(F.col("doc_id") % 29 == 0).select("g").distinct()
         .localCheckpoint(eager=True)
     )
     bloom = _bloom_positions(bench)
@@ -3891,10 +3938,11 @@ def decontaminated_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_docs = d.filter(
             (F.col("doc_id") % 29 != 0) & (F.col("doc_id") % 2 == half)
         )
-        verdicts = _bloom_gate_verdicts(_doc_grams(batch_docs), bench, bloom)
-        kept = verdicts.filter(F.col("dropped") == 0).join(
-            batch_docs.select("doc_id", F.size("t").alias("n_toks")), "doc_id"
-        )
+        # verdicts carry n_toks from the same tokenize pass — the old
+        # shape re-tokenized the batch in a second scan just to join
+        # size(t) back on doc_id
+        verdicts = _bloom_gate_verdicts(batch_docs, bench, bloom)
+        kept = verdicts.filter(F.col("dropped") == 0)
         state = refresh_aggregate_parquet(
             spark,
             kept.select("source", "n_toks"),
