@@ -551,18 +551,17 @@ def _verified_pairs(sh: DataFrame, cands: DataFrame) -> DataFrame:
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # Size-gated broadcast (r12 advisor, refined by the r13 A/B): an
-    # UNCONDITIONAL hint would blow driver/executor memory on a
-    # high-duplication corpus where the involved-id set approaches
-    # corpus size — but dropping the hint entirely makes the semi-join
-    # sort-merge, which shuffles the corpus-size shingle relation (the
-    # r13 bench A/B read the blanket removal at 1.8× on
-    # dedup_containment_pairs). The candidate relation is already
-    # eagerly checkpointed, so its exact count is a planning-scale read;
-    # ≤ 2·cands ids of a long each stays far under executor memory at
-    # the 5M-pair gate.
-    if cands.count() <= 5_000_000:
-        involved = F.broadcast(involved)
+    # No hint, no size gate (r13 optimization round): the candidate
+    # relation is eagerly checkpointed, so AQE has EXACT runtime stats
+    # for the involved-id set and converts the semi-join to broadcast
+    # itself whenever it fits — the scale-adaptive behavior the r12
+    # advisor asked for, without the memory risk of a forced broadcast
+    # on a high-duplication corpus. The r13-build size-gate
+    # (cands.count() <= 5M, then hint) paid a whole extra job per call
+    # and measured SLOWEST of the three shapes at sf0.1
+    # (count-gate 2.83 s, forced broadcast 2.74 s, AQE 2.44 s
+    # min-of-3); the earlier "dropping the hint reads 1.8×" A/B datum
+    # did not reproduce on a quiet box and was contention.
     sets = sh.join(involved, on="id", how="left_semi")
     a = sets.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")

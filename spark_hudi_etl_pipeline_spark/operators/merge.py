@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 PRECOMBINE_TIEBREAK = "__precombine_rn"
@@ -128,6 +128,18 @@ def align_schemas(
         *[F.col(c) for c in skip if c in batch.columns],
     )
     return existing2, batch2
+
+
+def _write_parquet_counted(merged: DataFrame, path: str) -> int:
+    """Overwrite-write ``merged`` to ``path`` and return its row count,
+    counted by an Observation ON THE WRITE JOB itself — a trailing
+    ``merged.count()`` on a lazy merge replays the whole precombine/
+    merge pipeline a second time (r13 optimization round)."""
+    obs = Observation()
+    merged.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return int(obs.get["n"])
 
 
 def merge_upsert(
@@ -419,8 +431,7 @@ def upsert_parquet(
     if existing is not None:
         # Materialize the merge before overwriting the files we read.
         merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(path)
-    return merged.count()
+    return _write_parquet_counted(merged, path)
 
 
 def upsert_parquet_partitioned(
@@ -474,8 +485,11 @@ def upsert_parquet_partitioned(
         merged = merge_upsert(
             None, batch, keys + [partition_col], precombine, delete_col=delete_col
         )
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-        return merged.count()
+        obs = Observation()
+        merged.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(path)
+        return int(obs.get["n"])
 
     touched = [
         r[0] for r in batch.select(partition_col).distinct().collect()
@@ -760,10 +774,10 @@ def upsert_parquet_indexed(
 
     if not os.path.isdir(path):
         merged = merge_upsert(None, batch, [key], precombine, delete_col=delete_col)
-        merged.write.mode("overwrite").parquet(path)
+        n = _write_parquet_counted(merged, path)
         version, live = table_live_files(path)
         _manifest_publish(path, live, version + 1)
-        return IndexedUpsertResult(merged.count(), version + 1)
+        return IndexedUpsertResult(n, version + 1)
 
     version, live_files = table_live_files(path)
     if base_version is not None and base_version != version:
@@ -1095,13 +1109,13 @@ def upsert_parquet_bloom_indexed(
 
     if not os.path.isdir(path):
         merged = merge_upsert(None, batch, [key], precombine, delete_col=delete_col)
-        merged.write.mode("overwrite").parquet(path)
+        n = _write_parquet_counted(merged, path)
         version, live = table_live_files(path)
         _manifest_publish(path, live, version + 1)
         _table_bloom_words(spark, path, key, live).write.mode(
             "overwrite"
         ).parquet(sidecar)
-        return merged.count()
+        return n
 
     version, live_files = table_live_files(path)
     # Load the sidecar only if its file set matches the manifest's live
@@ -1215,13 +1229,13 @@ def upsert_parquet_record_indexed(
 
     if not os.path.isdir(path):
         merged = merge_upsert(None, batch, [key], precombine, delete_col=delete_col)
-        merged.write.mode("overwrite").parquet(path)
+        n = _write_parquet_counted(merged, path)
         version, live = table_live_files(path)
         _manifest_publish(path, live, version + 1)
         _table_rli(spark, path, key, live).write.mode("overwrite").parquet(
             os.path.join(path, _RLI_DIR)
         )
-        return merged.count()
+        return n
 
     version, live_files = table_live_files(path)
     rli = _valid_rli(spark, path, live_files)

@@ -69,11 +69,17 @@ def insert_overwrite(
         raise ValueError(
             f"null partition value in batch column {partition_col!r}"
         )
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = batch.observe(obs, F.count(F.lit(1)).alias("n"))
     if not os.path.isdir(path):
-        batch.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-        return batch.count()
-    _dynamic_overwrite(spark, batch, path, partition_col)
-    return batch.count()
+        observed.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    else:
+        _dynamic_overwrite(spark, observed, path, partition_col)
+    # counted on the write job itself — a trailing .count() would
+    # re-run the batch plan (r13 optimization round)
+    return int(obs.get["n"])
 
 
 def insert_overwrite_table(
@@ -82,11 +88,14 @@ def insert_overwrite_table(
     """Hudi ``insert_overwrite_table``: replace the WHOLE table with the
     batch (static overwrite) — the full-restatement twin of
     :func:`insert_overwrite`. Returns rows written."""
-    w = batch.write.mode("overwrite")
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    w = batch.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite")
     if partition_col is not None:
         w = w.partitionBy(partition_col)
     w.parquet(path)
-    return batch.count()
+    return int(obs.get["n"])
 
 
 def delete_partitions(
@@ -147,8 +156,11 @@ def bulk_insert(
         out = df.sortWithinPartitions(*sort_cols)
     else:
         out = df
-    out.write.mode("overwrite").parquet(path)
-    return out.count()
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(path)
+    return int(obs.get["n"])
 
 
 def upsert_parquet_partitioned_global(
@@ -207,8 +219,16 @@ def upsert_parquet_partitioned_global(
         merged = merge_upsert(
             None, batch, keys, precombine, delete_col=delete_col
         )
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-        return merged.count()
+        # Piggyback the row count on the write job itself (Observation)
+        # instead of a second full merge recompute — merged is lazy here,
+        # so a trailing .count() would replay the precombine window.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(path)
+        return int(obs.get["n"])
 
     batch_keys = batch.select(*keys).distinct()
     table = spark.read.parquet(path)

@@ -92,23 +92,30 @@ BROADCAST_RANK_MAX_NODES = 5_000_000
 def pagerank_edges(
     li: DataFrame, o: DataFrame, *, materialize: bool = True
 ) -> DataFrame:
-    """Degree-annotated undirected edge relation ``(src, dst, d)``,
-    materialized ONCE in the layout the iteration wants.
+    """Degree-annotated undirected edge relation ``(src, dst, dd)`` —
+    ``dd`` is the degree of the edge's **dst** endpoint — materialized
+    ONCE in the layout the iteration wants.
 
-    Degree is static — attached before the loop so each iteration is a
-    single src-keyed join + dst-keyed fold. The relation is
-    PRE-PARTITIONED on dst and ``persist()``ed (not localCheckpoint — a
-    checkpoint scan forgets its outputPartitioning, an
-    InMemoryTableScan keeps it): on the broadcast-ranks path each
-    iteration is then a map-side BHJ plus a groupBy(dst) whose required
-    distribution the cached layout already satisfies — ZERO shuffle
-    exchanges inside the iteration loop (r5 verdict ask #6; pinned by
-    tests/test_graph.py). The one dst-hash shuffle happens once, at
-    materialization. On the shuffle-ranks path the layout still removes
-    the per-iteration fold exchange (edges shuffle only for the
-    src-keyed join). The cross-job twin of this layout is a catalog
-    table bucketed by dst (sources/writers.py::write_bucketed) — same
-    plan shape, survives process restarts."""
+    The relation is PRE-PARTITIONED on dst and ``persist()``ed (not
+    localCheckpoint — a checkpoint scan forgets its outputPartitioning,
+    an InMemoryTableScan keeps it): on the broadcast-ranks path each
+    iteration is then a map-side BHJ plus a groupBy(dst, dd) whose
+    required distribution the cached layout already satisfies (dst is a
+    subset of the grouping keys) — ZERO shuffle exchanges inside the
+    iteration loop (r5 verdict ask #6; pinned by tests/test_graph.py).
+
+    r13 shape: the degree is computed by a COUNT WINDOW over the
+    dst-partitioned relation itself — on an undirected (symmetric) edge
+    list, deg(node) = |{rows : dst = node}|, so annotating the dst
+    endpoint needs no extra shuffle at all, where the old shape paid a
+    groupBy(src) aggregate plus a degree join before the repartition
+    (guide §2.4: two whole-relation operators removed from the build).
+    Carrying d(dst) instead of d(src) also lets the rank vector own the
+    ``r/d`` division (one per NODE, not per edge) and the fold reattach
+    d through its group key — bit-identical ranks, no per-iteration
+    degree join. The cross-job twin of this layout is a catalog table
+    bucketed by dst (sources/writers.py::write_bucketed) — same plan
+    shape, survives process restarts."""
     e0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
@@ -118,11 +125,9 @@ def pagerank_edges(
         .distinct()
     )
     e = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     ed = (
-        e.join(deg, e["src"] == deg["node"])
-        .select("src", "dst", "d")
-        .repartition("dst")
+        e.repartition("dst")
+        .withColumn("dd", F.count(F.lit(1)).over(Window.partitionBy("dst")))
         .persist()
     )
     if materialize:
@@ -170,27 +175,37 @@ def pagerank_ranks(
     # scheduler round-trip twice for the same materialization.
     ed = pagerank_edges(li, o, materialize=False)
     # (node, degree) and the node count both come from the (now-cached)
-    # edges — one cheap shuffle each, never a replay of the build join.
-    nodes = ed.select(F.col("src").alias("node"), "d").distinct()
+    # edges — one cheap shuffle, never a replay of the build join.
+    nodes = ed.select(F.col("dst").alias("node"), F.col("dd").alias("d")).distinct()
     n_nodes = nodes.count()
     if broadcast_ranks is None:
         broadcast_ranks = n_nodes <= BROADCAST_RANK_MAX_NODES
     # 1/n and 0.15/n are single IEEE-double divisions in both engines
     # (DuckDB computes the same from its n CTE) — bit-identical.
-    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("r"))
+    # The rank vector carries its node's degree so r/d is ONE division
+    # per node on the O(nodes) side (not per edge), and the fold's group
+    # key reattaches d with no join; values are bit-identical (same IEEE
+    # division result, summed in the same cached-partition row order).
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("r"), "d")
     for i in range(iters):
-        rank_side = (
-            F.broadcast(ranks) if broadcast_ranks else ranks.hint("shuffle_hash")
+        contrib_side = ranks.select(
+            "node", (F.col("r") / F.col("d")).alias("rd")
         )
-        contrib = ed.join(rank_side, ed["src"] == ranks["node"]).select(
-            F.col("dst"), (F.col("r") / F.col("d")).alias("contrib")
+        rank_side = (
+            F.broadcast(contrib_side)
+            if broadcast_ranks
+            else contrib_side.hint("shuffle_hash")
+        )
+        contrib = ed.join(rank_side, ed["src"] == rank_side["node"]).select(
+            "dst", "dd", F.col("rd").alias("contrib")
         )
         ranks = (
-            contrib.groupBy(F.col("dst").alias("node"))
+            contrib.groupBy(F.col("dst").alias("node"), F.col("dd").alias("d"))
             .agg(F.sum("contrib").alias("s"))
             .select(
                 "node",
                 (F.lit(0.15) / F.lit(n_nodes) + F.lit(_DAMP) * F.col("s")).alias("r"),
+                "d",
             )
         )
         if checkpoint_every is not None and (i + 1) % checkpoint_every == 0:
@@ -204,9 +219,10 @@ def pagerank_ranks(
     # once the result is GC'd). ``materialize=False`` keeps the lazy
     # recurrence plan for inspection; the caller then owns the cache.
     if materialize:
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.select("node", "r").localCheckpoint(eager=True)
         ed.unpersist()
-    return ranks
+        return ranks
+    return ranks.select("node", "r")
 
 
 # --------------------------------------------------------------------------

@@ -98,13 +98,16 @@ def test_pagerank_iteration_is_exchange_free_on_broadcast_path(spark):
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     ed = pagerank_edges(li, o)
     try:
-        ranks = ed.select(F.col("src").alias("node")).distinct().select(
-            "node", F.lit(0.5).alias("r")
+        # the r13 iteration shape: rank side carries rd = r/d; the fold
+        # groups on (dst, dd) — dst is a subset of the grouping keys, so
+        # the cached dst-hash layout still satisfies the distribution
+        ranks = ed.select(F.col("dst").alias("node")).distinct().select(
+            "node", F.lit(0.5).alias("rd")
         )
         step = (
             ed.join(F.broadcast(ranks), ed["src"] == ranks["node"])
-            .select("dst", (F.col("r") / F.col("d")).alias("contrib"))
-            .groupBy(F.col("dst").alias("node"))
+            .select("dst", "dd", F.col("rd").alias("contrib"))
+            .groupBy(F.col("dst").alias("node"), F.col("dd").alias("d"))
             .agg(F.sum("contrib").alias("s"))
         )
         plan = step._jdf.queryExecution().executedPlan().toString()
