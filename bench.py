@@ -170,7 +170,10 @@ HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL + BEHAVIOR + R12 + R
 #: pre-r11 queries — a blind spot). r13 adds decontaminate_bloom_gate
 #: (heaviest r12 registration, in the r12 snapshot's registry) and
 #: dedup_containment_pairs (its candidate generation changed in r13:
-#: rounding-safe prefix length).
+#: rounding-safe prefix length). The r13 OPTIMIZATION round adds its two
+#: heaviest changed paths not already probed: contrastive_hard_negatives
+#: (PQ-codebook expr-string rewrite) and pagerank_cust_supp_top20
+#: (window-degree edge build).
 AB_PROBES = [
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
@@ -182,6 +185,8 @@ AB_PROBES = [
     "video_scene_cuts",
     "decontaminate_bloom_gate",
     "dedup_containment_pairs",
+    "contrastive_hard_negatives",
+    "pagerank_cust_supp_top20",
 ]
 
 

@@ -96,13 +96,94 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition metrics and a keep/drop gate.
 
     MAP-ONLY: every metric is a function of one document's own grams, so
-    nothing shuffles — gram counts are computed inside the row by
-    sorting each gram-code array and measuring runs with codegen'd
-    higher-order functions (the earlier explode → groupBy(doc, k, gram)
-    → groupBy(doc) form shuffled ~3 rows per token twice; at corpus
-    scale that shuffle was the dominant and entirely avoidable cost —
-    the unchanged oracle proves the rewrite exact)."""
-    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+    nothing shuffles. Default path is the Arrow twin (counting grams in
+    one numpy/Counter pass per batch — Catalyst HOFs are interpreted, so
+    the expression form pays ~4× on the same rows; guide §4.2); the
+    expression twin remains for parity tests and Arrow-less deployments,
+    and both are bit-identical to the oracle (asserted at three fixture
+    scales in tests/test_training.py)."""
+    return repetition_metrics_arrow(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_metrics_arrow(docs: DataFrame) -> DataFrame:
+    """Arrow-vectorized twin of :func:`repetition_metrics` — identical
+    output, one Python/Counter pass per document batch instead of the
+    interpreted sort/run-length HOF pipeline.
+
+    Exactness contract (same conventions as
+    ``operators/dedup.py::minhash_signature_arrow``, which is asserted
+    bit-identical to its expression twin): tokenize replays
+    ``split(trim(lower(text)), '\\s+')`` — Spark ``trim`` strips ASCII
+    spaces only (``strip(' ')``), Java-regex ``\\s`` is the ASCII class
+    (``re.ASCII``); gram counting is on the STRINGS themselves (the
+    expression path compares xxhash64 codes — string equality is the
+    oracle's semantics, so this twin is if anything strictly safer);
+    ``round(x, 6)`` replays Spark's Round on DoubleType, i.e.
+    ``BigDecimal.valueOf(x).setScale(6, HALF_UP)`` — Python ``repr`` and
+    Java ``Double.toString`` both emit the shortest round-trip decimal,
+    so ``Decimal(repr(x)).quantize(1e-6, ROUND_HALF_UP)`` is the same
+    arithmetic."""
+    import re as _re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    _ws = _re.compile(r"\s+", _re.ASCII)
+    _q6 = Decimal("0.000001")
+
+    def _round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(_q6, rounding=ROUND_HALF_UP))
+
+    @F.pandas_udf(
+        "struct<top_bigram_frac:double,dup_trigram_frac:double,"
+        "distinct_word_ratio:double>"
+    )
+    # hint-free: `from __future__ import annotations` stringifies hints
+    # and pyspark cannot resolve the local `pd` name at decoration time
+    # (same convention as operators/similarity.py::rp_sketch_arrow)
+    def metrics(texts):
+        tb, dt, dw = [], [], []
+        for s in texts:
+            if s is None:  # expression twin: null text → null metrics
+                tb.append(None)
+                dt.append(None)
+                dw.append(None)
+                continue
+            t = _ws.split(s.lower().strip(" "))
+            n = len(t)
+            dw.append(_round6(len(set(t)) / n) if n else None)
+            if n >= 2:
+                c2 = Counter(zip(t, t[1:]))
+                tb.append(_round6(max(c2.values()) / (n - 1)))
+            else:
+                tb.append(None)
+            if n >= 3:
+                c3 = Counter(zip(t, t[1:], t[2:]))
+                dup = sum(v for v in c3.values() if v > 1)
+                dt.append(_round6(dup / (n - 2)))
+            else:
+                dt.append(None)
+        return pd.DataFrame(
+            {
+                "top_bigram_frac": tb,
+                "dup_trigram_frac": dt,
+                "distinct_word_ratio": dw,
+            }
+        )
+
+    m = docs.select("doc_id", metrics("text").alias("m"))
+    return m.select(
+        "doc_id",
+        "m.top_bigram_frac",
+        "m.dup_trigram_frac",
+        "m.distinct_word_ratio",
+        (
+            (F.col("m.top_bigram_frac") <= 0.2)
+            & (F.col("m.dup_trigram_frac") <= 0.6)
+            & (F.col("m.distinct_word_ratio") >= 0.3)
+        ).alias("keep"),
+    ).orderBy("doc_id")
 
 
 def repetition_metrics(docs: DataFrame) -> DataFrame:
@@ -1095,7 +1176,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source counts of documents surviving the full curation
     gauntlet (benchmark slice itself excluded from the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    metrics = repetition_metrics(docs).select("doc_id", "keep")
+    metrics = repetition_metrics_arrow(docs).select("doc_id", "keep")
 
     d = docs.select("doc_id", "source", "lang", _tokens().alias("t"))
     n = F.size("t")

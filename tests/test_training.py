@@ -579,3 +579,39 @@ def test_copurchase_pairs_counts(spark):
     }
     assert len(oa & ob) == top["n_orders"]
     assert top["part_a"] < top["part_b"]
+
+
+def test_repetition_metrics_arrow_parity(spark):
+    """The Arrow twin (r13 default path of text_repetition_filters) must
+    be BIT-IDENTICAL to the expression pipeline — same tokenize (ASCII
+    \\s, space-only trim), same gram counting, same HALF_UP round(6) —
+    including short docs (NULL metrics), null text, and repeated grams."""
+    from spark_hudi_etl_pipeline_spark.plans.training_plans import (
+        repetition_metrics,
+        repetition_metrics_arrow,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "solo"),
+            (2, "two words"),
+            (3, "a b c d e"),
+            (4, "x y x y x y x y"),            # dominant bigram
+            (5, "a a a a a a a"),               # one token repeated
+            (6, ""),                             # empty text
+            (7, None),                           # null text
+            (8, "  Mixed   CASE tokens  "),      # trim + lower + \s+
+            (9, "p q r p q r p q r s t"),       # duplicated trigrams
+        ],
+        ["doc_id", "text"],
+    )
+    expr_rows = [tuple(r) for r in repetition_metrics(d).collect()]
+    arrow_rows = [tuple(r) for r in repetition_metrics_arrow(d).collect()]
+    assert expr_rows == arrow_rows
+
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert [tuple(r) for r in repetition_metrics(docs).collect()] == [
+        tuple(r) for r in repetition_metrics_arrow(docs).collect()
+    ]
