@@ -108,6 +108,59 @@ def quality_score(col: str | Column) -> Column:
     )
 
 
+def quality_score_arrow() -> Column:
+    """Arrow-vectorized twin of :func:`quality_score` — identical values,
+    one Python pass per batch instead of the interpreted stopword-filter
+    / token-aggregate HOF chain (guide §4.2; same exactness conventions
+    as ``plans/training_plans.py::repetition_metrics_arrow``):
+
+    - ``length()`` counts codepoints → Python ``len``;
+    - Spark ``trim`` strips ASCII spaces only → ``strip(' ')``; Java
+      regex ``\\w``/``\\s`` are the ASCII classes → ``re.ASCII``;
+    - every division and the 0.3/0.2/0.3/0.2 weighted sum run the same
+      IEEE-double chain left-to-right (token lengths are small integers,
+      so the double accumulation is exact in any order);
+    - ``round(x, 6)`` replays Spark's Round on DoubleType
+      (``BigDecimal.valueOf`` = shortest-round-trip decimal, HALF_UP) via
+      ``Decimal(repr(x)).quantize``.
+
+    Returns a Column expression over the ``text`` column. Bit-for-bit
+    parity with the expression twin is asserted at three fixture scales
+    in tests/test_quality.py."""
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    non_punct = _re.compile(r"[\w\s]", _re.ASCII)
+    stop = frozenset(STOPWORDS["en"])
+    q6 = Decimal("0.000001")
+
+    def _score(s):
+        if s is None:
+            return None
+        n = len(s)
+        len_ok = 1.0 if 50 <= n <= 20000 else (n / 50.0 if n < 50 else 20000.0 / n)
+        punct = len(non_punct.sub("", s)) / max(n, 1)
+        punct_ok = 1.0 - min(punct * 4, 1.0)
+        lo = ws.split(s.lower().strip(" "))
+        sr = sum(1 for t in lo if t in stop) / max(len(lo), 1)
+        stop_ok = 1.0 if sr >= 0.05 else sr / 0.05
+        toks = ws.split(s.strip(" "))
+        mtl = float(sum(len(t) for t in toks)) / max(len(toks), 1)
+        mtl_ok = 1.0 if 2.5 <= mtl <= 12.0 else 0.4
+        q = len_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.3 + mtl_ok * 0.2
+        return float(Decimal(repr(q)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    # hint-free: `from __future__ import annotations` stringifies hints
+    # and pyspark cannot resolve the local `pd` name at decoration time
+    def score(texts):
+        return pd.Series([_score(s) for s in texts], dtype="float64")
+
+    return F.pandas_udf(score, "double")(F.col("text"))
+
+
 def language_id(col: str | Column) -> Column:
     """Heuristic language ID: score = stopword hits per language, argmax
     (ties → lexicographically first language; 'und' when nothing hits).

@@ -83,8 +83,10 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite heuristic quality score per document (length sweet-spot,
     punctuation, stopword ratio, mean token length)."""
     d = load_table(spark, sf_dir, "documents")
+    # Arrow twin (parity-asserted): the interpreted stopword/token HOF
+    # chain cost ~0.7 s/pass at sf0.1; one Python pass per batch instead
     return d.select(
-        "doc_id", text.quality_score("text").alias("quality")
+        "doc_id", text.quality_score_arrow().alias("quality")
     ).orderBy("doc_id")
 
 
@@ -150,11 +152,17 @@ FROM cum ORDER BY threshold_pct
 def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..operators.dedup import barrier_col
+
     d = load_table(spark, sf_dir, "documents")
-    qi = F.round(text.quality_score("text") * 1000000).cast("long")
+    qi = F.round(text.quality_score_arrow() * 1000000).cast("long")
+    # barrier: the grid join's pushed isnotnull(b) filter otherwise
+    # re-plans the Arrow UDF below it — two stacked ArrowEvalPython
+    # nodes, every row scored twice (guide §4.4)
     agg = (
-        d.select(qi.alias("qi"), F.length("text").cast("long").alias("n"))
-        .select(F.expr("qi div 50000").alias("b"), "n")
+        barrier_col(d.select("text"), "qi", qi)
+        .select(F.expr("qi div 50000").alias("b"),
+                F.length("text").cast("long").alias("n"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("nd"), F.sum("n").alias("nc"))
     )

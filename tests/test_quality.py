@@ -204,3 +204,36 @@ def test_l_diversity_blocks_homogeneous_classes(spark):
         assert out[i] == (1, 3, 6)
     with pytest.raises(ValueError):
         l_diversity_gate(df, ["seg"], "dx", 0)
+
+
+def test_quality_score_arrow_parity(spark):
+    """The Arrow twin (r13 default path of text_quality_scores) must be
+    bit-identical to the expression form — length sweet-spot edges,
+    punctuation, stopword and mean-token-length legs, HALF_UP round(6) —
+    on adversarial local docs and the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.functions import text
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    d = spark.createDataFrame(
+        [
+            (1, "the of and to in is that it for a"),   # all stopwords
+            (2, ""),                                      # empty
+            (3, None),                                    # null
+            (4, "x" * 49),                                # below length knee
+            (5, "y " * 30000),                            # above sweet spot
+            (6, "!!! ??? ;;; ::: ..."),                   # punctuation heavy
+            (7, "  The   quick brown fox, it is a test of the scoring.  "),
+            (8, "supercalifragilistic words exceeding mean token length limits everywhere"),
+        ],
+        ["doc_id", "text"],
+    )
+    expr = d.select("doc_id", text.quality_score("text").alias("q")).collect()
+    arrow = d.select("doc_id", text.quality_score_arrow().alias("q")).collect()
+    assert [tuple(r) for r in expr] == [tuple(r) for r in arrow]
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    e = docs.select("doc_id", text.quality_score("text").alias("q")).orderBy("doc_id").collect()
+    a = docs.select("doc_id", text.quality_score_arrow().alias("q")).orderBy("doc_id").collect()
+    assert [tuple(r) for r in e] == [tuple(r) for r in a]
