@@ -108,7 +108,7 @@ def quality_score(col: str | Column) -> Column:
     )
 
 
-def quality_score_arrow() -> Column:
+def quality_score_arrow(col: str | Column = "text") -> Column:
     """Arrow-vectorized twin of :func:`quality_score` — identical values,
     one Python pass per batch instead of the interpreted stopword-filter
     / token-aggregate HOF chain (guide §4.2; same exactness conventions
@@ -124,9 +124,9 @@ def quality_score_arrow() -> Column:
       (``BigDecimal.valueOf`` = shortest-round-trip decimal, HALF_UP) via
       ``Decimal(repr(x)).quantize``.
 
-    Returns a Column expression over the ``text`` column. Bit-for-bit
-    parity with the expression twin is asserted at three fixture scales
-    in tests/test_quality.py."""
+    Takes the text column like :func:`quality_score` (defaults to
+    ``text``). Bit-for-bit parity with the expression twin is asserted
+    at three fixture scales in tests/test_quality.py."""
     import re as _re
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -158,7 +158,7 @@ def quality_score_arrow() -> Column:
     def score(texts):
         return pd.Series([_score(s) for s in texts], dtype="float64")
 
-    return F.pandas_udf(score, "double")(F.col("text"))
+    return F.pandas_udf(score, "double")(_col(col))
 
 
 def language_id(col: str | Column) -> Column:
@@ -182,6 +182,50 @@ def language_id(col: str | Column) -> Column:
     for lang, score in reversed(scored):
         result = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(result)
     return result
+
+
+def language_id_arrow(col: str | Column = "text") -> Column:
+    """Arrow-vectorized twin of :func:`language_id` — identical values,
+    one Python pass per batch instead of 4× interpreted
+    filter/array_contains HOF chains (guide §4.2; same exactness
+    conventions as :func:`quality_score_arrow`):
+
+    - Spark ``trim`` strips ASCII spaces only → ``strip(' ')``; Java
+      regex ``\\s`` is the ASCII class → ``re.ASCII``;
+    - stopword hits count every matching token (not distinct), exactly
+      like ``size(filter(...))``;
+    - argmax tie-break: first language in sorted order wins (the
+      expression's when-cascade evaluates sorted languages outermost
+      first), zero hits everywhere → ``'und'``; NULL text → ``'und'``
+      (``size(NULL)=NULL`` makes every when-condition NULL, so the
+      cascade falls through to the literal default).
+
+    Bit-for-bit parity with the expression twin is asserted on
+    adversarial docs + the fixture corpus in tests/test_quality.py."""
+    import re as _re
+
+    import pandas as pd
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    langs = [(lang, frozenset(STOPWORDS[lang])) for lang in sorted(STOPWORDS)]
+
+    def _lid(s):
+        if s is None:
+            return "und"
+        toks = ws.split(s.lower().strip(" "))
+        best, best_lang = 0, "und"
+        for lang, stop in langs:
+            h = sum(1 for t in toks if t in stop)
+            if h > best:
+                best, best_lang = h, lang
+        return best_lang
+
+    # hint-free: `from __future__ import annotations` stringifies hints
+    # and pyspark cannot resolve the local `pd` name at decoration time
+    def lid(texts):
+        return pd.Series([_lid(s) for s in texts], dtype="object")
+
+    return F.pandas_udf(lid, "string")(_col(col))
 
 
 def fingerprint(col: str | Column) -> Column:

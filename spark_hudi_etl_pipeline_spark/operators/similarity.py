@@ -20,6 +20,7 @@ JVM-side, codegen'd, no UDF in either path.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -203,8 +204,16 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
 
 
 def _dstr(v: float) -> str:
-    """Shortest-round-trip SQL double literal (bit-exact vs F.lit)."""
-    return f"{float(v)!r}D"
+    """Shortest-round-trip SQL double literal (bit-exact vs F.lit).
+
+    Non-finite values would render as ``infD``/``nanD``, which the SQL
+    parser rejects — fail fast with a clear error instead (codebooks,
+    ADC tables and SQ8 stats are all derived from finite input data, so
+    a non-finite literal here is always an upstream bug)."""
+    f = float(v)
+    if not math.isfinite(f):
+        raise ValueError(f"non-finite literal cannot be rendered to SQL: {f!r}")
+    return f"{f!r}D"
 
 
 def _sql_arr_d(vals) -> str:
@@ -1352,10 +1361,18 @@ def sq8_stats(
     # JVM-parsed expression list, see _dstr) reduce map-side in a single
     # pass with no Generate and no exchange. min/max of doubles is
     # order-insensitive, so the stats are bit-identical.
-    over_len = F.expr(f"max(size(`{vec_col}`))")
+    # try_element_at (not element_at): under ANSI mode (Spark 4 default)
+    # element_at throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT on a vector
+    # shorter than dim, but ragged/short vectors are valid input here —
+    # the old posexplode shape tolerated them (missing dims → all-NULL →
+    # 0.0 fallback below), and the ValueError text documents dim > actual
+    # length as supported. NULL out-of-bounds + null-ignoring min/max
+    # reproduce that behavior exactly.
+    vref = "`" + vec_col.replace("`", "``") + "`"
+    over_len = F.expr(f"max(size({vref}))")
     aggs = [
         F.expr(
-            f"{fn}(cast(element_at(`{vec_col}`, {i + 1}) as double))"
+            f"{fn}(cast(try_element_at({vref}, {i + 1}) as double))"
         ).alias(f"{fn[:2]}_{i}")
         for i in range(dim)
         for fn in ("min", "max")

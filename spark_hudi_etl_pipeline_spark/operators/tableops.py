@@ -202,28 +202,28 @@ def upsert_parquet_partitioned_global(
 
     Returns rows written into the touched partitions.
     """
-    # NULL-partition check BEFORE the first-write branch: a first write
-    # must reject the same input later batches reject, not silently land
-    # rows in __HIVE_DEFAULT_PARTITION__ (same contract as
-    # insert_overwrite). Metadata-scale collect: distinct partition
-    # values of one batch.
-    new_parts = {
-        r[0] for r in batch.select(partition_col).distinct().collect()
-    }
-    if None in new_parts:
-        raise ValueError(
-            f"null partition value in batch column {partition_col!r}"
-        )
+    from pyspark.sql import Observation
+
     first_write = not os.path.isdir(path)
     if first_write:
+        # NULL-partition check BEFORE the write: a first write must
+        # reject the same input later batches reject, not silently land
+        # rows in __HIVE_DEFAULT_PARTITION__ (same contract as
+        # insert_overwrite). Metadata-scale collect: distinct partition
+        # values of one batch.
+        new_parts = {
+            r[0] for r in batch.select(partition_col).distinct().collect()
+        }
+        if None in new_parts:
+            raise ValueError(
+                f"null partition value in batch column {partition_col!r}"
+            )
         merged = merge_upsert(
             None, batch, keys, precombine, delete_col=delete_col
         )
         # Piggyback the row count on the write job itself (Observation)
         # instead of a second full merge recompute — merged is lazy here,
         # so a trailing .count() would replay the precombine window.
-        from pyspark.sql import Observation
-
         obs = Observation()
         merged.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
             "overwrite"
@@ -232,16 +232,31 @@ def upsert_parquet_partitioned_global(
 
     batch_keys = batch.select(*keys).distinct()
     table = spark.read.parquet(path)
-    old_parts = {
-        r[0]
-        for r in (
+    # ONE planning job for both touched-partition sets (r14, guide §1.4):
+    # the batch's distinct target partitions and the global-index lookup
+    # (column-pruned (keys, partition) table scan semi-joined against the
+    # broadcast batch keys) used to be two separate collects — their
+    # union computes both in a single job, still before any write (the
+    # NULL-partition rejection below therefore still precedes the commit).
+    plan_rows = (
+        batch.select(
+            F.lit(1).alias("is_new"), F.col(partition_col).alias("p")
+        )
+        .distinct()
+        .unionByName(
             table.select(*keys, partition_col)
             .join(F.broadcast(batch_keys), on=keys, how="left_semi")
-            .select(partition_col)
+            .select(F.lit(0).alias("is_new"), F.col(partition_col).alias("p"))
             .distinct()
-            .collect()
         )
-    }
+        .collect()
+    )
+    new_parts = {r["p"] for r in plan_rows if r["is_new"] == 1}
+    if None in new_parts:
+        raise ValueError(
+            f"null partition value in batch column {partition_col!r}"
+        )
+    old_parts = {r["p"] for r in plan_rows if r["is_new"] == 0}
     touched = sorted(old_parts | new_parts)
     existing_sub = table.filter(F.col(partition_col).isin(touched))
     merged = merge_upsert(
@@ -249,15 +264,23 @@ def upsert_parquet_partitioned_global(
     )
     # The commit overwrites files the merge read — materialize first.
     merged = merged.localCheckpoint(eager=True)
-    _dynamic_overwrite(spark, merged, path, partition_col)
+    # Ride the row count AND the surviving-partition set on the commit
+    # write itself (r14, guide §1.4): the trailing distinct-collect +
+    # count() were two more jobs over the checkpoint for numbers the
+    # write job already sees every row of.
+    obs = Observation()
+    observed = merged.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set(partition_col).alias("parts"),
+    )
+    _dynamic_overwrite(spark, observed, path, partition_col)
     # Partitions emptied by moves/deletes produce no output rows, so the
     # dynamic overwrite never visits them — drop them as the commit step.
-    remaining = {
-        r[0] for r in merged.select(partition_col).distinct().collect()
-    }
+    remaining = set(obs.get["parts"])
     for value in set(touched) - remaining:
         shutil.rmtree(f"{path}/{partition_col}={value}", ignore_errors=True)
-    return merged.count()
+    return int(obs.get["n"])
 
 
 def retention_delete(

@@ -237,3 +237,37 @@ def test_quality_score_arrow_parity(spark):
     e = docs.select("doc_id", text.quality_score("text").alias("q")).orderBy("doc_id").collect()
     a = docs.select("doc_id", text.quality_score_arrow().alias("q")).orderBy("doc_id").collect()
     assert [tuple(r) for r in e] == [tuple(r) for r in a]
+
+
+def test_language_id_arrow_parity(spark):
+    """The Arrow twin (r14 default path of text_language_id /
+    text_lang_mismatch) must be bit-identical to the expression form —
+    argmax tie-breaks (lexicographically first language), zero hits →
+    'und', NULL text → 'und', hit counts over REPEATED tokens — on
+    adversarial local docs and the fixture corpus."""
+    from spark_hudi_etl_pipeline_spark.functions import text
+    from spark_hudi_etl_pipeline_spark.sources import load_table
+
+    d = spark.createDataFrame(
+        [
+            (1, "the of and to in is that it for"),       # en
+            (2, "el la de que y en un una los por"),      # es ('de','en' also de/en hits)
+            (3, "le la de et un une les des que pour"),   # fr
+            (4, "der die das und ein eine zu von mit ist"),  # de
+            (5, "de de de de"),                           # tie es/fr ('de' in both) → de? es? first sorted winner
+            (6, ""),                                       # empty → und
+            (7, None),                                     # null → und
+            (8, "zzz qqq xxx"),                            # no hits → und
+            (9, "  LA   QUE la de   "),                    # case + repeated tokens
+            (10, "la la la le le"),                        # repeated-count tie-break
+        ],
+        ["doc_id", "text"],
+    )
+    expr = d.select("doc_id", text.language_id("text").alias("p")).collect()
+    arrow = d.select("doc_id", text.language_id_arrow("text").alias("p")).collect()
+    assert [tuple(r) for r in expr] == [tuple(r) for r in arrow]
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    e = docs.select("doc_id", text.language_id("text").alias("p")).orderBy("doc_id").collect()
+    a = docs.select("doc_id", text.language_id_arrow("text").alias("p")).orderBy("doc_id").collect()
+    assert [tuple(r) for r in e] == [tuple(r) for r in a]

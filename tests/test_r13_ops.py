@@ -89,6 +89,34 @@ def test_sq8_stats_rejects_overlong_vectors(spark):
         sq8_stats(emb, dim=2)
 
 
+def test_sq8_stats_tolerates_ragged_short_vectors(spark):
+    """dim > actual vector length is documented as valid (the ValueError
+    text says 'pass dim >= the actual vector length'): missing trailing
+    dimensions must behave like the old posexplode shape — no rows for
+    that dim → 0.0 fallback — not throw under ANSI element_at (r13
+    advisor finding). Mixed lengths exercise both the populated and the
+    all-NULL aggregate legs."""
+    rows = [
+        (0, [1.0, -2.0], 0),          # 2 dims
+        (1, [4.0, 5.0, 6.0], 0),      # 3 dims
+    ]
+    emb = spark.createDataFrame(rows, EMB_SCHEMA)
+    mn, mx = sq8_stats(emb, dim=4)
+    assert mn == [1.0, -2.0, 6.0, 0.0]
+    assert mx == [4.0, 5.0, 6.0, 0.0]
+
+
+def test_dstr_rejects_non_finite():
+    import pytest
+
+    from spark_hudi_etl_pipeline_spark.operators.similarity import _dstr
+
+    assert _dstr(1.5) == "1.5D"
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _dstr(bad)
+
+
 # --------------------------------------------------------------------------
 # epoch_shuffle
 # --------------------------------------------------------------------------
