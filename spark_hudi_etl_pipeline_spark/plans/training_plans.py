@@ -4015,18 +4015,27 @@ def decontaminated_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _re.sub(r"\W", "_", _os.path.basename(sf_dir.rstrip("/")))
     path = f"/root/repo/.scratch/decon_stats_{tag}"
     _shutil.rmtree(path, ignore_errors=True)  # fresh state per run
+    # ONE gate pass over both batches (r14, guide §6): the gate is
+    # per-doc stateless, so gating the halves separately produced
+    # identical verdicts while scanning the documents file twice (the
+    # %2 batch filter does not prune parquet row groups — each
+    # half-batch paid a full corpus I/O pass plus its own gram-gate
+    # job). Gate once, checkpoint the narrow kept-doc rows (source,
+    # n_toks, half ≈ 20 B/doc), and feed each refresh its half from the
+    # checkpoint — the refresh operator still folds batch-by-batch, so
+    # the state-table evolution (and result) is unchanged.
+    verdicts = _bloom_gate_verdicts(
+        d.filter(F.col("doc_id") % 29 != 0), bench, bloom
+    )
+    kept = (
+        verdicts.filter(F.col("dropped") == 0)
+        .select("source", "n_toks", (F.col("doc_id") % 2).alias("half"))
+        .localCheckpoint(eager=True)
+    )
     for half in (0, 1):
-        batch_docs = d.filter(
-            (F.col("doc_id") % 29 != 0) & (F.col("doc_id") % 2 == half)
-        )
-        # verdicts carry n_toks from the same tokenize pass — the old
-        # shape re-tokenized the batch in a second scan just to join
-        # size(t) back on doc_id
-        verdicts = _bloom_gate_verdicts(batch_docs, bench, bloom)
-        kept = verdicts.filter(F.col("dropped") == 0)
         state = refresh_aggregate_parquet(
             spark,
-            kept.select("source", "n_toks"),
+            kept.filter(F.col("half") == half).select("source", "n_toks"),
             path,
             keys=["source"],
             sums={"n_toks": "sum_tokens"},

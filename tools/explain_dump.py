@@ -1,5 +1,6 @@
 """Dump ``explain("formatted")`` (plus the simple plan, which carries
-inline Exchange arguments) for named queries to ``plans/r13/<q>_<tag>.txt``.
+inline Exchange arguments) for named queries to
+``$SPARK_GRAFT_PLANS_DIR/<q>_<tag>.txt`` (default ``plans/r14``).
 
 Usage: python tools/explain_dump.py <tag> [sf_dir] <query> ...
 
@@ -31,10 +32,34 @@ def main() -> None:
 
     spark = get_spark_session("explain-dump")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = "/root/repo/plans/r13"
+    out_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r14")
     os.makedirs(out_dir, exist_ok=True)
+
+    def _pagerank_iteration_lazy(spark, sf_dir):
+        # The registered query's plan truncates at the final
+        # localCheckpoint (a 3-node plan over an ExistingRDD), so the
+        # exchange-free iteration claim was not visible in any committed
+        # golden (r13 verdict "what's wrong" #1). materialize=False keeps
+        # the full lazy recurrence: the cached dst-partitioned edge build
+        # plus all 3 iterations' joins and folds appear in one plan.
+        from pyspark.sql import functions as F
+
+        from spark_hudi_etl_pipeline_spark.plans.graph_plans import (
+            pagerank_ranks,
+        )
+        from spark_hudi_etl_pipeline_spark.sources import load_table
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        return pagerank_ranks(li, o, materialize=False)
+
+    pseudo = {"pagerank_iteration_lazy": _pagerank_iteration_lazy}
     for name in names:
-        df = QUERIES[name](spark, sf_dir)
+        df = pseudo.get(name, QUERIES.get(name))(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
