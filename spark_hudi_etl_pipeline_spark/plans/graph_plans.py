@@ -321,21 +321,45 @@ def triangle_participation(pairs: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # consumed by e1/e2/e3 below
     )
-    e1 = oriented
-    e2 = oriented.select(
+    # Both wedge-join sides hang off ONE explicit repartition("u") of the
+    # checkpointed orientation (r14, guide §2.4): the sides are then
+    # canonically identical up to the exchange, and AQE's stage reuse
+    # materializes that shuffle ONCE at runtime (ReusedExchange in the
+    # executed adaptive plan — plans/r14/graph_triangle_top20_executed.txt;
+    # the static golden still prints both REPARTITION_BY_COL exchanges,
+    # same static-vs-adaptive split as the r13 dedup broadcast story).
+    # Orientation bounds every u's fan-out by O(sqrt(m)), so the key
+    # cannot hot-spot; the width follows the env-profiled
+    # shuffle-partition count and AQE re-coalesces it.
+    base = oriented.repartition("u")
+    e1 = base
+    e2 = base.select(
         F.col("u").alias("u2"), F.col("v").alias("w"), F.col("rv").alias("rw")
     )
     wedges = e1.join(
         e2, (F.col("u") == F.col("u2")) & (F.col("rv") < F.col("rw"))
     ).select("u", "v", "w")
-    e3 = oriented.select(F.col("u").alias("v3"), F.col("v").alias("w3"))
+    # Closing join: hash-build on the EDGE side (strictly the smaller
+    # relation — wedges grow up to O(m^1.5)) so the wedge stream is never
+    # sorted (guide §3.1: SMJ paid an O(n log n) per-partition sort of
+    # the wedges purely to meet merge order). Build partitions are
+    # |E|/shuffle-partitions and AQE's skew split applies to shuffled
+    # hash joins too, so the build side stays memory-bounded at scale.
+    e3 = oriented.select(F.col("u").alias("v3"), F.col("v").alias("w3")).hint(
+        "shuffle_hash"
+    )
     tri = wedges.join(
         e3, (F.col("v") == F.col("v3")) & (F.col("w") == F.col("w3"))
     ).select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("w").alias("z"))
-    corners = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+    # Corner participation via a MAP-SIDE explode of the three corners —
+    # NOT a 3-way unionAll of tri projections: each union leg re-plans
+    # (and re-executes) the whole wedge+closing join pipeline, so the
+    # triangle enumeration ran THREE times (r14 before-plan: three
+    # duplicated SortMergeJoin towers; 17→6 s at sf0.1). The explode
+    # emits the identical corner multiset from ONE enumeration, and the
+    # count partial-aggregates map-side before the final exchange.
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri_cnt"))
 

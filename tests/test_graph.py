@@ -169,6 +169,34 @@ def test_triangle_participation_known_graphs(spark):
     assert _tri_counts(spark, bowtie) == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
 
 
+def test_triangle_single_enumeration_plan_shape(spark):
+    """r14 pinned shape: the corner counts come from ONE triangle
+    enumeration — a map-side explode of the (x, y, z) struct — not a
+    3-way unionAll whose legs each re-plan (and re-execute) the whole
+    wedge+closing join pipeline (the r14 before-plan showed three
+    duplicated SortMergeJoin towers; 17 -> 7 s at sf0.1). Static plan:
+    exactly one wedge SMJ, one shuffled-hash closing join (hash build on
+    the smaller edge side — wedges grow up to O(m^1.5) and must not be
+    sorted), one explode, no Union."""
+    from spark_hudi_etl_pipeline_spark.plans.graph_plans import (
+        triangle_participation,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    ).localCheckpoint(eager=True)
+    plan = (
+        triangle_participation(pairs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert plan.count("Generate explode") == 1, plan
+    assert "Union" not in plan, plan
+
+
 def test_triangle_orientation_bounds_fanout(spark):
     """A star plus one closing edge: the hub has the highest degree, so
     EVERY star edge orients toward it and the hub's out-degree is 0 —
