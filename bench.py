@@ -154,7 +154,20 @@ R13 = [
     "epoch_shuffle_shards",
 ]
 
-HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL + BEHAVIOR + R12 + R13
+#: Round-14 tier (timed separately as r14_sec; ADDITIVE — existing tiers
+#: and their membership are untouched). Both queries predate r13 in the
+#: registry but were never headline-timed; the r14 OPTIMIZATION round
+#: rewrote both (triangle: single enumeration + hash-built closing join,
+#: 17→~3 s; language id: Arrow twin of the interpreted HOF cascade), so
+#: they join the bench to keep their cost visible to future rounds.
+R14 = [
+    "graph_triangle_top20",
+    "text_language_id",
+]
+
+HEADLINE = (
+    CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL + BEHAVIOR + R12 + R13 + R14
+)
 
 #: A/B probe set: one representative per tier, restricted to queries old
 #: enough to exist in the previous snapshot's registry, including the four
@@ -173,8 +186,13 @@ HEADLINE = CORE + LIFECYCLE + CURATION + TIMESERIES + MODAL + BEHAVIOR + R12 + R
 #: rounding-safe prefix length). The r13 OPTIMIZATION round adds its two
 #: heaviest changed paths not already probed: contrastive_hard_negatives
 #: (PQ-codebook expr-string rewrite) and pagerank_cust_supp_top20
-#: (window-degree edge build).
+#: (window-degree edge build). The r14 OPTIMIZATION round adds its two
+#: heaviest changed paths: graph_triangle_top20 (single enumeration +
+#: hash-built closing join) and upsert_global_index (planning/commit
+#: job folding) — both in the r13 snapshot's registry.
 AB_PROBES = [
+    "graph_triangle_top20",
+    "upsert_global_index",
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
     "events_sessionize",
@@ -481,6 +499,7 @@ def main() -> None:
         "behavior_sec": round(sum(timings[n] for n in BEHAVIOR), 3),
         "r12_sec": round(sum(timings[n] for n in R12), 3),
         "r13_sec": round(sum(timings[n] for n in R13), 3),
+        "r14_sec": round(sum(timings[n] for n in R14), 3),
         "cpu_canary_sec": cpu_canary,
         "spark_canary_sec": spark_canary,
         "queries": timings,

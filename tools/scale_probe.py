@@ -1017,6 +1017,120 @@ def main() -> None:
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def probe_cores(base: str) -> None:
+    """r14 core-count scaling probe (r13 verdict ask #8): at sf0.1 every
+    8-vs-32-core ratio reads ≈1 because fixed per-query costs (plan
+    construction, job scheduling, multi-commit writes) swamp compute —
+    the probe could not separate serial from parallel paths. This one
+    replicates the fixtures 16× (≈ sf1.6 — ~9.6M lineitem rows, ~80k
+    docs) into a scratch sf-dir and re-times representative REGISTERED
+    queries under ``SPARK_GRAFT_CPUS=8`` and ``=32`` in separate JVMs
+    (the same env knob the driver's bench uses), interleaved
+    8,32,32,8 so host drift cancels. Appends/replaces a SCALE.md
+    section. Usage: python tools/scale_probe.py --cores
+    """
+    import json
+    import re
+    import subprocess
+
+    from pyspark.sql import functions as F
+
+    from spark_hudi_etl_pipeline_spark.session import get_spark_session
+
+    queries = [
+        "q1_pricing_summary",        # single-scan aggregate
+        "q9_profit_by_nation_year",  # star join
+        "dedup_simhash",             # map-only expression scan
+        "text_repetition_filters",   # Arrow-UDF scan
+        "knn_bruteforce_cosine",     # broadcast join + per-query top-k
+        "tfidf_similar_docs",        # shuffle-heavy inverted index
+    ]
+    factor = 16
+    sf_dir = f"{SCRATCH}/cores_{factor}x"
+    spark = get_spark_session("scale-probe-cores")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(sf_dir, exist_ok=True)
+    # Big tables replicated with disjoint id spaces (l_partkey/l_suppkey
+    # deliberately NOT offset so the dim joins stay intact and dims grow
+    # in fan-in, not cardinality); small dims copied verbatim.
+    for table, id_cols, text_col in (
+        ("lineitem", ["l_orderkey"], None),
+        ("orders", ["o_orderkey"], None),
+        ("documents", ["doc_id"], "text"),
+        ("embeddings", ["vec_id"], None),
+    ):
+        df = spark.read.parquet(f"{base}/{table}.parquet")
+        parts = []
+        for r in range(factor):
+            d = df
+            for c in id_cols:
+                d = d.withColumn(c, F.col(c) + F.lit(r * 100_000_000))
+            if text_col is not None and r > 0:
+                d = d.withColumn(
+                    text_col,
+                    F.regexp_replace(F.col(text_col), r"(\S+)", f"$1r{r}"),
+                )
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
+    for table in ("region", "nation", "customer", "supplier", "part", "events"):
+        dst = f"{sf_dir}/{table}.parquet"
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(f"{base}/{table}.parquet"):
+            shutil.copytree(f"{base}/{table}.parquet", dst)
+        else:
+            shutil.copyfile(f"{base}/{table}.parquet", dst)
+    spark.stop()  # the probe sessions own the box from here
+
+    def session(cpus: int) -> dict[str, float]:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, "/root/repo/tools/ab_probe.py", "/root/repo",
+             sf_dir, "2", *queries],
+            capture_output=True, text=True, check=True, timeout=3600, env=env,
+        ).stdout.strip().splitlines()[-1]
+        return json.loads(out)["timings"]
+
+    mins: dict[int, dict[str, float]] = {8: {}, 32: {}}
+    for cpus in (8, 32, 32, 8):
+        t = session(cpus)
+        for n, v in t.items():
+            mins[cpus][n] = min(v, mins[cpus].get(n, float("inf")))
+        print(f"cpus={cpus}: {t}", flush=True)
+
+    section = [
+        "## core-count scaling probe (16× fixtures ≈ sf1.6, 8 vs 32 cores)",
+        "",
+        "r13's probe at sf0.1 read ≈1 everywhere (fixed per-query cost",
+        "swamps compute). At 16× the data, compute-bound paths must show",
+        "a real core ratio; paths pinned by fixed costs (per-query job",
+        "scheduling, Python worker round-trips) stay flat. Separate JVMs",
+        "per core count via SPARK_GRAFT_CPUS (the driver's own knob),",
+        "interleaved 8,32,32,8; min-of-2 sessions × 2 passes.",
+        "",
+        "| query | t(8 cores) s | t(32 cores) s | speedup 8→32 |",
+        "|---|---|---|---|",
+    ]
+    for q in queries:
+        t8, t32 = mins[8][q], mins[32][q]
+        section.append(f"| {q} | {t8:.2f} | {t32:.2f} | {t8 / t32:.2f}× |")
+    section.append("")
+    with open("/root/repo/SCALE.md") as f:
+        content = f.read()
+    content = re.sub(
+        r"## core-count scaling probe.*?(?=^## |\Z)",
+        "",
+        content,
+        flags=re.S | re.M,
+    ).rstrip() + "\n\n" + "\n".join(section) + "\n"
+    with open("/root/repo/SCALE.md", "w") as f:
+        f.write(content)
+    print("appended core-count section to /root/repo/SCALE.md")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def probe_hardneg_stats(base: str) -> None:
     """Round-7 probe: (A) hard-negative mining at 1×/4×/16× embeddings,
     FIXED 2-code blocking vs the AUTO rule — fixed granularity lets
@@ -2484,6 +2598,12 @@ if __name__ == "__main__":
             base_dir,
             stages=set(stage_arg.split("=", 1)[1].split(",")) if stage_arg else None,
         )
+    elif "--cores" in sys.argv:
+        base_dir = next(
+            (a for a in sys.argv[1:] if not a.startswith("--")),
+            "/root/testdata/sf0.1",
+        )
+        probe_cores(base_dir)
     elif "--r8ops" in sys.argv:
         base_dir = next(
             (a for a in sys.argv[1:] if not a.startswith("--")),
